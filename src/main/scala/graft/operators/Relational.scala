@@ -1,0 +1,447 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Core relational operator inventory (SURVEY.md §2) re-expressed over the
+  * driver's synthetic star schema. Each query has a DuckDB oracle in
+  * [[oracles]]; column names are aligned between the two.
+  *
+  * Float determinism strategy: sums over doubles are order-dependent, so
+  * any hash-compared aggregate of a double column goes through an exact
+  * DECIMAL(18,2) cast first (sums of decimals are exact and
+  * engine-order-independent), then back to double. Integral-valued double
+  * columns (quantities) sum exactly in IEEE double (< 2^53) and need no
+  * cast. Ratios/avgs are computed from those exact numerators in double —
+  * bit-identical across engines.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact, order-independent sum of a money-like double column. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  // S1/S2/P1/F1..F4: scan → filter → project, pushdown-friendly.
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 100000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  // A1/A4/P4/X6/O4: TPC-H Q1-shaped pricing summary (flagship).
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast(LongType).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (sum(dec(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // O4 + LIMIT: top-k with deterministic tiebreak.
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  // J8-shaped: 3-table join + agg + top-k (TPC-H Q3 analogue).
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // J3/J5-shaped: 6-table star join, region-filtered (TPC-H Q5 analogue).
+  // nation/region are broadcast by AQE (tiny dims).
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables.load(spark, dir, "nation")
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    val supp = Tables.load(spark, dir, "supplier")
+    cust
+      .join(ord, cust("c_custkey") === ord("o_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // A6-shaped scalar aggregate (TPC-H Q6 analogue) — single-row result.
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1996-01-01").cast(TimestampType) &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.09 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+
+  // J2: left outer join preserving unmatched left rows.
+  def leftJoinOrderCounts(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+  }
+
+  // Semi join (EXISTS).
+  def semiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  // Anti join (NOT EXISTS).
+  def antiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  // J6 + broadcast hint: fact ⋈ small dim.
+  def broadcastPartJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val part = Tables.load(spark, dir, "part")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("l_quantity")).cast(LongType).as("total_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  // J10/A6: group counts + cross-join scalar total → percentage share.
+  def nationOrderShare(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    val nation = Tables.load(spark, dir, "nation")
+    val perNation = ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+    val total = ord.agg(count(lit(1)).as("total"))
+    perNation.crossJoin(total)
+      .select(col("n_name"), col("cnt"),
+        round(lit(100.0) * col("cnt") / col("total"), 2).as("pct"))
+      .orderBy(col("pct").desc, col("n_name"))
+  }
+
+  // A2: dedup via DISTINCT.
+  def distinctSegments(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+
+  // A3: validation counts across tables (reference etl.py:31-43).
+  def tableCounts(spark: SparkSession, dir: String): DataFrame = {
+    val dfs = Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .map(t => Tables.load(spark, dir, t).agg(count(lit(1)).as("n_rows")).select(lit(t).as("tbl"), col("n_rows")))
+    dfs.reduce(_.unionAll(_)).orderBy(col("tbl"))
+  }
+
+  // A7: order-stable dedup — keep latest order per customer via row_number
+  // (reference dataprep.py:40 drop_duplicates-keeps-first semantics).
+  def dedupFirstOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.load(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+  }
+
+  // W1: group-average attached to detail rows as a window (reference
+  // dataprep.py:181-184 agg+join collapsed into one shuffle).
+  def windowGroupAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        (sum(col("l_quantity")).over(w) / count(lit(1)).over(w)).as("avg_order_qty"))
+  }
+
+  // W2: pivot rows→columns (reference race pivot, dataprep.py:16-32).
+  def pivotOrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  // W3: surrogate keys via row_number (reference IDENTITY(1,1)).
+  // NOTE: single-partition global sort is fine at verify scale; the
+  // scale path is Keys.scalableSurrogate (partition-offset zipWithIndex).
+  def surrogateKeys(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_name"), col("c_custkey"))
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("c_id", row_number().over(w))
+  }
+
+  // X1: string split / substring / case ops.
+  def stringOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        split(col("c_name"), "#").getItem(1).as("name_num"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).as("name_len"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"))
+
+  // X2: hemisphere-style sign-dependent formatting with no UDF
+  // (reference dataprep.py:144-145 row lambdas → when/concat/abs).
+  def hemisphereFormat(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_acctbal") < 0,
+          concat(abs(col("c_acctbal")).cast(DecimalType(12, 2)).cast(StringType), lit("W")))
+          .otherwise(concat(col("c_acctbal").cast(DecimalType(12, 2)).cast(StringType), lit("E")))
+          .as("bal_fmt"))
+
+  // X3: SAS epoch date decode — days since 1960-01-01 → date, no UDF
+  // (reference dataprep.py:210-212 Python UDF → built-in date_add).
+  def sasDateDecode(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        date_format(
+          date_add(to_date(lit("1960-01-01")), (col("o_orderkey") % 20000).cast(IntegerType)),
+          "yyyy-MM-dd").as("sas_date"))
+
+  // X5: date part extraction + grouped counts.
+  def datePartCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("o_year"), month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_year"), col("o_month"))
+
+  // F7: conjunctive WHERE incl. implicit string↔int cast (README.md:213).
+  def conjunctiveFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F" &&
+        year(col("l_shipdate")) === "1995")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  // S5 (CSV sink) + S2 (CSV scan, explicit schema): round-trip through CSV
+  // then aggregate — exercises both sides of the CSV path.
+  def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = "/root/repo/target/tmp/graft_csv_roundtrip"
+    val src = Tables.load(spark, dir, "nation")
+    src.write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.read.option("header", "true").schema(schema).csv(tmp)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("max_name"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  // S10: static VALUES row source joined against a table.
+  def staticValuesJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zones = Seq((0, "ZONE-A"), (1, "ZONE-B"), (2, "ZONE-C"), (3, "ZONE-D"), (4, "ZONE-E"))
+      .toDF("zone_key", "zone_name")
+    Tables.load(spark, dir, "region")
+      .join(zones, col("r_regionkey") === col("zone_key"))
+      .select(col("r_regionkey"), col("r_name"), col("zone_name"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (pricingSummary _),
+    "q02_topk_orders" -> (topkOrders _),
+    "q03_shipping_priority" -> (shippingPriority _),
+    "q05_local_supplier_volume" -> (localSupplierVolume _),
+    "q06_forecast_revenue" -> (forecastRevenue _),
+    "f01_filter_project" -> (filterProject _),
+    "f07_conjunctive_filter" -> (conjunctiveFilter _),
+    "j02_left_join_counts" -> (leftJoinOrderCounts _),
+    "j07_semi_join" -> (semiJoinCustomers _),
+    "j08_anti_join" -> (antiJoinCustomers _),
+    "j06_broadcast_part_join" -> (broadcastPartJoin _),
+    "j10_cross_scalar_pct" -> (nationOrderShare _),
+    "a02_distinct" -> (distinctSegments _),
+    "a03_table_counts" -> (tableCounts _),
+    "a07_dedup_keep_first" -> (dedupFirstOrder _),
+    "w01_window_group_avg" -> (windowGroupAvg _),
+    "w02_pivot_priority" -> (pivotOrderPriority _),
+    "w03_surrogate_keys" -> (surrogateKeys _),
+    "x01_string_ops" -> (stringOps _),
+    "x02_hemisphere_format" -> (hemisphereFormat _),
+    "x03_sas_date_decode" -> (sasDateDecode _),
+    "x05_date_part_counts" -> (datePartCounts _),
+    "s05_csv_roundtrip" -> (csvRoundTrip _),
+    "s10_static_values_join" -> (staticValuesJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | SUM(l_quantity) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q05_local_supplier_volume" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q06_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.09
+        |  AND l_quantity < 24""".stripMargin,
+    "f01_filter_project" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0""".stripMargin,
+    "f07_conjunctive_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+        |  AND year(l_shipdate) = '1995'""".stripMargin,
+    "j02_left_join_counts" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "j07_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "j08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j06_broadcast_part_join" ->
+      """SELECT p_brand, CAST(SUM(l_quantity) AS BIGINT) AS total_qty, COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "j10_cross_scalar_pct" ->
+      """SELECT n_name, cnt, ROUND(100.0 * cnt / total, 2) AS pct
+        |FROM (SELECT n_name, COUNT(*) AS cnt
+        |      FROM orders JOIN customer ON o_custkey = c_custkey
+        |        JOIN nation ON c_nationkey = n_nationkey
+        |      GROUP BY n_name) g
+        |CROSS JOIN (SELECT COUNT(*) AS total FROM orders) t
+        |ORDER BY pct DESC, n_name""".stripMargin,
+    "a02_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "a03_table_counts" ->
+      """SELECT 'region' AS tbl, COUNT(*) AS n_rows FROM region
+        |UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        |UNION ALL SELECT 'customer', COUNT(*) FROM customer
+        |UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        |UNION ALL SELECT 'part', COUNT(*) FROM part
+        |UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        |ORDER BY tbl""".stripMargin,
+    "a07_dedup_keep_first" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
+        |WHERE rn = 1""".stripMargin,
+    "w01_window_group_avg" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | SUM(l_quantity) OVER (PARTITION BY l_orderkey)
+        |   / COUNT(*) OVER (PARTITION BY l_orderkey) AS avg_order_qty
+        |FROM lineitem""".stripMargin,
+    "w02_pivot_priority" ->
+      """SELECT o_orderstatus,
+        | COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+        | COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+        | COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+        | COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+        | COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "w03_surrogate_keys" ->
+      """SELECT c_custkey, c_name,
+        | CAST(ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS INTEGER) AS c_id
+        |FROM customer""".stripMargin,
+    "x01_string_ops" ->
+      """SELECT c_custkey,
+        | split_part(c_name, '#', 2) AS name_num,
+        | upper(c_mktsegment) AS seg_upper,
+        | lower(c_name) AS name_lower,
+        | substring(c_name, 1, 8) AS name_prefix,
+        | CAST(length(c_name) AS INTEGER) AS name_len,
+        | concat_ws('|', c_mktsegment, c_name) AS seg_name
+        |FROM customer""".stripMargin,
+    "x02_hemisphere_format" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_acctbal < 0
+        |   THEN CAST(CAST(ABS(c_acctbal) AS DECIMAL(12,2)) AS VARCHAR) || 'W'
+        |   ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) || 'E' END AS bal_fmt
+        |FROM customer""".stripMargin,
+    "x03_sas_date_decode" ->
+      """SELECT o_orderkey,
+        | strftime(DATE '1960-01-01' + CAST(o_orderkey % 20000 AS INTEGER), '%Y-%m-%d') AS sas_date
+        |FROM orders""".stripMargin,
+    "x05_date_part_counts" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | CAST(month(o_orderdate) AS INTEGER) AS o_month, COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s05_csv_roundtrip" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations, MAX(n_name) AS max_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "s10_static_values_join" ->
+      """SELECT r_regionkey, r_name, zone_name
+        |FROM region JOIN (VALUES (0,'ZONE-A'),(1,'ZONE-B'),(2,'ZONE-C'),(3,'ZONE-D'),(4,'ZONE-E'))
+        |  AS z(zone_key, zone_name) ON r_regionkey = zone_key
+        |ORDER BY r_regionkey""".stripMargin)
+}

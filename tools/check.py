@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+  (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+
+For each query parquet in outDir, runs the matching oracle SQL from
+oracle_sql.json in DuckDB (tables registered as views over the sfDir
+parquet files), then compares: columns sorted by name, rows sorted,
+values exact (floats compared exactly — our queries are designed to be
+bit-deterministic cross-engine).
+"""
+import sys, os, json, math
+import duckdb
+import pyarrow.parquet as pq
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return repr(v)
+    return str(v)
+
+def table_rows(tbl):
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    rows = sorted(tuple(norm(v) for v in row) for row in zip(*data)) if data else []
+    return cols, rows
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_noora = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d): continue
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        got = pq.read_table([os.path.join(d, f) for f in files])
+        if name not in oracles:
+            n_noora += 1
+            print(f"  ~ {name}: no oracle (rows={got.num_rows})")
+            continue
+        try:
+            exp = con.sql(oracles[name]).arrow()
+        except Exception as e:
+            n_fail += 1
+            print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
+            continue
+        gc, gr = table_rows(got)
+        ec, er = table_rows(exp)
+        if gc != ec:
+            n_fail += 1
+            print(f"  ✗ {name}: COLUMN MISMATCH got={gc} exp={ec}")
+        elif gr != er:
+            n_fail += 1
+            diff = [(a, b) for a, b in zip(gr, er) if a != b][:3]
+            extra = abs(len(gr) - len(er))
+            print(f"  ✗ {name}: ROW MISMATCH rows got={len(gr)} exp={len(er)} "
+                  f"first_diffs={diff} (+{extra} len diff)")
+        else:
+            n_pass += 1
+            print(f"  ✓ {name} ({got.num_rows} rows)")
+    print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noora}")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
