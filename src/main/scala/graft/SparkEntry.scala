@@ -17,7 +17,10 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (Relational.queries, Relational.oracles))
+      (Relational.queries, Relational.oracles),
+      (TextAnalysis.queries, TextAnalysis.oracles),
+      (VectorSearch.queries, VectorSearch.oracles),
+      (Events.queries, Events.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Batch analytics over the `events` table — the batch twins of the
+  * Structured Streaming pipelines in [[graft.streaming]].
+  *
+  * The events parquet stores `ts` as TIMESTAMP(NANOS) which Spark's
+  * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true`
+  * (set in Verify/Bench session builders) it arrives as exact integer
+  * nanoseconds — all gap/window arithmetic below is integer-exact and
+  * engine-independent. Derived instants are emitted as formatted strings
+  * (micros precision) to avoid parquet ns/us type skew vs the oracle.
+  *
+  * NOTE: ns→µs must use integer `div` — `/` on longs is double division
+  * in Spark and doubles cannot represent 1.7e18 exactly.
+  */
+object Events {
+
+  private val SessionGapUs = 1800L * 1000 * 1000 // 30 min
+
+  /** events with `ts_us`: exact integer microseconds (SQL `div`, not
+    * `/` — double division corrupts 1.7e18-scale nanos). */
+  private def eventsUs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+
+  // E: tumbling-window aggregation via Spark's `window()` operator
+  // (streaming twin: StreamingOps.hourlyCounts with a watermark).
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
+    eventsUs(spark, dir)
+      .withColumn("t", timestamp_micros(col("ts_us")))
+      .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  // E: sessionization — 30-minute inactivity gap, lag + running-sum
+  // session ids (streaming twin: StreamingOps.sessionize via
+  // flatMapGroupsWithState).
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gap = col("ts_us") - lag(col("ts_us"), 1).over(byUser)
+    val isNew = when(gap.isNull || gap > SessionGapUs, 1).otherwise(0)
+    eventsUs(spark, dir)
+      .withColumn("session_id",
+        sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(
+        col("user_id"), col("session_id"), col("n_events"),
+        date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("total_value"))
+  }
+
+  // E: top event types per user by count — groupBy + window rank
+  // (typical per-key top-k that must avoid a global sort at scale).
+  def topEventTypesPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_tumbling_hourly" -> (tumblingHourly _),
+    "e02_sessionize" -> (sessionize _),
+    "e03_top_types_per_user" -> (topEventTypesPerUser _))
+
+  val oracles: Map[String, String] = Map(
+    "e01_tumbling_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+        | event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e02_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events),
+        |y AS (SELECT *, CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+        |         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new FROM x),
+        |z AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM y)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | strftime(make_timestamp(MIN(tus)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | strftime(make_timestamp(MAX(tus)), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM z GROUP BY 1, 2""".stripMargin,
+    "e03_top_types_per_user" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT user_id, event_type, n,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS INTEGER) AS rk
+        |FROM c QUALIFY rk <= 2""".stripMargin)
+}

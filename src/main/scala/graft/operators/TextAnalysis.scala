@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-training-pipeline extension tier (SURVEY.md §7.4).
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` (codegen'd
+  * higher-order array functions) — no UDFs — so plans stay inside
+  * whole-stage codegen and push down column pruning to the parquet scan.
+  *
+  * Determinism contract with the DuckDB oracle: all scores are ratios of
+  * integer counts (exact in both engines); fingerprints are md5 hex.
+  */
+object TextAnalysis {
+
+  private val tokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+  /** Whitespace tokens of a text column. */
+  def wordsOf(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word n-gram shingles (n=3) — empty array below n words. */
+  def shingles3(c: Column): Column = {
+    val w = wordsOf(c)
+    array_distinct(
+      when(size(w) >= 3,
+        transform(sequence(lit(0), size(w) - 3), i =>
+          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+        .otherwise(array().cast(ArrayType(StringType))))
+  }
+
+  // T: token counting — whitespace tokens + a BPE-ish regex tokenizer.
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(
+      col("doc_id"),
+      size(wordsOf(col("text"))).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(tokenRegex), lit(0))).as("n_re_tokens"),
+      length(col("text")).as("len_chars"))
+  }
+
+  // T: quality scoring — length / punctuation / stopword ratios.
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val w = wordsOf(lower(col("text")))
+    val nTok = size(w)
+    val nStop = size(filter(w, x => x.isin(stopwords: _*)))
+    val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      (length(array_join(w, "")).cast(DoubleType) / nTok).as("avg_token_len"),
+      (nStop.cast(DoubleType) / nTok).as("stop_ratio"),
+      (nPunct.cast(DoubleType) / length(col("text"))).as("punct_ratio"),
+      (nTok >= 10 && nStop > 0).as("is_quality"))
+  }
+
+  // T: language ID — marker-stopword n-gram heuristic (argmax with fixed
+  // precedence; deterministic across engines).
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "y", "una", "como"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val w = wordsOf(lower(col("text")))
+    val scores = langMarkers.map { case (l, ms) =>
+      l -> size(filter(w, x => x.isin(ms: _*)))
+    }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val pred = when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+    docs.select(
+      col("doc_id"), col("lang"),
+      en.as("score_en"), de.as("score_de"), fr.as("score_fr"), es.as("score_es"),
+      pred.as("pred_lang"),
+      (pred === col("lang")).as("is_match"))
+  }
+
+  // T: document fingerprint — normalized-text content hash.
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs.select(col("doc_id"), md5(norm).as("fp"), length(norm).as("norm_len"))
+  }
+
+  // D: exact dedup — hash-groupBy on full text; canonical = min doc_id.
+  // Shuffles once on the 128-bit hash, never on the full text — at
+  // 100 TB group keys stay 32 bytes.
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  // D: n-gram Jaccard near-dup — brute-force exact Jaccard on word
+  // 3-shingles, blocked by `lang` (the oracle-checkable baseline; the
+  // scale path is MinHashLSH in graft.operators.MinHash).
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sh"))
+    val a = docs.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("lang"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    a.join(b, Seq("lang"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), inter.as("n_inter"),
+        (size(col("sh_a")) + size(col("sh_b")) - inter).as("n_union"))
+      .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union"))
+      .filter(col("jaccard") >= 0.05)
+  }
+
+  // S: multimodal binary-column plumbing — text bytes as an opaque
+  // binary payload with typed metadata (byte length, content hash,
+  // magic-prefix). The decode/feature step for real image/audio payloads
+  // is Multimodal.fakeDecodeFeatures (mapPartitions, stubbed decoder).
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val bin = encode(col("text"), "UTF-8")
+    docs.select(
+      col("doc_id"),
+      octet_length(bin).as("n_bytes"),
+      md5(col("text")).as("content_hash"), // same bytes as md5(bin); DuckDB 1.0 md5 is VARCHAR-only
+      substring(hex(bin), 1, 8).as("magic_hex")) // first-4-bytes magic; hex-then-slice (DuckDB blob substring unsupported)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_count" -> (tokenCount _),
+    "t02_quality_score" -> (qualityScore _),
+    "t03_lang_id" -> (langId _),
+    "t04_fingerprint" -> (fingerprint _),
+    "d01_dedup_exact" -> (dedupExact _),
+    "d02_ngram_jaccard" -> (ngramJaccard _),
+    "m01_binary_meta" -> (binaryMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_count" ->
+      s"""SELECT doc_id,
+         | CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
+         | CAST(len(regexp_extract_all(text, '$tokenRegex')) AS INTEGER) AS n_re_tokens,
+         | CAST(length(text) AS INTEGER) AS len_chars
+         |FROM documents""".stripMargin,
+    "t02_quality_score" ->
+      """WITH w AS (SELECT doc_id, text,
+        |   string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        | CAST(len(toks) AS INTEGER) AS n_tokens,
+        | CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS avg_token_len,
+        | CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        | CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        | (len(toks) >= 10 AND len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) > 0) AS is_quality
+        |FROM w""".stripMargin,
+    "t03_lang_id" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |   string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        | CAST(len(list_filter(toks, x -> x IN ('the','a','is','and','of'))) AS INTEGER) AS score_en,
+        | CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS INTEGER) AS score_de,
+        | CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS INTEGER) AS score_fr,
+        | CAST(len(list_filter(toks, x -> x IN ('el','los','y','una','como'))) AS INTEGER) AS score_es
+        |FROM w)
+        |SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+        | CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es AND score_en > 0 THEN 'en'
+        |      WHEN score_de >= score_fr AND score_de >= score_es AND score_de > 0 THEN 'de'
+        |      WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+        |      WHEN score_es > 0 THEN 'es'
+        |      ELSE 'und' END AS pred_lang,
+        | (CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es AND score_en > 0 THEN 'en'
+        |      WHEN score_de >= score_fr AND score_de >= score_es AND score_de > 0 THEN 'de'
+        |      WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+        |      WHEN score_es > 0 THEN 'es'
+        |      ELSE 'und' END) = lang AS is_match
+        |FROM s""".stripMargin,
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+        | CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS norm_len
+        |FROM documents""".stripMargin,
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d02_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |   string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+        |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_inter,
+        |   CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_union
+        | FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, n_inter, n_union,
+        |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
+        |FROM p WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.05""".stripMargin,
+    "m01_binary_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        | md5(text) AS content_hash,
+        | substring(hex(encode(text)), 1, 8) AS magic_hex
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  *
+  * Cross-engine determinism: float embeddings are quantized to integers
+  * (`round(x * 4096)` — exact because scaling by a power of two is exact
+  * in both float and double), so dot products and norms are exact integer
+  * arithmetic; the final cosine is a division of identical doubles in
+  * both engines — bit-identical, no tolerance needed.
+  *
+  * All array math uses codegen-friendly higher-order functions
+  * (`zip_with` + `aggregate`) — no UDFs.
+  *
+  * Scale path for 100 TB: the brute-force variants here are the
+  * correctness baseline; `CosineLsh` (random-hyperplane bucketing)
+  * bounds the candidate set so the shuffle is per-bucket rather than a
+  * full cross join.
+  */
+object VectorSearch {
+
+  /** Integer-quantized embedding: round(x * 4096) as long per element. */
+  def quantize(c: Column): Column =
+    transform(c, x => round(x.cast(DoubleType) * 4096).cast(LongType))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Squared L2 norm of a quantized vector (exact integer). */
+  def inorm2(a: Column): Column = idot(a, a)
+
+  /** Cosine similarity from quantized ints — deterministic double. */
+  def qcosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast(DoubleType) / (sqrt(n2a.cast(DoubleType)) * sqrt(n2b.cast(DoubleType)))
+
+  /** Brute-force cosine top-k: queries = vec_id < 10, k = 5.
+    * The query side is tiny → broadcast; the scan side streams once.
+    */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("n2", inorm2(col("qv")))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("n2").as("q_n2"))
+    val cand = broadcast(q).join(
+      emb.select(col("vec_id").as("neighbor_id"), col("qv").as("n_qv"), col("n2").as("n_n2")),
+      col("neighbor_id") =!= col("query_id"))
+    val sim = qcosine(idot(col("q_qv"), col("n_qv")), col("q_n2"), col("n_n2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (sim >= 0.4), brute force. */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("n2", inorm2(col("qv")))
+    val a = emb.select(col("vec_id").as("id_a"), col("qv").as("qv_a"), col("n2").as("n2_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("qv").as("qv_b"), col("n2").as("n2_b"))
+    val sim = qcosine(idot(col("qv_a"), col("qv_b")), col("n2_a"), col("n2_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), sim.as("sim"))
+      .filter(col("sim") >= 0.4)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v01_ann_bruteforce_topk" -> (annBruteForce _),
+    "d03_dedup_embedding" -> (dedupEmbedding _))
+
+  private val qexpr = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4096) AS BIGINT))"
+
+  val oracles: Map[String, String] = Map(
+    "v01_ann_bruteforce_topk" ->
+      s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv,
+         |   CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])) AS BIGINT) AS n2 FROM e),
+         |p AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |   CAST(CAST(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*d.qv[i])) AS BIGINT) AS DOUBLE)
+         |     / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(d.n2 AS DOUBLE))) AS sim
+         | FROM n q JOIN n d ON q.vec_id < 10 AND d.vec_id <> q.vec_id),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM p)
+         |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    "d03_dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv,
+         |   CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])) AS BIGINT) AS n2 FROM e)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |   CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS BIGINT) AS DOUBLE)
+         |     / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS BIGINT) AS DOUBLE)
+         |     / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4""".stripMargin)
+}
