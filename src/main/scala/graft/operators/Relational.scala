@@ -118,10 +118,12 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
   }
 
-  // Anti join (NOT EXISTS).
+  // Anti join (NOT EXISTS) — right side filtered to 'P' orders so the
+  // result is non-empty (an anti join against ALL orders matches nothing
+  // in this data and would verify the operator against the empty set).
   def antiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
-    val ord = Tables.load(spark, dir, "orders")
+    val ord = Tables.load(spark, dir, "orders").filter(col("o_orderstatus") === "P")
     cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
   }
@@ -198,15 +200,13 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
-  // W3: surrogate keys via row_number (reference IDENTITY(1,1)).
-  // NOTE: single-partition global sort is fine at verify scale; the
-  // scale path is Keys.scalableSurrogate (partition-offset zipWithIndex).
-  def surrogateKeys(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_name"), col("c_custkey"))
-    Tables.load(spark, dir, "customer")
-      .select(col("c_custkey"), col("c_name"))
-      .withColumn("c_id", row_number().over(w))
-  }
+  // W3: surrogate keys (reference IDENTITY(1,1)) via the partition-offset
+  // path in [[Keys.scalableSurrogate]] — same ids as a global
+  // row_number() window, with no single-partition stage in the plan.
+  def surrogateKeys(spark: SparkSession, dir: String): DataFrame =
+    Keys.scalableSurrogate(
+      Tables.load(spark, dir, "customer").select(col("c_custkey"), col("c_name")),
+      Seq(col("c_name"), col("c_custkey")), "c_id")
 
   // X1: string split / substring / case ops.
   def stringOps(spark: SparkSession, dir: String): DataFrame =
@@ -253,10 +253,30 @@ object Relational {
         year(col("l_shipdate")) === "1995")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
 
+  // F2/F5/F6: null-cleaning filters (reference dataprep.py:105-107,164,
+  // 221) — nulls are injected deterministically from the key, then
+  // cleaned with isNotNull, na.drop("any"), and an inequality filter.
+  def nullCleaning(spark: SparkSession, dir: String): DataFrame = {
+    val withNulls = Tables.load(spark, dir, "orders")
+      .withColumn("status2",
+        when(col("o_orderkey") % 7 === 0, lit(null).cast(StringType))
+          .otherwise(col("o_orderstatus")))
+      .withColumn("prio2",
+        when(col("o_orderkey") % 11 === 0, lit(null).cast(StringType))
+          .otherwise(col("o_orderpriority")))
+    withNulls
+      .filter(col("status2").isNotNull)       // F2/F6
+      .na.drop("any", Seq("prio2"))           // F5
+      .filter(col("status2") =!= "P")         // F3 inequality cleaning
+      .select(col("o_orderkey"), col("status2"), col("prio2"))
+  }
+
   // S5 (CSV sink) + S2 (CSV scan, explicit schema): round-trip through CSV
   // then aggregate — exercises both sides of the CSV path.
   def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = "/root/repo/target/tmp/graft_csv_roundtrip"
+    // per-input-dir unique path under the system temp dir — no repo
+    // absolute path, no cross-run collision on a shared machine
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip_${Integer.toHexString(dir.hashCode)}"
     val src = Tables.load(spark, dir, "nation")
     src.write.mode("overwrite").option("header", "true").csv(tmp)
     val schema = StructType(Seq(
@@ -287,6 +307,7 @@ object Relational {
     "q05_local_supplier_volume" -> (localSupplierVolume _),
     "q06_forecast_revenue" -> (forecastRevenue _),
     "f01_filter_project" -> (filterProject _),
+    "f05_null_cleaning" -> (nullCleaning _),
     "f07_conjunctive_filter" -> (conjunctiveFilter _),
     "j02_left_join_counts" -> (leftJoinOrderCounts _),
     "j07_semi_join" -> (semiJoinCustomers _),
@@ -353,6 +374,13 @@ object Relational {
     "f01_filter_project" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0""".stripMargin,
+    "f05_null_cleaning" ->
+      """WITH x AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS status2,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END AS prio2
+        | FROM orders)
+        |SELECT o_orderkey, status2, prio2 FROM x
+        |WHERE status2 IS NOT NULL AND prio2 IS NOT NULL AND status2 <> 'P'""".stripMargin,
     "f07_conjunctive_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
@@ -367,7 +395,8 @@ object Relational {
         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
     "j08_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
     "j06_broadcast_part_join" ->
       """SELECT p_brand, CAST(SUM(l_quantity) AS BIGINT) AS total_qty, COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey

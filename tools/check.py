@@ -35,10 +35,19 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    status_path = f"{out_dir}/_status.json"
+    status = json.load(open(status_path)) if os.path.exists(status_path) else {}
+    out_dirs = [n for n in sorted(os.listdir(out_dir))
+                if os.path.isdir(os.path.join(out_dir, n))]
     n_pass = n_fail = n_noora = 0
-    for name in sorted(os.listdir(out_dir)):
+    # every oracle key must have a fresh output dir — a query that threw
+    # in Verify (or never ran) is a FAIL, not a silent skip
+    for name in sorted(set(oracles) | set(out_dirs)):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d): continue
+        if not os.path.isdir(d):
+            n_fail += 1
+            print(f"  ✗ {name}: NO OUTPUT ({status.get(name, 'not run')})")
+            continue
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         got = pq.read_table([os.path.join(d, f) for f in files])
         if name not in oracles:
