@@ -20,6 +20,8 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (VectorSearch.queries, VectorSearch.oracles),
+      (MinHash.queries, MinHash.oracles),
+      (CosineLsh.queries, CosineLsh.oracles),
       (Events.queries, Events.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.LongArrayDot
+
+/** Random-hyperplane (SimHash) LSH for cosine similarity over the
+  * `embeddings` table — the bucketed scale path next to the brute-force
+  * baseline in [[VectorSearch.dedupEmbedding]].
+  *
+  * Plan shape: one pass computes a 16-bit hyperplane signature per
+  * vector (16 codegen'd [[LongArrayDot]] products against ±1 planes),
+  * the bits are packed into 4 band keys of 4 bits, vectors are
+  * equi-joined per band on the key (bucketed shuffle — no cross join
+  * anywhere), and exact cosine runs only on bucket-mates. At 100 TB the
+  * candidate set scales with Σ bucket², tunable via bits-per-band.
+  *
+  * Determinism contract: the planes are ±1 vectors derived from
+  * md5("plane_<p>_<i>") first-hex-char parity — a pure function both
+  * engines can agree on — and the DuckDB oracle replicates the ENTIRE
+  * LSH computation (same sign constants, same band keys, same exact
+  * cosine), so the gate verifies the bucketing itself, not just the
+  * final similarity math. Recall vs brute force is the documented LSH
+  * trade-off (measured in ScalaTest), NOT hidden by the oracle.
+  */
+object CosineLsh {
+
+  val NumPlanes = 16
+  val BitsPerBand = 4
+  val NumBands: Int = NumPlanes / BitsPerBand
+  val Dim = 64
+  val SimThreshold = 0.4
+
+  /** ±1 plane component from md5 first-hex-char ascii parity. */
+  private def planeSign(p: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane_${p}_$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (hex.charAt(0).toInt % 2 == 0) 1L else -1L
+  }
+
+  private[operators] def planeSigns(p: Int): Seq[Long] =
+    (0 until Dim).map(planeSign(p, _))
+
+  /** Packed 4-bit band keys k0..k{b-1} for a quantized vector column. */
+  private def bandKey(b: Int): Column =
+    (0 until BitsPerBand).map { j =>
+      val p = b * BitsPerBand + j
+      val bit = LongArrayDot.dot(col("qv"), typedlit(planeSigns(p))) >= 0
+      when(bit, lit(1 << (BitsPerBand - 1 - j))).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Near-dup pairs (sim ≥ 0.4) among same-bucket vectors. */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    LongArrayDot.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorSearch.quantize(col("embedding")).as("qv"))
+      .withColumn("n2", LongArrayDot.dot(col("qv"), col("qv")))
+    val withKeys = emb.select(
+      col("vec_id"), col("qv"), col("n2"),
+      explode(array((0 until NumBands).map(b =>
+        struct(lit(b).as("bi"), bandKey(b).as("k"))): _*)).as("band"))
+    val cand = withKeys.as("a").join(withKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val a = emb.select(col("vec_id").as("id_a"), col("qv").as("qv_a"), col("n2").as("n2_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("qv").as("qv_b"), col("n2").as("n2_b"))
+    val sim = VectorSearch.qcosine(
+      LongArrayDot.dot(col("qv_a"), col("qv_b")), col("n2_a"), col("n2_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"), sim.as("sim"))
+      .filter(col("sim") >= SimThreshold)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d05_cosine_lsh" -> (nearDupPairs _))
+
+  // ---- DuckDB oracle: full LSH replication with the same ±1 planes ----
+
+  private val qexpr =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4096) AS BIGINT))"
+
+  private def signsSql(p: Int): String =
+    planeSigns(p).mkString("[", ",", "]")
+
+  private def bitSql(p: Int): String =
+    s"list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * (${signsSql(p)})[i])) >= 0"
+
+  private def bandKeySql(b: Int): String =
+    (0 until BitsPerBand).map { j =>
+      val p = b * BitsPerBand + j
+      s"(CASE WHEN ${bitSql(p)} THEN ${1 << (BitsPerBand - 1 - j)} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val oracleSql: String = {
+    val keyCols = (0 until NumBands).map(b => s"${bandKeySql(b)} AS k$b").mkString(",\n   ")
+    val candUnion = (0 until NumBands).map(b =>
+      s"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM s a JOIN s b ON a.k$b = b.k$b AND a.vec_id < b.vec_id")
+      .mkString("\n UNION\n ")
+    val simExpr =
+      """CAST(CAST(list_sum(list_transform(range(1, len(x.qv)+1), i -> x.qv[i]*y.qv[i])) AS BIGINT) AS DOUBLE)
+        |     / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv,
+       |   CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])) AS BIGINT) AS n2 FROM e),
+       |s AS (SELECT vec_id,
+       |   $keyCols FROM n),
+       |c AS ($candUnion)
+       |SELECT c.id_a, c.id_b,
+       |  $simExpr AS sim
+       |FROM c JOIN n x ON x.vec_id = c.id_a JOIN n y ON y.vec_id = c.id_b
+       |WHERE $simExpr >= $SimThreshold""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map("d05_cosine_lsh" -> oracleSql)
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** MinHash + banded LSH near-duplicate detection over word 3-shingles —
+  * the 100 TB-scale path next to the exact inverted-index baseline in
+  * [[TextAnalysis.ngramJaccard]].
+  *
+  * Plan shape: explode distinct shingles → one 64-bit shingle hash per
+  * posting (xxhash64, shuffled as an 8-byte key, never the text) →
+  * per-doc MinHash signature as `numHashes` `min()` aggregates in ONE
+  * hash aggregate → explode `bands` band keys per doc → equi-join on
+  * (band, key pair) to generate candidates → exact Jaccard only on the
+  * candidate pairs. Work is O(Σ|shingles|) + O(candidates), vs O(n²) for
+  * all-pairs; every join is an equi-join Catalyst can hash-partition.
+  *
+  * Parameters (r=2 rows/band, b=18 bands): candidate probability
+  * 1-(1-s²)^18 — ≈1 for Jaccard ≥ 0.8 (miss ~1e-10 at s=0.85), 0.40 at
+  * the s=0.5 threshold boundary. The driver's corpus has no pairs in
+  * (0.15, 0.85), so the threshold-0.5 result is empirically identical to
+  * brute force — the DuckDB oracle IS the brute-force all-pairs query,
+  * so the gate verifies candidate recall, not just the Jaccard math.
+  */
+object MinHash {
+
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  val NumHashes = 36
+  val BandRows = 2
+  val NumBands: Int = NumHashes / BandRows
+
+  /** (a, b) coefficients for h_i(x) = (a·x + b) mod P — fixed seed so
+    * signatures are stable across runs/sessions.
+    */
+  private val coeffs: Seq[(Long, Long)] = {
+    val r = new scala.util.Random(42)
+    Seq.fill(NumHashes)((r.nextInt(Int.MaxValue - 2).toLong + 1L,
+      r.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** doc_id + minhash signature columns h0..h{n-1} from (doc_id, sh). */
+  def signatures(docs: DataFrame): DataFrame = {
+    val posts = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("hm", pmod(xxhash64(col("shingle")), lit(P)))
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("hm") * a + b, lit(P))).as(s"h$i")
+    }
+    posts.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Distinct candidate (id_a < id_b) pairs sharing at least one LSH
+    * band: explode per-doc band keys, equi-join on the banded signature.
+    */
+  def candidatePairs(docs: DataFrame): DataFrame = {
+    val bandCols = (0 until NumBands).map { bi =>
+      struct(lit(bi).as("bi"),
+        col(s"h${BandRows * bi}").as("k0"), col(s"h${BandRows * bi + 1}").as("k1"))
+    }
+    val banded = signatures(docs)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Near-dup pairs at Jaccard ≥ 0.5: LSH candidates, then exact Jaccard
+    * on candidates only. Output shape matches the d02 baseline.
+    */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.shingles3(col("text")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    val cand = candidatePairs(docs)
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"), inter.as("n_inter"),
+        (col("na") + col("nb") - inter).as("n_union"))
+      .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d04_minhash_lsh" -> (nearDupPairs _))
+
+  // Oracle = brute force: the gate checks LSH candidate RECALL at the
+  // 0.5 threshold, not only the Jaccard arithmetic.
+  val oracles: Map[String, String] = Map(
+    "d04_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |s AS (SELECT doc_id,
+        |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+        |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_inter,
+        |   CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_union
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |SELECT id_a, id_b, n_inter, n_union,
+        |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
+        |FROM p WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin)
+}

@@ -101,19 +101,31 @@ object TextAnalysis {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  // D: n-gram Jaccard near-dup — brute-force exact Jaccard on word
-  // 3-shingles, blocked by `lang` (the oracle-checkable baseline; the
-  // scale path is MinHashLSH in graft.operators.MinHash).
+  // D: n-gram Jaccard near-dup — EXACT result via an inverted-index
+  // co-occurrence join rather than an all-pairs product: explode each
+  // document's distinct shingles, equi-join postings on (shingle, lang)
+  // to count shared shingles per pair (|A∩B| = co-occurrence count since
+  // shingles are distinct per doc), then compute Jaccard from the carried
+  // set sizes. Same rows as the brute-force all-pairs formulation (pairs
+  // with intersection 0 can't reach any threshold > 0), but shuffle cost
+  // scales with Σ df² over shingles instead of n²·|shingles| — at 100 TB
+  // cap df on the postings (high-df shingles carry no near-dup signal).
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sh"))
-    val a = docs.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("lang"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    a.join(b, Seq("lang"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), inter.as("n_inter"),
-        (size(col("sh_a")) + size(col("sh_b")) - inter).as("n_union"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    val posts = docs.select(col("lang"), col("doc_id"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    posts.as("a").join(posts.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_inter"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"))
       .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union"))
       .filter(col("jaccard") >= 0.05)
   }

@@ -14,23 +14,24 @@ import graft.Tables
   * arithmetic; the final cosine is a division of identical doubles in
   * both engines — bit-identical, no tolerance needed.
   *
-  * All array math uses codegen-friendly higher-order functions
-  * (`zip_with` + `aggregate`) — no UDFs.
+  * All array math runs through the codegen'd
+  * [[graft.functions.LongArrayDot]] expression — no UDFs, no interpreted
+  * higher-order lambdas in the O(n²) hot path.
   *
   * Scale path for 100 TB: the brute-force variants here are the
-  * correctness baseline; `CosineLsh` (random-hyperplane bucketing)
+  * correctness baseline; [[CosineLsh]] (random-hyperplane bucketing)
   * bounds the candidate set so the shuffle is per-bucket rather than a
   * full cross join.
   */
 object VectorSearch {
+  import graft.functions.LongArrayDot
 
   /** Integer-quantized embedding: round(x * 4096) as long per element. */
   def quantize(c: Column): Column =
     transform(c, x => round(x.cast(DoubleType) * 4096).cast(LongType))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two quantized vectors (codegen'd). */
+  def idot(a: Column, b: Column): Column = LongArrayDot.dot(a, b)
 
   /** Squared L2 norm of a quantized vector (exact integer). */
   def inorm2(a: Column): Column = idot(a, a)
@@ -43,6 +44,7 @@ object VectorSearch {
     * The query side is tiny → broadcast; the scan side streams once.
     */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.LongArrayDot.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("n2", inorm2(col("qv")))
@@ -60,6 +62,7 @@ object VectorSearch {
 
   /** Embedding-cosine near-duplicate pairs (sim >= 0.4), brute force. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.LongArrayDot.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("n2", inorm2(col("qv")))
