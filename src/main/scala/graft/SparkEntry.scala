@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.pipeline.PipelineQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +23,8 @@ object SparkEntry {
       (VectorSearch.queries, VectorSearch.oracles),
       (MinHash.queries, MinHash.oracles),
       (CosineLsh.queries, CosineLsh.oracles),
-      (Events.queries, Events.oracles))
+      (Events.queries, Events.oracles),
+      (PipelineQueries.queries, PipelineQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

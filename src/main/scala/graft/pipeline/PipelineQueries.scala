@@ -1,0 +1,230 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract glue for the reference pipeline: one CORRECTNESS
+  * entry per staging table, per star table, the 10 validation counts,
+  * and README Q1-Q3. The `sfDir` argument is ignored — this tier runs
+  * over the reference's own fixture inputs (Schemas paths), which is the
+  * point: the engine executes the reference's actual workload.
+  *
+  * The DuckDB oracles rebuild the ENTIRE pipeline in SQL from the same
+  * raw CSVs (read_csv + CTEs), so every prep rule, join contract,
+  * surrogate-key assignment, and README query is independently
+  * cross-checked end to end.
+  */
+object PipelineQueries {
+
+  // ---------------------------------------------------------- Spark side
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_cities_prep" -> ((s: SparkSession, _: String) => CitiesPrep.staging(s)),
+    "p02_airports_prep" -> ((s: SparkSession, _: String) => AirportsPrep.staging(s)),
+    "p03_temps_prep" -> ((s: SparkSession, _: String) => TempsPrep.staging(s)),
+    "p04_travelers_prep" -> ((s: SparkSession, _: String) => TravelersPrep.staging(s)),
+    "p05_star_city" -> ((s: SparkSession, _: String) => StarSchema.build(s).city),
+    "p06_star_airports" -> ((s: SparkSession, _: String) => StarSchema.build(s).airports),
+    "p07_star_temperatures" -> ((s: SparkSession, _: String) => StarSchema.build(s).temperatures),
+    "p08_star_statistics" -> ((s: SparkSession, _: String) => StarSchema.build(s).statistics),
+    "p09_star_travelers" -> ((s: SparkSession, _: String) => StarSchema.build(s).travelers),
+    "p10_validation_counts" -> ((s: SparkSession, _: String) => Pipeline.validationCounts(s)),
+    "p11_q1" -> ((s: SparkSession, _: String) => Analytics.q1(StarSchema.build(s))),
+    "p12_q2" -> ((s: SparkSession, _: String) => Analytics.q2(StarSchema.build(s))),
+    "p13_q3" -> ((s: SparkSession, _: String) => Analytics.q3(StarSchema.build(s))))
+
+  // --------------------------------------------------- DuckDB oracle SQL
+
+  private def hemiSql(idx: Int, neg: String, pos: String): String = {
+    val v = s"ROUND(CAST(trim(string_split(coordinates, ',')[$idx]) AS DOUBLE), 2)"
+    s"CASE WHEN $v < 0 THEN CAST(ABS($v) AS VARCHAR) || '$neg' ELSE CAST($v AS VARCHAR) || '$pos' END"
+  }
+
+  private def raceMax(race: String): String =
+    s"""max(CASE WHEN "Race" = '$race' THEN "Count" END)"""
+
+  private val stCitiesSql: String = {
+    val raceCols = CitiesPrep.RaceCols.map { case (race, (cnt, per)) =>
+      s"""  ${raceMax(race)} AS $cnt,
+         |  ROUND(CAST(${raceMax(race)} AS DOUBLE) / min("Total Population"), 2) AS $per""".stripMargin
+    }.mkString(",\n")
+    val having = CitiesPrep.Races.map(r => s"${raceMax(r)} IS NOT NULL").mkString(" AND ")
+    s"""st_cities AS (
+       | SELECT "City" AS city,
+       |  min("Median Age") AS median_age,
+       |  min("Male Population") AS cnt_male,
+       |  min("Female Population") AS cnt_female,
+       |  min("Total Population") AS population,
+       |  min("Number of Veterans") AS cnt_veterans,
+       |  min("Foreign-born") AS cnt_foreign_born,
+       |  min("Average Household Size") AS avg_household,
+       |  min("State Code") AS state,
+       |$raceCols,
+       |  ROUND(CAST(min("Male Population") AS DOUBLE) / min("Total Population"), 2) AS per_male,
+       |  ROUND(CAST(min("Female Population") AS DOUBLE) / min("Total Population"), 2) AS per_female,
+       |  ROUND(CAST(min("Number of Veterans") AS DOUBLE) / min("Total Population"), 2) AS per_veterans,
+       |  ROUND(CAST(min("Foreign-born") AS DOUBLE) / min("Total Population"), 2) AS per_foreign_born
+       | FROM read_csv('${Schemas.citiesCsv}', delim=';', header=true)
+       | GROUP BY "City", "State"
+       | HAVING $having
+       |)""".stripMargin
+  }
+
+  private val stAirSql: String =
+    s"""st_air AS (
+       | SELECT iata_code, type, name, elevation_ft, municipality AS city,
+       |  ${hemiSql(1, "W", "E")} AS long,
+       |  ${hemiSql(2, "S", "N")} AS lat,
+       |  string_split(iso_region, '-')[2] AS state
+       | FROM read_csv('${Schemas.airportsCsv}', header=true)
+       | WHERE iata_code IS NOT NULL AND iata_code <> '0' AND iata_code <> '-'
+       |   AND iso_country = 'US'
+       |)""".stripMargin
+
+  private val stTempSql: String =
+    s"""st_temp AS (
+       | SELECT dt AS date,
+       |  ROUND(AverageTemperature, 2) AS avg_temp,
+       |  ROUND(AverageTemperatureUncertainty, 2) AS avg_temp_uncertainty,
+       |  City AS city, Latitude AS lat, Longitude AS long,
+       |  CAST(month(CAST(dt AS DATE)) AS INTEGER) AS month,
+       |  CAST(year(CAST(dt AS DATE)) AS INTEGER) AS year,
+       |  ROUND(AVG(AverageTemperature) OVER (PARTITION BY City, month(CAST(dt AS DATE))), 2) AS average_temp_month
+       | FROM read_csv('${Schemas.temperaturesCsv}', header=true, types={'dt': 'VARCHAR'})
+       | WHERE dt IS NOT NULL AND AverageTemperature IS NOT NULL
+       |   AND AverageTemperatureUncertainty IS NOT NULL AND City IS NOT NULL
+       |   AND Country IS NOT NULL AND Latitude IS NOT NULL AND Longitude IS NOT NULL
+       |   AND Country = 'United States'
+       |)""".stripMargin
+
+  private val i94Columns: String = Schemas.rawI94.fields.map { f =>
+    val t = f.dataType.typeName match {
+      case "long" => "BIGINT"
+      case "double" => "DOUBLE"
+      case _ => "VARCHAR"
+    }
+    s"'${f.name}': '$t'"
+  }.mkString("{", ", ", "}")
+
+  private val stTravSql: String = {
+    val sasDate = "DATE '1960-01-01' + CAST(arrdate AS INTEGER)"
+    s"""st_trav AS (
+       | SELECT i94port AS iata_code,
+       |  CAST(i94bir AS INTEGER) AS age,
+       |  CAST(i94visa AS INTEGER) AS visa,
+       |  gender,
+       |  CAST(biryear AS INTEGER) AS year_of_birth,
+       |  CAST(year($sasDate) AS INTEGER) AS arrival_year,
+       |  CAST(month($sasDate) AS INTEGER) AS arrival_month,
+       |  CAST(day($sasDate) AS INTEGER) AS arrival_day
+       | FROM read_csv('${Schemas.travelersCsv}', header=false, skip=1, columns=$i94Columns)
+       | WHERE i94port <> 'XXX' AND gender IS NOT NULL
+       |)""".stripMargin
+  }
+
+  private val starSql: String =
+    s"""city AS (
+       | SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_name, c_state_code) AS BIGINT) AS c_id,
+       |   c_name, c_state_code, c_lat, c_long
+       | FROM (SELECT city AS c_name, state AS c_state_code,
+       |        arg_min(lat, iata_code) AS c_lat, arg_min(long, iata_code) AS c_long
+       |       FROM st_air GROUP BY city, state) g
+       |),
+       |airports AS (
+       | SELECT CAST(ROW_NUMBER() OVER (ORDER BY sa.iata_code, sa.name) AS BIGINT) AS a_id,
+       |   c.c_id AS a_city_id, sa.iata_code AS a_iata_code, sa.type AS a_type,
+       |   sa.name AS a_name, sa.elevation_ft AS a_elevation_ft
+       | FROM st_air sa JOIN city c ON sa.city = c.c_name AND sa.state = c.c_state_code
+       |),
+       |temperatures AS (
+       | SELECT c.c_id AS t_city_id, st.date AS t_date, st.month AS t_month,
+       |   st.year AS t_year, st.avg_temp AS t_avg_temp,
+       |   st.avg_temp_uncertainty AS t_avg_temp_uncertainty,
+       |   st.average_temp_month AS t_average_temp_month
+       | FROM st_temp st JOIN city c ON st.city = c.c_name
+       |),
+       |statistics AS (
+       | SELECT c.c_id AS s_city_id, population AS s_population,
+       |   median_age AS s_median_age, avg_household AS s_avg_household,
+       |   cnt_male AS s_cnt_male, per_male AS s_per_male,
+       |   cnt_female AS s_cnt_female, per_female AS s_per_female,
+       |   cnt_veterans AS s_cnt_veterans, per_veterans AS s_per_veterans,
+       |   cnt_foreign_born AS s_cnt_foreign_born, per_foreign_born AS s_per_foreign_born,
+       |   cnt_white AS s_cnt_white, per_white AS s_per_white,
+       |   cnt_his_latino AS s_cnt_his_latino, per_his_latino AS s_per_his_latino,
+       |   cnt_asian AS s_cnt_asian, per_asian AS s_per_asian,
+       |   cnt_amer_ind_ak_native AS s_cnt_amer_ind_ak_native,
+       |   per_amer_ind_ak_native AS s_per_amer_ind_ak_native,
+       |   cnt_black AS s_cnt_black, per_black_afr_amer AS s_per_black_afr_amer
+       | FROM st_cities sc JOIN city c ON sc.city = c.c_name AND sc.state = c.c_state_code
+       |),
+       |visa_codes AS (
+       | SELECT * FROM (VALUES (1, 'Business'), (2, 'Pleasure'), (3, 'Student')) AS v(v_code, v_description)
+       |),
+       |travelers AS (
+       | SELECT a_id AS p_airport_id, age AS p_age, visa AS p_visa_code,
+       |   gender AS p_gender, year_of_birth AS p_year_of_birth,
+       |   arrival_year AS p_arrival_year, arrival_month AS p_arrival_month,
+       |   arrival_day AS p_arrival_day
+       | FROM st_trav st JOIN airports ON a_iata_code = st.iata_code
+       |)""".stripMargin
+
+  private val prelude: String =
+    s"WITH $stCitiesSql,\n$stAirSql,\n$stTempSql,\n$stTravSql,\n$starSql"
+
+  private def withPrelude(q: String): String = s"$prelude\n$q"
+
+  private val perCityCnt: String =
+    """SELECT c_id, count(*) AS cnt FROM travelers
+      | JOIN airports ON p_airport_id = a_id
+      | JOIN city ON a_city_id = c_id
+      | JOIN statistics ON s_city_id = c_id
+      | GROUP BY c_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "p01_cities_prep" -> withPrelude("SELECT * FROM st_cities"),
+    "p02_airports_prep" -> withPrelude("SELECT * FROM st_air"),
+    "p03_temps_prep" -> withPrelude("SELECT * FROM st_temp"),
+    "p04_travelers_prep" -> withPrelude("SELECT * FROM st_trav"),
+    "p05_star_city" -> withPrelude("SELECT * FROM city"),
+    "p06_star_airports" -> withPrelude("SELECT * FROM airports"),
+    "p07_star_temperatures" -> withPrelude("SELECT * FROM temperatures"),
+    "p08_star_statistics" -> withPrelude("SELECT * FROM statistics"),
+    "p09_star_travelers" -> withPrelude("SELECT * FROM travelers"),
+    "p10_validation_counts" -> withPrelude(
+      """SELECT 'staging_airports' AS tbl, COUNT(*) AS n_rows FROM st_air
+        |UNION ALL SELECT 'staging_cities', COUNT(*) FROM st_cities
+        |UNION ALL SELECT 'staging_temperatures', COUNT(*) FROM st_temp
+        |UNION ALL SELECT 'staging_travelers', COUNT(*) FROM st_trav
+        |UNION ALL SELECT 'visa_codes', COUNT(*) FROM visa_codes
+        |UNION ALL SELECT 'city', COUNT(*) FROM city
+        |UNION ALL SELECT 'airports', COUNT(*) FROM airports
+        |UNION ALL SELECT 'temperatures', COUNT(*) FROM temperatures
+        |UNION ALL SELECT 'statistics', COUNT(*) FROM statistics
+        |UNION ALL SELECT 'travelers', COUNT(*) FROM travelers
+        |ORDER BY tbl""".stripMargin),
+    "p11_q1" -> withPrelude(
+      """SELECT avg_age, s_median_age, c_name, c_state_code FROM
+        | (SELECT avg(p_age) AS avg_age, a_city_id AS age_city_id FROM travelers
+        |  JOIN airports ON p_airport_id = a_id
+        |  JOIN city ON a_city_id = c_id
+        |  GROUP BY a_city_id) AS averages
+        | JOIN city ON c_id = age_city_id
+        | JOIN statistics ON s_city_id = c_id
+        |ORDER BY s_median_age DESC""".stripMargin),
+    "p12_q2" -> withPrelude(
+      s"""SELECT c_name, c_state_code, s_per_foreign_born, cnt FROM statistics JOIN (
+         |$perCityCnt) AS t
+         |ON t.c_id = s_city_id
+         |JOIN city AS c ON s_city_id = c.c_id
+         |ORDER BY s_per_foreign_born DESC""".stripMargin),
+    "p13_q3" -> withPrelude(
+      s"""SELECT c_name, c_state_code, t_average_temp_month, cnt,
+         |  ROUND(100 * (CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 2) AS percent_of_total_travelers
+         |FROM temperatures
+         |JOIN ($perCityCnt) AS t ON t.c_id = t_city_id
+         |JOIN city AS c ON t_city_id = c.c_id
+         |CROSS JOIN (SELECT count(*) AS total FROM travelers)
+         |WHERE t_year = '2013' AND t_month = '4'
+         |ORDER BY percent_of_total_travelers DESC""".stripMargin))
+}
