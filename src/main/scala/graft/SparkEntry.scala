@@ -23,6 +23,7 @@ object SparkEntry {
       (VectorSearch.queries, VectorSearch.oracles),
       (MinHash.queries, MinHash.oracles),
       (CosineLsh.queries, CosineLsh.oracles),
+      (Multimodal.queries, Multimodal.oracles),
       (Events.queries, Events.oracles),
       (PipelineQueries.queries, PipelineQueries.oracles))
 

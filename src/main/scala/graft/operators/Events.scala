@@ -7,7 +7,9 @@ import org.apache.spark.sql.types._
 import graft.Tables
 
 /** Batch analytics over the `events` table — the batch twins of the
-  * Structured Streaming pipelines in [[graft.streaming]].
+  * Structured Streaming pipelines in [[graft.streaming.StreamingOps]]
+  * (e04 below runs the actual streaming plan and is held to the same
+  * oracle as its batch twin e01).
   *
   * The events parquet stores `ts` as TIMESTAMP(NANOS) which Spark's
   * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true`
@@ -29,7 +31,7 @@ object Events {
     Tables.load(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
 
   // E: tumbling-window aggregation via Spark's `window()` operator
-  // (streaming twin: StreamingOps.hourlyCounts with a watermark).
+  // (streaming twin: e04 runs StreamingOps.hourlyCounts as a stream).
   def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
     eventsUs(spark, dir)
       .withColumn("t", timestamp_micros(col("ts_us")))
@@ -43,8 +45,8 @@ object Events {
       .orderBy(col("hour_start"), col("event_type"))
 
   // E: sessionization — 30-minute inactivity gap, lag + running-sum
-  // session ids (streaming twin: StreamingOps.sessionize via
-  // flatMapGroupsWithState).
+  // session ids (streaming twin: [[graft.streaming.StreamingOps
+  // .sessionize]] via flatMapGroupsWithState, exercised in ScalaTest).
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val gap = col("ts_us") - lag(col("ts_us"), 1).over(byUser)
@@ -75,10 +77,50 @@ object Events {
     counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
   }
 
+  // E: the REAL Structured Streaming path — readStream over the events
+  // parquet, StreamingOps.hourlyCounts plan, Trigger.AvailableNow into a
+  // memory sink (complete mode: no watermark eviction on replay, so the
+  // result equals the batch twin and shares e01's oracle shape).
+  def streamHourly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = Tables.path(dir, "events")
+    val schema = spark.read.parquet(path).schema
+    // the file stream source wants a directory basePath; the testdata
+    // table is a single parquet file, so glob it under its parent dir
+    val stream = spark.readStream.schema(schema)
+      .option("basePath", dir).parquet(s"$path*")
+    val out = graft.streaming.StreamingOps.hourlyCounts(stream)
+    val sinkName = s"e04_mem_${Integer.toHexString(dir.hashCode)}"
+    val q = out.writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  // E: built-in session windows (gap-merged event-time sessions) — the
+  // declarative alternative to e02's lag/running-sum formulation. Note
+  // the boundary difference: session_window starts a NEW session when
+  // the gap is >= 30 min (window end = last + gap), e02 when > 30 min.
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    eventsUs(spark, dir)
+      .withColumn("t", timestamp_micros(col("ts_us")))
+      .groupBy(col("user_id"), session_window(col("t"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"), col("total_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_tumbling_hourly" -> (tumblingHourly _),
     "e02_sessionize" -> (sessionize _),
-    "e03_top_types_per_user" -> (topEventTypesPerUser _))
+    "e03_top_types_per_user" -> (topEventTypesPerUser _),
+    "e04_stream_hourly" -> (streamHourly _),
+    "e05_session_window" -> (sessionWindows _))
 
   val oracles: Map[String, String] = Map(
     "e01_tumbling_hourly" ->
@@ -102,5 +144,26 @@ object Events {
       """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
         |SELECT user_id, event_type, n,
         | CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS INTEGER) AS rk
-        |FROM c QUALIFY rk <= 2""".stripMargin)
+        |FROM c QUALIFY rk <= 2""".stripMargin,
+    // the streaming twin is held to the same result as batch e01
+    "e04_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+        | event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // session_window boundary: NEW session when gap >= 30 min;
+    // window end = last event + gap
+    "e05_session_window" ->
+      """WITH x AS (SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events),
+        |y AS (SELECT *, CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+        |         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) >= 1800000000
+        |       THEN 1 ELSE 0 END AS is_new FROM x),
+        |z AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS sid FROM y)
+        |SELECT user_id,
+        | strftime(make_timestamp(MIN(tus)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | strftime(make_timestamp(MAX(tus) + 1800000000), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM z GROUP BY user_id, sid""".stripMargin)
 }

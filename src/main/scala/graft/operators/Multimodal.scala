@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: media payloads ride through the engine as
+  * opaque `binary` columns with typed metadata; decode / feature-extract
+  * runs as per-partition batch code over those bytes (the shape a real
+  * image/audio decoder needs — one native handle per partition, bytes
+  * in, typed feature rows out).
+  *
+  * STUB DECODER: this container has no image/audio libraries, so
+  * [[fakeDecodeFeatures]] derives deterministic pseudo-features
+  * (dimensions, channel count, frame count) from the md5 hex of the
+  * payload instead of decoding it. The Spark-side plumbing — binary
+  * column in, mapPartitions with per-partition decoder init, case-class
+  * Encoder out — is real, and the fake is pure so the DuckDB oracle
+  * cross-checks the full path.
+  */
+object Multimodal {
+
+  /** Typed feature row a real decoder would emit. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int,
+                           height: Int, n_channels: Int, n_frames: Int)
+
+  /** Per-partition "decode": md5-derived pseudo-features. A production
+    * build swaps the body of `decode` for the real library call — the
+    * partition-level structure (one decoder instance per partition,
+    * streaming iterator, no per-row init) stays identical.
+    */
+  def fakeDecodeFeatures(docs: DataFrame): Dataset[MediaFeatures] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init (the real-decoder handle analogue)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+          md.reset()
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          def a(i: Int): Int = hex.charAt(i).toInt // ascii of hex char
+          MediaFeatures(
+            doc_id = id,
+            n_bytes = bytes.length,
+            width = 16 + (a(0) % 16) * 8,
+            height = 16 + (a(1) % 16) * 8,
+            n_channels = 1 + a(2) % 3,
+            n_frames = 1 + a(3) % 8)
+        }
+        it.map { case (id, bytes) => decode(id, bytes) }
+      }
+  }
+
+  def decodeQuery(spark: SparkSession, dir: String): DataFrame =
+    fakeDecodeFeatures(Tables.load(spark, dir, "documents")).toDF()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m02_fake_decode" -> (decodeQuery _))
+
+  val oracles: Map[String, String] = Map(
+    "m02_fake_decode" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        | CAST(16 + (ascii(substr(md5(text), 1, 1)) % 16) * 8 AS INTEGER) AS width,
+        | CAST(16 + (ascii(substr(md5(text), 2, 1)) % 16) * 8 AS INTEGER) AS height,
+        | CAST(1 + ascii(substr(md5(text), 3, 1)) % 3 AS INTEGER) AS n_channels,
+        | CAST(1 + ascii(substr(md5(text), 4, 1)) % 8 AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin)
+}

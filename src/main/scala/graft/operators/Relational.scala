@@ -289,6 +289,52 @@ object Relational {
       .orderBy(col("n_regionkey"))
   }
 
+  // S8/S9: catalog DDL + table sinks (reference create_tables.py:6-28 +
+  // sql_queries.py:149-152) — DROP/CREATE TABLE in the session catalog,
+  // saveAsTable staging, INSERT INTO … SELECT materialization, then a
+  // query over the re-read final table.
+  def catalogRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val db = "graft_wh"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_wh_${Integer.toHexString(dir.hashCode)}"
+    // the session catalog is in-memory: a fresh session won't know about
+    // files a previous process left at the location — wipe them so the
+    // managed-table CREATE below is reproducible
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    rmTree(new java.io.File(loc))
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    spark.sql(s"DROP TABLE IF EXISTS $db.nation_stage")
+    Tables.load(spark, dir, "nation").write.saveAsTable(s"$db.nation_stage")
+    spark.sql(s"DROP TABLE IF EXISTS $db.nation_final")
+    spark.sql(
+      s"CREATE TABLE $db.nation_final (n_regionkey INT, n_name STRING) USING parquet")
+    spark.sql(
+      s"INSERT INTO $db.nation_final SELECT n_regionkey, n_name FROM $db.nation_stage")
+    spark.table(s"$db.nation_final")
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("min_name"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  // Partitioned write + partition-pruned scan (the reference's own scale
+  // wish, README.md:23,156): orders written partitioned by year, read
+  // back with a partition filter — `.explain` shows PartitionFilters
+  // with only the matching directory scanned.
+  def partitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_orders_byyear_${Integer.toHexString(dir.hashCode)}"
+    Tables.load(spark, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("o_year") === 1995)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // S10: static VALUES row source joined against a table.
   def staticValuesJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -325,7 +371,9 @@ object Relational {
     "x03_sas_date_decode" -> (sasDateDecode _),
     "x05_date_part_counts" -> (datePartCounts _),
     "s05_csv_roundtrip" -> (csvRoundTrip _),
-    "s10_static_values_join" -> (staticValuesJoin _))
+    "s08_catalog_roundtrip" -> (catalogRoundTrip _),
+    "s10_static_values_join" -> (staticValuesJoin _),
+    "s11_partitioned_scan" -> (partitionedScan _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -468,6 +516,13 @@ object Relational {
     "s05_csv_roundtrip" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations, MAX(n_name) AS max_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "s08_catalog_roundtrip" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS min_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "s11_partitioned_scan" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+        |WHERE year(o_orderdate) = 1995
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "s10_static_values_join" ->
       """SELECT r_regionkey, r_name, zone_name
         |FROM region JOIN (VALUES (0,'ZONE-A'),(1,'ZONE-B'),(2,'ZONE-C'),(3,'ZONE-D'),(4,'ZONE-E'))

@@ -132,8 +132,8 @@ object TextAnalysis {
 
   // S: multimodal binary-column plumbing — text bytes as an opaque
   // binary payload with typed metadata (byte length, content hash,
-  // magic-prefix). The decode/feature step for real image/audio payloads
-  // is Multimodal.fakeDecodeFeatures (mapPartitions, stubbed decoder).
+  // magic-prefix). The per-partition decode/feature step is
+  // [[Multimodal.fakeDecodeFeatures]] (m02).
   def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val bin = encode(col("text"), "UTF-8")

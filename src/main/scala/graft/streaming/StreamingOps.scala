@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event pipelines in
+  * [[graft.operators.Events]]. Each transform takes a (possibly
+  * streaming) events frame with the raw `ts` nanos column and returns a
+  * plan valid under `writeStream`.
+  *
+  * State design at scale: hourly counts keep one row of state per
+  * (window, event_type) bounded by the watermark; sessionization state
+  * is one [[SessionState]] per active user key, closed and emitted via
+  * the event-time timeout so idle users don't accumulate.
+  */
+object StreamingOps {
+
+  /** Event time (micros precision) from integer nanos — `div`, not
+    * double division (see Events scaladoc).
+    */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("t", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour counts with a watermark — streaming twin of
+    * e01_tumbling_hourly; identical output columns so the same oracle
+    * applies when run with Trigger.AvailableNow + complete mode.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("t", watermark)
+      .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Per-user session aggregate emitted when a session closes. */
+  case class SessionOut(user_id: Long, n_events: Long, start_us: Long,
+                        end_us: Long, total_cents: Long)
+
+  /** Running state for one user's open session. `total_cents` keeps the
+    * sum exact (value quantized at 2 decimals) — double accumulation
+    * across micro-batches would drift order-dependently.
+    */
+  case class SessionState(n: Long, startUs: Long, endUs: Long, cents: Long)
+
+  private val GapUs = 1800L * 1000 * 1000 // 30 min
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * streaming twin of e02_sessionize (30-minute inactivity gap).
+    * Events are (user_id, ts_us, value_cents); sessions close when a
+    * later event arrives past the gap, or on event-time timeout.
+    */
+  def sessionize(events: Dataset[(Long, Long, Long)]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.n, s.startUs, s.endUs, s.cents))
+          } else {
+            // within a micro-batch, order by event time for gap logic
+            val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { case (_, tsUs, cents) =>
+              cur match {
+                case Some(s) if tsUs - s.endUs <= GapUs =>
+                  cur = Some(SessionState(s.n + 1, s.startUs, tsUs, s.cents + cents))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.n, s.startUs, s.endUs, s.cents)
+                  cur = Some(SessionState(1L, tsUs, tsUs, cents))
+                case None =>
+                  cur = Some(SessionState(1L, tsUs, tsUs, cents))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the session once the watermark passes end + gap
+              state.setTimeoutTimestamp((s.endUs + GapUs) / 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
