@@ -52,15 +52,21 @@ object StreamingOps {
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * streaming twin of e02_sessionize (30-minute inactivity gap).
-    * Events are (user_id, ts_us, value_cents); sessions close when a
-    * later event arrives past the gap, or on event-time timeout.
+    * Input must carry columns (user_id, ts_us, cents, t) where `t` is
+    * the WATERMARKED event-time column (the analyzer requires the
+    * event-time attribute to survive into the stateful operator for
+    * event-time timeouts). Sessions close when a later event arrives
+    * past the gap, or on event-time timeout.
     */
-  def sessionize(events: Dataset[(Long, Long, Long)]): Dataset[SessionOut] = {
+  def sessionize(events: DataFrame): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_._1)
+    events.select(col("user_id"), col("ts_us"), col("cents"), col("t"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[SessionState]) =>
+        (user: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
@@ -70,7 +76,7 @@ object StreamingOps {
             val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
             var closed = List.empty[SessionOut]
             var cur = state.getOption
-            sorted.foreach { case (_, tsUs, cents) =>
+            sorted.foreach { case (_, tsUs, cents, _) =>
               cur match {
                 case Some(s) if tsUs - s.endUs <= GapUs =>
                   cur = Some(SessionState(s.n + 1, s.startUs, tsUs, s.cents + cents))

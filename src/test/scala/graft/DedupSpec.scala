@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{MinHash, TextAnalysis}
+
+/** Near-dup dedup: the inverted-index exact path must equal the naive
+  * all-pairs formulation, and the MinHash LSH path must achieve full
+  * recall on this corpus (its gap between ~0.15 and ~0.85 Jaccard means
+  * banded 2×18 LSH misses nothing at the 0.5 threshold).
+  */
+class DedupSpec extends SparkSpec {
+
+  /** The original brute-force all-pairs formulation (kept here as the
+    * test oracle for the optimized operator).
+    */
+  private def bruteForce(threshold: Double, byLang: Boolean): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), TextAnalysis.shingles3(col("text")).as("sh"))
+    val a = docs.select(col("lang").as("lang_a"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val cond = if (byLang) col("lang_a") === col("lang_b") && col("id_a") < col("id_b")
+               else col("id_a") < col("id_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    a.join(b, cond)
+      .select(col("id_a"), col("id_b"), inter.cast(IntegerType).as("n_inter"),
+        (size(col("sh_a")) + size(col("sh_b")) - inter).as("n_union"))
+      .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  test("d02 inverted-index Jaccard equals all-pairs brute force") {
+    val fast = TextAnalysis.ngramJaccard(spark, sfDir)
+      .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+    assertSameRows(fast, bruteForce(0.05, byLang = true)
+      .select("id_a", "id_b", "n_inter", "n_union", "jaccard"))
+  }
+
+  test("d04 MinHash LSH has full recall at threshold 0.5 on this corpus") {
+    val lsh = MinHash.nearDupPairs(spark, sfDir)
+      .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+    assertSameRows(lsh, bruteForce(0.5, byLang = false)
+      .select("id_a", "id_b", "n_inter", "n_union", "jaccard"))
+  }
+
+  test("minhash signatures collide for identical shingle sets") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), TextAnalysis.shingles3(col("text")).as("sh"))
+      .withColumn("n_sh", size(col("sh"))).filter(col("n_sh") > 0)
+    val sigs = MinHash.signatures(docs)
+    // exact duplicates (same text -> same shingles) must share ALL minhashes
+    val dups = Tables.load(spark, sfDir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(explode(col("ids")).as("doc_id"), col("h"))
+    val sigCols = (0 until MinHash.NumHashes).map(i => col(s"h$i"))
+    val grouped = sigs.join(dups, "doc_id")
+      .groupBy(col("h"))
+      .agg(countDistinct(struct(sigCols: _*)).as("n_sigs"))
+    assert(grouped.filter(col("n_sigs") > 1).count() == 0)
+  }
+}

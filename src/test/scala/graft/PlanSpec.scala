@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.operators.Relational
+
+/** Physical-plan assertions: the scale behaviors (pruning, pushdown,
+  * broadcast) must actually appear in the executed plans, not just in
+  * comments.
+  */
+class PlanSpec extends SparkSpec {
+
+  /** All parquet scans, recursing through AQE wrappers/query stages. */
+  private def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+    case f: FileSourceScanExec => Seq(f)
+    case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+  }.flatten
+
+  private def firstScan(df: DataFrame): FileSourceScanExec =
+    allScans(df.queryExecution.executedPlan).head
+
+  test("partitioned scan prunes to the matching o_year directory") {
+    val df = Relational.partitionedScan(spark, sfDir)
+    df.collect() // force the write + read
+    val scan = firstScan(df)
+    val parts = scan.metadata.getOrElse("PartitionFilters", "")
+    assert(parts.contains("o_year"), s"no partition filter: $parts")
+    // pruned result equals a source-level year filter
+    val expected = Tables.load(spark, sfDir, "orders")
+      .filter(year(col("o_orderdate")) === 1995).count()
+    assert(df.agg(sum(col("n_orders"))).head().getLong(0) == expected)
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val df = Relational.filterProject(spark, sfDir)
+    val scan = firstScan(df)
+    assert(scan.metadata("PushedFilters").contains("IsNotNull(o_orderstatus)"))
+    val read = scan.metadata("ReadSchema")
+    assert(!read.contains("o_orderdate") && !read.contains("o_orderpriority"),
+      s"scan reads pruned columns: $read")
+  }
+
+  test("small dims are broadcast in the star join (q05)") {
+    val plan = Relational.localSupplierVolume(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("d02 plan contains no cartesian/nested-loop join") {
+    val plan = graft.operators.TextAnalysis.ngramJaccard(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("d04/d05 candidate generation is equi-join only") {
+    for (df <- Seq(
+        graft.operators.MinHash.nearDupPairs(spark, sfDir),
+        graft.operators.CosineLsh.nearDupPairs(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
+  test("LongArrayDot participates in whole-stage codegen") {
+    // quantize (an interpreted higher-order transform) must sit in a
+    // SEPARATE projection; over materialized arrays — the hot post-join
+    // shape in d03/d05 — the dot product codegens
+    graft.functions.LongArrayDot.register(spark)
+    val df = spark.range(10)
+      .select(array(col("id"), col("id") + 1).as("a"),
+        array(col("id") * 2, lit(3L)).as("b"))
+      .select(col("a"), col("b"),
+        graft.functions.LongArrayDot.dot(col("a"), col("b")).as("d"))
+    // "*(n)" marks operators inside WholeStageCodegen stage n
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.linesIterator.next().startsWith("*("), plan)
+    // id=2: [2,3]·[4,3] = 17
+    assert(df.filter(col("d") === 17L).count() == 1)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.pipeline.AirportsPrep
+
+/** Property tests (SURVEY §5.2 item 4) for the scalar rules that carry
+  * the trickiest semantics: hemisphere sign formatting and the SAS epoch
+  * decode, driven through real Spark plans on generated inputs.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+
+  test("hemisphere format: sign encodes into suffix, magnitude round-trips") {
+    import spark.implicits._
+    val coords = Gen.listOfN(50, Gen.chooseNum(-17999, 17999)).sample.get
+      .map(_ / 100.0)
+    val df = coords.toDF("x")
+      .select(col("x"), AirportsPrep.hemisphere(round(col("x"), 2), "W", "E").as("fmt"))
+    df.collect().foreach { r =>
+      val (x, fmt) = (r.getDouble(0), r.getString(1))
+      assert(fmt.endsWith(if (x < 0) "W" else "E"), s"$x -> $fmt")
+      assert(math.abs(fmt.dropRight(1).toDouble - math.abs(x)) < 0.005 + 1e-9, s"$x -> $fmt")
+    }
+  }
+
+  test("SAS date decode: days offset round-trips via datediff") {
+    import spark.implicits._
+    val days = Gen.listOfN(50, Gen.chooseNum(0, 40000)).sample.get
+    val df = days.toDF("d").select(col("d"),
+      date_add(to_date(lit("1960-01-01")), col("d")).as("dt"))
+    val back = df.select(col("d"),
+      datediff(col("dt"), to_date(lit("1960-01-01"))).as("d2"))
+    assert(back.filter(col("d") =!= col("d2")).count() == 0)
+  }
+
+  test("quantized cosine is symmetric and bounded") {
+    import spark.implicits._
+    import graft.operators.VectorSearch
+    graft.functions.LongArrayDot.register(spark)
+    val vecs = Gen.listOfN(20, Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 100.0f)))
+      .sample.get.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+    val df = vecs.toDF("id", "v")
+      .select(col("id"), VectorSearch.quantize(col("v")).as("qv"))
+      .withColumn("n2", VectorSearch.inorm2(col("qv")))
+      .filter(col("n2") > 0)
+    val a = df.select(col("id").as("ia"), col("qv").as("qa"), col("n2").as("na"))
+    val b = df.select(col("id").as("ib"), col("qv").as("qb"), col("n2").as("nb"))
+    val sims = a.crossJoin(b)
+      .select(col("ia"), col("ib"),
+        VectorSearch.qcosine(VectorSearch.idot(col("qa"), col("qb")), col("na"), col("nb")).as("s"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    sims.foreach { case ((i, j), s) =>
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+      assert(s == sims((j, i)), s"asymmetry at ($i,$j)")
+      if (i == j) assert(math.abs(s - 1.0) < 1e-12)
+    }
+  }
+}

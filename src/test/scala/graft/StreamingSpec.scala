@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+/** Stateful streaming semantics under controlled micro-batches: the
+  * flatMapGroupsWithState sessionizer must close sessions both on a
+  * later event past the gap and on event-time timeout, and must match
+  * the batch gap-sessionization on the same data.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val Min = 60L * 1000 * 1000 // one minute in micros
+
+  test("sessionize closes on gap and on event-time timeout") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val input = MemoryStream[(Long, Long, Long)]
+    val withTs = input.toDF().toDF("user_id", "ts_us", "cents")
+      .withColumn("t", timestamp_micros(col("ts_us")))
+      .withWatermark("t", "0 seconds")
+    val q = StreamingOps.sessionize(withTs).writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // base offset: an event at exactly the initial watermark (epoch 0)
+      // would be dropped as late
+      val B = 10000 * Min
+      // batch 1: user 1, two events 10 min apart -> one open session
+      input.addData((1L, B, 100L), (1L, B + 10 * Min, 50L))
+      q.processAllAvailable()
+      // batch 2: user 1 again 60 min later -> gap closes session A
+      input.addData((1L, B + 70 * Min, 25L))
+      q.processAllAvailable()
+      // batch 3+4: unrelated users far in the future advance the
+      // watermark past session B's (end + gap) -> event-time timeout
+      input.addData((2L, B + 500 * Min, 1L))
+      q.processAllAvailable()
+      input.addData((3L, B + 1000 * Min, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user_id", "n_events", "start_us", "end_us", "total_cents")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(rows.contains((1L, 2L, B, B + 10 * Min, 150L)), s"session A missing: $rows")
+      assert(rows.contains((1L, 1L, B + 70 * Min, B + 70 * Min, 25L)), s"session B missing: $rows")
+    } finally q.stop()
+  }
+
+  test("streaming hourly counts equal the batch twin") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = Tables.path(sfDir, "events")
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("basePath", sfDir).parquet(s"$path*")
+    val q = StreamingOps.hourlyCounts(stream).writeStream
+      .format("memory").queryName("hourly_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batch = graft.operators.Events.tumblingHourly(spark, sfDir)
+    assertSameRows(spark.table("hourly_out"), batch)
+  }
+}

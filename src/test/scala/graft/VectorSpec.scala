@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.LongArrayDot
+import graft.operators.{CosineLsh, VectorSearch}
+
+class VectorSpec extends SparkSpec {
+
+  test("LongArrayDot equals the interpreted higher-order formulation") {
+    LongArrayDot.register(spark)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), VectorSearch.quantize(col("embedding")).as("qv"))
+    val interpreted = aggregate(
+      zip_with(col("qv"), col("qv"), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val diff = emb.select(
+        (LongArrayDot.dot(col("qv"), col("qv")) - interpreted).as("d"))
+      .filter(col("d") =!= 0L)
+    assert(diff.count() == 0)
+  }
+
+  test("LongArrayDot null semantics: null array -> null result") {
+    LongArrayDot.register(spark)
+    val df = spark.sql(
+      "SELECT long_array_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L, 2L)) AS d")
+    assert(df.collect().head.isNullAt(0))
+  }
+
+  test("d05 cosine-LSH pairs are a subset of brute force with identical sims") {
+    val lsh = CosineLsh.nearDupPairs(spark, sfDir)
+    val brute = VectorSearch.dedupEmbedding(spark, sfDir)
+    // anti-join: every LSH pair must appear in brute force with equal sim
+    val missing = lsh.as("l").join(brute.as("b"),
+      col("l.id_a") === col("b.id_a") && col("l.id_b") === col("b.id_b") &&
+        col("l.sim") === col("b.sim"), "left_anti")
+    assert(missing.count() == 0)
+    // and the bucketing must find a non-trivial share of the true pairs
+    val recall = lsh.count().toDouble / brute.count().toDouble
+    assert(recall >= 0.2, s"recall $recall below floor")
+  }
+
+  test("ANN brute-force top-k returns k neighbors per query, ranked") {
+    val topk = VectorSearch.annBruteForce(spark, sfDir).collect()
+    val byQuery = topk.groupBy(_.getLong(0))
+    assert(byQuery.size == 10 && byQuery.values.forall(_.length == 5))
+    byQuery.values.foreach { rows =>
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+}
