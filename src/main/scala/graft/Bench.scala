@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
   def forceAll(df: DataFrame): Unit = {
+    // bit_xor, not sum: summing 64-bit hashes overflows LongType, which
+    // is an error under ANSI mode (Spark 4 default); xor is overflow-free
+    // and order-independent
     val h = xxhash64(df.columns.map(c => col(s"`$c`")): _*)
-    df.agg(sum(h)).head()
+    df.select(h.as("__h")).agg(expr("bit_xor(__h)")).head()
   }
 
   def main(args: Array[String]): Unit = {

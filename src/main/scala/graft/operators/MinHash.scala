@@ -70,7 +70,9 @@ object MinHash {
     * on candidates only. Output shape matches the d02 baseline.
     */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    // repartition before the CPU-bound shingling (see ngramJaccard note)
     val docs = Tables.load(spark, dir, "documents")
+      .repartition(col("doc_id"))
       .select(col("doc_id"), TextAnalysis.shingles3(col("text")).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)

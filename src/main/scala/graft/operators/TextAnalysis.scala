@@ -23,20 +23,38 @@ object TextAnalysis {
   /** Whitespace tokens of a text column. */
   def wordsOf(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Distinct word n-gram shingles (n=3) — empty array below n words. */
+  /** Distinct word n-gram shingles (n=3) — empty array below n words.
+    *
+    * Formulated as zip_with over three shifted slices, NOT as
+    * transform+element_at: higher-order lambdas are interpreted, and an
+    * `element_at(split(text), i)` inside a lambda re-splits the whole
+    * text for EVERY element — O(words²) per row. zip_with evaluates its
+    * input arrays once and the lambdas touch only the bound elements,
+    * so this is O(words) with three splits per evaluation.
+    */
   def shingles3(c: Column): Column = {
     val w = wordsOf(c)
+    val n = size(w)
+    val grams = zip_with(
+      zip_with(slice(w, lit(1), n - 2), slice(w, lit(2), n - 2),
+        (a, b) => concat_ws(" ", a, b)),
+      slice(w, lit(3), n - 2),
+      (ab, cc) => concat_ws(" ", ab, cc))
     array_distinct(
-      when(size(w) >= 3,
-        transform(sequence(lit(0), size(w) - 3), i =>
-          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
-        .otherwise(array().cast(ArrayType(StringType))))
+      when(n >= 3, grams).otherwise(array().cast(ArrayType(StringType))))
   }
+
+  /** documents scan for per-row CPU-bound ops: repartitioned because the
+    * testdata table is a single small parquet split — without this every
+    * interpreted string/array expression runs on one core. At 100 TB the
+    * scan yields enough splits and the extra exchange would be dropped.
+    */
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents").repartition(col("doc_id"))
 
   // T: token counting — whitespace tokens + a BPE-ish regex tokenizer.
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    docs.select(
+    docs(spark, dir).select(
       col("doc_id"),
       size(wordsOf(col("text"))).as("n_ws_tokens"),
       size(regexp_extract_all(col("text"), lit(tokenRegex), lit(0))).as("n_re_tokens"),
@@ -45,12 +63,12 @@ object TextAnalysis {
 
   // T: quality scoring — length / punctuation / stopword ratios.
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val d = docs(spark, dir)
     val w = wordsOf(lower(col("text")))
     val nTok = size(w)
     val nStop = size(filter(w, x => x.isin(stopwords: _*)))
     val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
-    docs.select(
+    d.select(
       col("doc_id"),
       nTok.as("n_tokens"),
       (length(array_join(w, "")).cast(DoubleType) / nTok).as("avg_token_len"),
@@ -68,7 +86,7 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "y", "una", "como"))
 
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val d = docs(spark, dir)
     val w = wordsOf(lower(col("text")))
     val scores = langMarkers.map { case (l, ms) =>
       l -> size(filter(w, x => x.isin(ms: _*)))
@@ -79,7 +97,7 @@ object TextAnalysis {
       .when(fr >= es && fr > 0, "fr")
       .when(es > 0, "es")
       .otherwise("und")
-    docs.select(
+    d.select(
       col("doc_id"), col("lang"),
       en.as("score_en"), de.as("score_de"), fr.as("score_fr"), es.as("score_es"),
       pred.as("pred_lang"),
@@ -88,9 +106,8 @@ object TextAnalysis {
 
   // T: document fingerprint — normalized-text content hash.
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
     val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-    docs.select(col("doc_id"), md5(norm).as("fp"), length(norm).as("norm_len"))
+    docs(spark, dir).select(col("doc_id"), md5(norm).as("fp"), length(norm).as("norm_len"))
   }
 
   // D: exact dedup — hash-groupBy on full text; canonical = min doc_id.
@@ -111,7 +128,13 @@ object TextAnalysis {
   // scales with Σ df² over shingles instead of n²·|shingles| — at 100 TB
   // cap df on the postings (high-df shingles carry no near-dup signal).
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // repartition BEFORE the shingle computation: the testdata table is
+    // one small parquet split, and higher-order shingling is CPU-bound —
+    // without this every core but one idles (at 100 TB the scan itself
+    // yields enough splits, but compute-heavy ops after a small scan
+    // must never inherit a single partition)
     val docs = Tables.load(spark, dir, "documents")
+      .repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
@@ -135,9 +158,8 @@ object TextAnalysis {
   // magic-prefix). The per-partition decode/feature step is
   // [[Multimodal.fakeDecodeFeatures]] (m02).
   def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
     val bin = encode(col("text"), "UTF-8")
-    docs.select(
+    docs(spark, dir).select(
       col("doc_id"),
       octet_length(bin).as("n_bytes"),
       md5(col("text")).as("content_hash"), // same bytes as md5(bin); DuckDB 1.0 md5 is VARCHAR-only
