@@ -289,6 +289,18 @@ object Relational {
       .orderBy(col("n_regionkey"))
   }
 
+  // S7: staging temp views + SQL entry point (reference COPY→staging +
+  // ad-hoc SQL tier): every table registered in the catalog, the query
+  // itself expressed in SQL text against the views.
+  def sqlOverViews(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   // S8/S9: catalog DDL + table sinks (reference create_tables.py:6-28 +
   // sql_queries.py:149-152) — DROP/CREATE TABLE in the session catalog,
   // saveAsTable staging, INSERT INTO … SELECT materialization, then a
@@ -371,6 +383,7 @@ object Relational {
     "x03_sas_date_decode" -> (sasDateDecode _),
     "x05_date_part_counts" -> (datePartCounts _),
     "s05_csv_roundtrip" -> (csvRoundTrip _),
+    "s07_sql_over_views" -> (sqlOverViews _),
     "s08_catalog_roundtrip" -> (catalogRoundTrip _),
     "s10_static_values_join" -> (staticValuesJoin _),
     "s11_partitioned_scan" -> (partitionedScan _))
@@ -516,6 +529,11 @@ object Relational {
     "s05_csv_roundtrip" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations, MAX(n_name) AS max_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "s07_sql_over_views" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "s08_catalog_roundtrip" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS min_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
