@@ -75,8 +75,41 @@ object CosineLsh {
       .filter(col("sim") >= SimThreshold)
   }
 
+  /** Bucketed ANN top-k (IVF-style): query vectors probe only their own
+    * LSH band buckets instead of scanning every vector — the scale path
+    * next to [[VectorSearch.annBruteForce]] for large query sets. Same
+    * query set as v01 (vec_id < 10), k = 5 within candidates.
+    */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    LongArrayDot.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorSearch.quantize(col("embedding")).as("qv"))
+      .withColumn("n2", LongArrayDot.dot(col("qv"), col("qv")))
+    val withKeys = emb.select(
+      col("vec_id"), col("qv"), col("n2"),
+      explode(array((0 until NumBands).map(b =>
+        struct(lit(b).as("bi"), bandKey(b).as("k"))): _*)).as("band"))
+    val probes = withKeys.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("band").as("q_band"))
+    val cand = probes.join(withKeys,
+        col("q_band") === col("band") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val q = emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("n2").as("q_n2"))
+    val n = emb.select(col("vec_id").as("neighbor_id"), col("qv").as("n_qv"), col("n2").as("n_n2"))
+    val sim = VectorSearch.qcosine(
+      LongArrayDot.dot(col("q_qv"), col("n_qv")), col("q_n2"), col("n_n2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cand.join(broadcast(q), "query_id").join(n, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d05_cosine_lsh" -> (nearDupPairs _))
+    "d05_cosine_lsh" -> (nearDupPairs _),
+    "v02_ann_lsh_topk" -> (annTopK _))
 
   // ---- DuckDB oracle: full LSH replication with the same ±1 planes ----
 
@@ -115,5 +148,28 @@ object CosineLsh {
        |WHERE $simExpr >= $SimThreshold""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map("d05_cosine_lsh" -> oracleSql)
+  private val annOracleSql: String = {
+    val keyCols = (0 until NumBands).map(b => s"${bandKeySql(b)} AS k$b").mkString(",\n   ")
+    val candUnion = (0 until NumBands).map(b =>
+      s"SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id FROM s q JOIN s d ON q.k$b = d.k$b AND q.vec_id < 10 AND d.vec_id <> q.vec_id")
+      .mkString("\n UNION\n ")
+    val simExpr =
+      """CAST(CAST(list_sum(list_transform(range(1, len(x.qv)+1), i -> x.qv[i]*y.qv[i])) AS BIGINT) AS DOUBLE)
+        |     / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv,
+       |   CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])) AS BIGINT) AS n2 FROM e),
+       |s AS (SELECT vec_id,
+       |   $keyCols FROM n),
+       |c AS ($candUnion),
+       |p AS (SELECT c.query_id, c.neighbor_id,
+       |  $simExpr AS sim
+       | FROM c JOIN n x ON x.vec_id = c.query_id JOIN n y ON y.vec_id = c.neighbor_id),
+       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM p)
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d05_cosine_lsh" -> oracleSql,
+    "v02_ann_lsh_topk" -> annOracleSql)
 }

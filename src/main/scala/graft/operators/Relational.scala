@@ -167,6 +167,26 @@ object Relational {
     dfs.reduce(_.unionAll(_)).orderBy(col("tbl"))
   }
 
+  // Skew-safe distinct aggregation: COUNT(DISTINCT) per low-cardinality
+  // group as an explicit two-phase plan — phase 1 shuffles on
+  // (group, distinct-value) so no reducer hotspot forms on the 3-status
+  // key space; phase 2 counts the deduped pairs. This is the rewrite a
+  // 100 TB distinct-agg needs spelled out as a first-class operator.
+  def twoPhaseDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_custkey"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("o_orderstatus"))
+
+  // Rollup (hierarchical subtotals + grand total) — beyond the reference
+  // surface, single pass via Expand.
+  def rollupCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+
   // A7: order-stable dedup — keep latest order per customer via row_number
   // (reference dataprep.py:40 drop_duplicates-keeps-first semantics).
   def dedupFirstOrder(spark: SparkSession, dir: String): DataFrame = {
@@ -374,6 +394,8 @@ object Relational {
     "j10_cross_scalar_pct" -> (nationOrderShare _),
     "a02_distinct" -> (distinctSegments _),
     "a03_table_counts" -> (tableCounts _),
+    "a08_two_phase_distinct" -> (twoPhaseDistinct _),
+    "a09_rollup" -> (rollupCounts _),
     "a07_dedup_keep_first" -> (dedupFirstOrder _),
     "w01_window_group_avg" -> (windowGroupAvg _),
     "w02_pivot_priority" -> (pivotOrderPriority _),
@@ -481,6 +503,13 @@ object Relational {
         |UNION ALL SELECT 'orders', COUNT(*) FROM orders
         |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
         |ORDER BY tbl""".stripMargin,
+    "a08_two_phase_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a09_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
     "a07_dedup_keep_first" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey

@@ -16,6 +16,10 @@ object Pipeline {
 
   case class StageResult(name: String, ok: Boolean, rows: Long, error: Option[String])
 
+  /** The four cleaned staging frames. */
+  case class Staging(airports: DataFrame, cities: DataFrame,
+                     temperatures: DataFrame, travelers: DataFrame)
+
   /** Build everything, materialize each table under outDir (parquet),
     * return per-stage results in execution order.
     */
@@ -50,15 +54,22 @@ object Pipeline {
   }
 
   /** The 10 validation counts as one DataFrame (A3 over the live plan —
-    * no materialization required).
+    * no materialization required). Pass pre-built frames to count the
+    * materialized pipeline instead of rebuilding it.
     */
-  def validationCounts(spark: SparkSession): DataFrame = {
-    val star = StarSchema.build(spark)
+  def validationCounts(spark: SparkSession,
+                       prebuilt: Option[(Staging, StarSchema.Star)] = None): DataFrame = {
+    val (stg, star) = prebuilt.getOrElse {
+      val stAir = AirportsPrep.staging(spark)
+      val stg0 = Staging(stAir, CitiesPrep.staging(spark),
+        TempsPrep.staging(spark), TravelersPrep.staging(spark))
+      (stg0, StarSchema.build(spark))
+    }
     val frames: Seq[(String, DataFrame)] = Seq(
-      "staging_airports" -> AirportsPrep.staging(spark),
-      "staging_cities" -> CitiesPrep.staging(spark),
-      "staging_temperatures" -> TempsPrep.staging(spark),
-      "staging_travelers" -> TravelersPrep.staging(spark),
+      "staging_airports" -> stg.airports,
+      "staging_cities" -> stg.cities,
+      "staging_temperatures" -> stg.temperatures,
+      "staging_travelers" -> stg.travelers,
       "visa_codes" -> star.visaCodes,
       "city" -> star.city,
       "airports" -> star.airports,

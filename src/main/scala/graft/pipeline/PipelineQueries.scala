@@ -18,20 +18,51 @@ object PipelineQueries {
 
   // ---------------------------------------------------------- Spark side
 
+  /** Staging + star frames, built once per session and persisted — the
+    * honest execution model (a real pipeline materializes staging once;
+    * queries run over the materialized tables), and it keeps 13 driver
+    * queries from re-running the CSV preps 13 times.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (Pipeline.Staging, StarSchema.Star)]()
+
+  private def built(s: SparkSession): (Pipeline.Staging, StarSchema.Star) =
+    cache.computeIfAbsent(s, { s: SparkSession =>
+      val stg = Pipeline.Staging(
+        airports = AirportsPrep.staging(s).persist(),
+        cities = CitiesPrep.staging(s).persist(),
+        temperatures = TempsPrep.staging(s).persist(),
+        travelers = TravelersPrep.staging(s).persist())
+      val cityDf = StarSchema.city(stg.airports).persist()
+      val airportsDf = StarSchema.airports(stg.airports, cityDf).persist()
+      val star = StarSchema.Star(
+        visaCodes = StarSchema.visaCodes(s),
+        city = cityDf,
+        airports = airportsDf,
+        temperatures = StarSchema.temperatures(stg.temperatures, cityDf).persist(),
+        statistics = StarSchema.statistics(stg.cities, cityDf).persist(),
+        travelers = StarSchema.travelers(stg.travelers, airportsDf).persist())
+      (stg, star)
+    })
+
+  private def stg(s: SparkSession): Pipeline.Staging = built(s)._1
+  private def star(s: SparkSession): StarSchema.Star = built(s)._2
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p01_cities_prep" -> ((s: SparkSession, _: String) => CitiesPrep.staging(s)),
-    "p02_airports_prep" -> ((s: SparkSession, _: String) => AirportsPrep.staging(s)),
-    "p03_temps_prep" -> ((s: SparkSession, _: String) => TempsPrep.staging(s)),
-    "p04_travelers_prep" -> ((s: SparkSession, _: String) => TravelersPrep.staging(s)),
-    "p05_star_city" -> ((s: SparkSession, _: String) => StarSchema.build(s).city),
-    "p06_star_airports" -> ((s: SparkSession, _: String) => StarSchema.build(s).airports),
-    "p07_star_temperatures" -> ((s: SparkSession, _: String) => StarSchema.build(s).temperatures),
-    "p08_star_statistics" -> ((s: SparkSession, _: String) => StarSchema.build(s).statistics),
-    "p09_star_travelers" -> ((s: SparkSession, _: String) => StarSchema.build(s).travelers),
-    "p10_validation_counts" -> ((s: SparkSession, _: String) => Pipeline.validationCounts(s)),
-    "p11_q1" -> ((s: SparkSession, _: String) => Analytics.q1(StarSchema.build(s))),
-    "p12_q2" -> ((s: SparkSession, _: String) => Analytics.q2(StarSchema.build(s))),
-    "p13_q3" -> ((s: SparkSession, _: String) => Analytics.q3(StarSchema.build(s))))
+    "p01_cities_prep" -> ((s: SparkSession, _: String) => stg(s).cities),
+    "p02_airports_prep" -> ((s: SparkSession, _: String) => stg(s).airports),
+    "p03_temps_prep" -> ((s: SparkSession, _: String) => stg(s).temperatures),
+    "p04_travelers_prep" -> ((s: SparkSession, _: String) => stg(s).travelers),
+    "p05_star_city" -> ((s: SparkSession, _: String) => star(s).city),
+    "p06_star_airports" -> ((s: SparkSession, _: String) => star(s).airports),
+    "p07_star_temperatures" -> ((s: SparkSession, _: String) => star(s).temperatures),
+    "p08_star_statistics" -> ((s: SparkSession, _: String) => star(s).statistics),
+    "p09_star_travelers" -> ((s: SparkSession, _: String) => star(s).travelers),
+    "p10_validation_counts" -> ((s: SparkSession, _: String) =>
+      Pipeline.validationCounts(s, Some(built(s)))),
+    "p11_q1" -> ((s: SparkSession, _: String) => Analytics.q1(star(s))),
+    "p12_q2" -> ((s: SparkSession, _: String) => Analytics.q2(star(s))),
+    "p13_q3" -> ((s: SparkSession, _: String) => Analytics.q3(star(s))))
 
   // --------------------------------------------------- DuckDB oracle SQL
 
