@@ -220,6 +220,16 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  // W2 inverse: first-class unpivot (melt) of the pivoted counts back to
+  // long form — columns→rows, the reverse reshape of w02.
+  def unpivotPriority(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    pivotOrderPriority(spark, dir)
+      .unpivot(Array(col("o_orderstatus")), prios.map(p => col(s"`$p`")).toArray,
+        "o_orderpriority", "n")
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
   // W3: surrogate keys (reference IDENTITY(1,1)) via the partition-offset
   // path in [[Keys.scalableSurrogate]] — same ids as a global
   // row_number() window, with no single-partition stage in the plan.
@@ -400,6 +410,7 @@ object Relational {
     "w01_window_group_avg" -> (windowGroupAvg _),
     "w02_pivot_priority" -> (pivotOrderPriority _),
     "w03_surrogate_keys" -> (surrogateKeys _),
+    "w04_unpivot_priority" -> (unpivotPriority _),
     "x01_string_ops" -> (stringOps _),
     "x02_hemisphere_format" -> (hemisphereFormat _),
     "x03_sas_date_decode" -> (sasDateDecode _),
@@ -528,6 +539,20 @@ object Relational {
         | COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
         | COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "w04_unpivot_priority" ->
+      """WITH p AS (SELECT o_orderstatus,
+        |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n1,
+        |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n2,
+        |  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS n3,
+        |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS n4,
+        |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n5
+        | FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, '1-URGENT' AS o_orderpriority, n1 AS n FROM p
+        |UNION ALL SELECT o_orderstatus, '2-HIGH', n2 FROM p
+        |UNION ALL SELECT o_orderstatus, '3-MEDIUM', n3 FROM p
+        |UNION ALL SELECT o_orderstatus, '4-NOT SPECIFIED', n4 FROM p
+        |UNION ALL SELECT o_orderstatus, '5-LOW', n5 FROM p
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "w03_surrogate_keys" ->
       """SELECT c_custkey, c_name,
         | CAST(ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS INTEGER) AS c_id

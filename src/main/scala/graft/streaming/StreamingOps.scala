@@ -38,6 +38,15 @@ object StreamingOps {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming dedup: drop repeated event_ids while their first sighting
+    * is still within the watermark — bounded state (one key per id per
+    * watermark window), the streaming twin of d01's exact dedup.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("t", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user session aggregate emitted when a session closes. */
   case class SessionOut(user_id: Long, n_events: Long, start_us: Long,
                         end_us: Long, total_cents: Long)

@@ -36,6 +36,19 @@ class PropertySpec extends AnyFunSuite {
     assert(back.filter(col("d") =!= col("d2")).count() == 0)
   }
 
+  test("pivot then unpivot is identity on complete long-form data") {
+    import spark.implicits._
+    val cities = Gen.listOfN(8, Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(6))).sample.get.distinct
+    val races = Seq("A", "B", "C")
+    val rows = for (c <- cities; r <- races)
+      yield (c, r, math.abs((c + r).hashCode % 1000).toLong)
+    val long = rows.toDF("city", "race", "cnt")
+    val piv = long.groupBy("city").pivot("race", races).agg(first("cnt"))
+    val back = piv.unpivot(Array(col("city")), races.map(col).toArray, "race", "cnt")
+    val got = back.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == rows.toSet)
+  }
+
   test("quantized cosine is symmetric and bounded") {
     import spark.implicits._
     import graft.operators.VectorSearch

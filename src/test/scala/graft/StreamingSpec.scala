@@ -48,6 +48,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark emits each event_id once") {
+    val sqlCtx = spark.sqlContext
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF().toDF("event_id", "ts_ns")
+      .withColumn("ts", col("ts_ns")) // raw nanos column shape
+    val q = StreamingOps.dedupWithinWatermark(events).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      val B = 10000L * 60 * 1000 * 1000 * 1000 // base offset in nanos
+      val Min = 60L * 1000 * 1000 * 1000
+      input.addData((1L, B), (1L, B + Min), (2L, B + Min)) // dup in-batch
+      q.processAllAvailable()
+      input.addData((1L, B + 2 * Min), (3L, B + 3 * Min))  // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("streaming hourly counts equal the batch twin") {
     import org.apache.spark.sql.streaming.Trigger
     val path = Tables.path(sfDir, "events")
