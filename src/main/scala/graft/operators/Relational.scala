@@ -377,6 +377,29 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  // Bucketed table + shuffle-free aggregation: orders written bucketed
+  // by o_custkey, so the per-customer aggregate runs with ZERO exchanges
+  // (the bucketing satisfies the required hash distribution). This is
+  // the co-location story for 100 TB: pay the shuffle once at write
+  // time, every keyed agg/join after that is exchange-free.
+  def bucketedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val db = "graft_whb"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_whb_${Integer.toHexString(dir.hashCode)}"
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    rmTree(new java.io.File(loc))
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Tables.load(spark, dir, "orders").write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable(s"$db.orders_bucketed")
+    spark.table(s"$db.orders_bucketed")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+  }
+
   // S10: static VALUES row source joined against a table.
   def staticValuesJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -419,7 +442,8 @@ object Relational {
     "s07_sql_over_views" -> (sqlOverViews _),
     "s08_catalog_roundtrip" -> (catalogRoundTrip _),
     "s10_static_values_join" -> (staticValuesJoin _),
-    "s11_partitioned_scan" -> (partitionedScan _))
+    "s11_partitioned_scan" -> (partitionedScan _),
+    "s12_bucketed_agg" -> (bucketedAgg _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -595,6 +619,10 @@ object Relational {
       """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
         |WHERE year(o_orderdate) = 1995
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "s12_bucketed_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "s10_static_values_join" ->
       """SELECT r_regionkey, r_name, zone_name
         |FROM region JOIN (VALUES (0,'ZONE-A'),(1,'ZONE-B'),(2,'ZONE-C'),(3,'ZONE-D'),(4,'ZONE-E'))

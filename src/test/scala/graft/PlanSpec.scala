@@ -64,6 +64,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed aggregation runs with zero shuffle exchanges") {
+    val df = Relational.bucketedAgg(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("LongArrayDot participates in whole-stage codegen") {
     // quantize (an interpreted higher-order transform) must sit in a
     // SEPARATE projection; over materialized arrays — the hot post-join
