@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-review artifact generator: prints the formatted physical plan of
+  * the headline queries (`runMain graft.Explain [sfDir] > PLANS.md`).
+  * Used to audit pushdown/broadcast/shuffle shape per round.
+  */
+object Explain {
+
+  val Headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q05_local_supplier_volume", "j10_cross_scalar_pct",
+    "j12_salted_join", "a08_two_phase_distinct", "w03_surrogate_keys",
+    "s11_partitioned_scan", "s12_bucketed_agg",
+    "d02_ngram_jaccard", "d04_minhash_lsh", "d05_cosine_lsh",
+    "v02_ann_lsh_topk", "p11_q1", "p13_q3", "e02_sessionize")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(s"# PLANS — formatted physical plans of headline queries ($sfDir)")
+    println()
+    Headline.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      println(s"## $name\n")
+      println("```")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      println("```")
+    }
+    spark.stop()
+  }
+}

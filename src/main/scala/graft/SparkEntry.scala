@@ -24,6 +24,7 @@ object SparkEntry {
       (MinHash.queries, MinHash.oracles),
       (CosineLsh.queries, CosineLsh.oracles),
       (Multimodal.queries, Multimodal.oracles),
+      (Skew.queries, Skew.oracles),
       (Events.queries, Events.oracles),
       (PipelineQueries.queries, PipelineQueries.oracles))
 

@@ -115,7 +115,19 @@ object Events {
         date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
         col("n_events"), col("total_value"))
 
+  // E: semi-structured props — JSON string column parsed with
+  // get_json_object, extracted field aggregated per event type.
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e06_json_props" -> (jsonProps _),
     "e01_tumbling_hourly" -> (tumblingHourly _),
     "e02_sessionize" -> (sessionize _),
     "e03_top_types_per_user" -> (topEventTypesPerUser _),
@@ -123,6 +135,12 @@ object Events {
     "e05_session_window" -> (sessionWindows _))
 
   val oracles: Map[String, String] = Map(
+    "e06_json_props" ->
+      """SELECT event_type, COUNT(k) AS n, SUM(k) AS sum_k,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e01_tumbling_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
         | event_type, COUNT(*) AS n_events,
