@@ -115,6 +115,21 @@ object Events {
         date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
         col("n_events"), col("total_value"))
 
+  // E: SLIDING windows (1 h length, 15 min slide) — each event lands in
+  // exactly 4 overlapping windows; Spark's window() generator handles
+  // the fan-out, the oracle reproduces it with integer-µs arithmetic.
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    eventsUs(spark, dir)
+      .withColumn("t", timestamp_micros(col("ts_us")))
+      .groupBy(window(col("t"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
   // E: semi-structured props — JSON string column parsed with
   // get_json_object, extracted field aggregated per event type.
   def jsonProps(spark: SparkSession, dir: String): DataFrame =
@@ -127,6 +142,7 @@ object Events {
       .orderBy(col("event_type"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e07_sliding_counts" -> (slidingCounts _),
     "e06_json_props" -> (jsonProps _),
     "e01_tumbling_hourly" -> (tumblingHourly _),
     "e02_sessionize" -> (sessionize _),
@@ -135,6 +151,17 @@ object Events {
     "e05_session_window" -> (sessionWindows _))
 
   val oracles: Map[String, String] = Map(
+    // every event belongs to the 4 windows starting at
+    // floor15(t) - i*15min, i in 0..3 (window length 4 slides)
+    "e07_sliding_counts" ->
+      """WITH x AS (SELECT event_type, value, epoch_ns(ts) // 1000 AS tus FROM events),
+        |f AS (SELECT event_type, value,
+        |        (tus // 900000000) * 900000000 - i * 900000000 AS wstart
+        |      FROM x, unnest(range(0, 4)) AS u(i))
+        |SELECT strftime(make_timestamp(wstart), '%Y-%m-%d %H:%M') AS win_start,
+        | event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e06_json_props" ->
       """SELECT event_type, COUNT(k) AS n, SUM(k) AS sum_k,
         |  MIN(k) AS min_k, MAX(k) AS max_k
