@@ -56,8 +56,40 @@ object Multimodal {
   def decodeQuery(spark: SparkSession, dir: String): DataFrame =
     fakeDecodeFeatures(Tables.load(spark, dir, "documents")).toDF()
 
+  /** One sampled frame row per (payload, frame index). */
+  case class Frame(doc_id: Long, frame_idx: Int, frame_hash: String)
+
+  /** Frame sampling: a video-shaped payload fans out to n_frames rows
+    * (frame count md5-derived like m02), one content hash per frame —
+    * the 1-row-in/N-rows-out decode shape (a UDTF in other engines;
+    * mapPartitions + flatMap here). A real build would decode and
+    * sample actual frames; the per-frame hash keys the downstream
+    * dedup/embedding stages either way.
+    */
+  def fakeSampleFrames(docs: DataFrame): Dataset[Frame] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(s: String): String = {
+          md.reset()
+          md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        }
+        it.flatMap { case (id, text) =>
+          val n = 1 + hex(text).charAt(3).toInt % 8 // same n_frames as m02
+          (0 until n).iterator.map(i => Frame(id, i, hex(s"$text#$i")))
+        }
+      }
+  }
+
+  def frameQuery(spark: SparkSession, dir: String): DataFrame =
+    fakeSampleFrames(Tables.load(spark, dir, "documents")).toDF()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m02_fake_decode" -> (decodeQuery _))
+    "m02_fake_decode" -> (decodeQuery _),
+    "m03_frame_sample" -> (frameQuery _))
 
   val oracles: Map[String, String] = Map(
     "m02_fake_decode" ->
@@ -67,5 +99,11 @@ object Multimodal {
         | CAST(16 + (ascii(substr(md5(text), 2, 1)) % 16) * 8 AS INTEGER) AS height,
         | CAST(1 + ascii(substr(md5(text), 3, 1)) % 3 AS INTEGER) AS n_channels,
         | CAST(1 + ascii(substr(md5(text), 4, 1)) % 8 AS INTEGER) AS n_frames
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "m03_frame_sample" ->
+      """WITH n AS (SELECT doc_id, text,
+        |   1 + ascii(substr(md5(text), 4, 1)) % 8 AS n_frames FROM documents)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  md5(text || '#' || i) AS frame_hash
+        |FROM n, unnest(range(n_frames)) AS u(i)""".stripMargin)
 }
