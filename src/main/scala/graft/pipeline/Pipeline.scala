@@ -44,7 +44,15 @@ object Pipeline {
     stages.map { case (name, mk) =>
       Try {
         val df = mk()
-        df.write.mode("overwrite").parquet(s"$outDir/$name")
+        // travelers materializes partitioned by arrival year/month — the
+        // reference's own stated scale story (README.md:23,156): monthly
+        // loads land in their own partition, queries prune on it
+        val writer = df.write.mode("overwrite")
+        val partitioned =
+          if (name == "travelers")
+            writer.partitionBy("p_arrival_year", "p_arrival_month")
+          else writer
+        partitioned.parquet(s"$outDir/$name")
         spark.read.parquet(s"$outDir/$name").count()
       } match {
         case Success(n) => StageResult(name, ok = true, n, None)

@@ -75,5 +75,11 @@ class PipelineSpec extends SparkSpec {
     val results = Pipeline.run(spark, out)
     assert(results.forall(_.ok), results.filterNot(_.ok).mkString(","))
     assert(results.map(r => r.name -> r.rows).toMap.apply("travelers") == 772L)
+    // travelers lands partitioned by arrival year/month (README.md:23,156)
+    val dirs = new java.io.File(s"$out/travelers").listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("p_arrival_year=2016")), dirs.mkString(","))
+    val april = spark.read.parquet(s"$out/travelers")
+      .filter(col("p_arrival_year") === 2016 && col("p_arrival_month") === 4)
+    assert(april.count() > 0)
   }
 }
