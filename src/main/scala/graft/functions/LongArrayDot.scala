@@ -71,9 +71,24 @@ case class LongArrayDot(left: Expression, right: Expression)
 object LongArrayDot {
   private val FnName = "long_array_dot"
 
+  /** Builder + metadata for [[org.apache.spark.sql.SparkSessionExtensions
+    * .injectFunction]] — sessions built with
+    * `spark.sql.extensions=graft.GraftExtensions` get the function
+    * without any explicit registration call.
+    */
+  val functionDescriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier(FnName),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[LongArrayDot].getName, FnName),
+    { exprs: Seq[Expression] => LongArrayDot(exprs(0), exprs(1)) })
+
   /** Idempotently register the expression in the session's function
     * registry so it is callable as a Column via [[dot]] (Spark 4 removed
-    * public Column-from-Expression construction).
+    * public Column-from-Expression construction). Redundant when the
+    * session was built with [[graft.GraftExtensions]]; kept so operators
+    * work in any session.
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

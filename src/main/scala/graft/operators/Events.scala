@@ -130,6 +130,29 @@ object Events {
         col("event_type"), col("n_events"), col("total_value"))
       .orderBy(col("win_start"), col("event_type"))
 
+  // E: stream-static enrichment join — the events STREAM joins the
+  // static customer dim (broadcast per micro-batch), aggregated per
+  // segment; complete mode + AvailableNow replay makes the result equal
+  // the batch join, which is what the oracle checks.
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = Tables.path(dir, "events")
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("basePath", dir).parquet(s"$path*")
+    val cust = Tables.load(spark, dir, "customer")
+    val out = stream
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+    val sinkName = s"e08_mem_${Integer.toHexString(dir.hashCode)}"
+    val q = out.writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy(col("c_mktsegment"))
+  }
+
   // E: semi-structured props — JSON string column parsed with
   // get_json_object, extracted field aggregated per event type.
   def jsonProps(spark: SparkSession, dir: String): DataFrame =
@@ -142,6 +165,7 @@ object Events {
       .orderBy(col("event_type"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e08_stream_enrich" -> (streamEnrich _),
     "e07_sliding_counts" -> (slidingCounts _),
     "e06_json_props" -> (jsonProps _),
     "e01_tumbling_hourly" -> (tumblingHourly _),
@@ -151,6 +175,11 @@ object Events {
     "e05_session_window" -> (sessionWindows _))
 
   val oracles: Map[String, String] = Map(
+    "e08_stream_enrich" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // every event belongs to the 4 windows starting at
     // floor15(t) - i*15min, i in 0..3 (window length 4 slides)
     "e07_sliding_counts" ->

@@ -87,9 +87,24 @@ object Multimodal {
   def frameQuery(spark: SparkSession, dir: String): DataFrame =
     fakeSampleFrames(Tables.load(spark, dir, "documents")).toDF()
 
+  /** Binary-file ingestion: media assets arrive as FILES; Spark's
+    * binaryFile source reads each as one row of (path, length, content
+    * bytes) — the entry point for payloads that aren't already in a
+    * table. Ingests the repo's fixture CSVs as stand-in assets.
+    */
+  def binaryIngest(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .load("/root/repo/fixtures/*.csv")
+      .select(
+        regexp_extract(col("path"), "[^/]+$", 0).as("file_name"),
+        col("length"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("file_name"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m02_fake_decode" -> (decodeQuery _),
-    "m03_frame_sample" -> (frameQuery _))
+    "m03_frame_sample" -> (frameQuery _),
+    "m04_binary_ingest" -> (binaryIngest _))
 
   val oracles: Map[String, String] = Map(
     "m02_fake_decode" ->
@@ -105,5 +120,12 @@ object Multimodal {
         |   1 + ascii(substr(md5(text), 4, 1)) % 8 AS n_frames FROM documents)
         |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
         |  md5(text || '#' || i) AS frame_hash
-        |FROM n, unnest(range(n_frames)) AS u(i)""".stripMargin)
+        |FROM n, unnest(range(n_frames)) AS u(i)""".stripMargin,
+    // decode(), not CAST: casting a blob to VARCHAR escapes bytes
+    "m04_binary_ingest" ->
+      """SELECT regexp_extract(filename, '[^/]+$', 0) AS file_name,
+        | CAST(size AS BIGINT) AS length,
+        | md5(decode(content)) AS content_md5
+        |FROM read_blob('/root/repo/fixtures/*.csv')
+        |ORDER BY 1""".stripMargin)
 }

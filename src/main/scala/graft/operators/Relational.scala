@@ -187,6 +187,27 @@ object Relational {
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
 
+  // Latest-wins upsert (MERGE emulation on immutable storage): a batch
+  // of updates is unioned with the base, versioned, and resolved with a
+  // per-key row_number — the lakehouse pattern for UPDATE/MERGE when
+  // the table format is plain parquet. Updates here are derived
+  // deterministically (every 10th key gets status 'U', doubled price).
+  def upsertLatestWins(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("_v", lit(0))
+    val updates = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+      .withColumn("_v", lit(1))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("_v").desc)
+    base.unionByName(updates)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+  }
+
   // A7: order-stable dedup — keep latest order per customer via row_number
   // (reference dataprep.py:40 drop_duplicates-keeps-first semantics).
   def dedupFirstOrder(spark: SparkSession, dir: String): DataFrame = {
@@ -425,6 +446,7 @@ object Relational {
     "j08_anti_join" -> (antiJoinCustomers _),
     "j06_broadcast_part_join" -> (broadcastPartJoin _),
     "j10_cross_scalar_pct" -> (nationOrderShare _),
+    "u01_upsert_latest_wins" -> (upsertLatestWins _),
     "a02_distinct" -> (distinctSegments _),
     "a03_table_counts" -> (tableCounts _),
     "a08_two_phase_distinct" -> (twoPhaseDistinct _),
@@ -527,6 +549,11 @@ object Relational {
         |      GROUP BY n_name) g
         |CROSS JOIN (SELECT COUNT(*) AS total FROM orders) t
         |ORDER BY pct DESC, n_name""".stripMargin,
+    "u01_upsert_latest_wins" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        | CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
     "a02_distinct" ->
       "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
     "a03_table_counts" ->

@@ -19,6 +19,15 @@ class VectorSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("GraftExtensions injects long_array_dot without explicit registration") {
+    // the shared test session is built with
+    // spark.sql.extensions=graft.GraftExtensions — SQL resolves the
+    // function with no register() call
+    val r = spark.sql("SELECT long_array_dot(array(2L, 3L), array(4L, 5L)) AS d")
+      .head().getLong(0)
+    assert(r == 23L)
+  }
+
   test("LongArrayDot null semantics: null array -> null result") {
     LongArrayDot.register(spark)
     val df = spark.sql(
