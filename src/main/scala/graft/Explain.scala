@@ -10,7 +10,7 @@ object Explain {
 
   val Headline: Seq[String] = Seq(
     "q01_pricing_summary", "q05_local_supplier_volume", "j10_cross_scalar_pct",
-    "j12_salted_join", "a08_two_phase_distinct", "w03_surrogate_keys",
+    "j12_salted_join", "j13_asof_join", "a08_two_phase_distinct", "w03_surrogate_keys",
     "s11_partitioned_scan", "s12_bucketed_agg",
     "d02_ngram_jaccard", "d04_minhash_lsh", "d05_cosine_lsh",
     "v02_ann_lsh_topk", "p11_q1", "p13_q3", "e02_sessionize")

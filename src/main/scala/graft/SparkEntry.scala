@@ -25,6 +25,7 @@ object SparkEntry {
       (CosineLsh.queries, CosineLsh.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (Skew.queries, Skew.oracles),
+      (AsOf.queries, AsOf.oracles),
       (Events.queries, Events.oracles),
       (PipelineQueries.queries, PipelineQueries.oracles))
 
