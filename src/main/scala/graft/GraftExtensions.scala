@@ -12,5 +12,6 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(functions.LongArrayDot.functionDescriptor)
+    ext.injectFunction(functions.KmvDistinct.functionDescriptor)
   }
 }

@@ -26,6 +26,7 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracles),
       (Skew.queries, Skew.oracles),
       (AsOf.queries, AsOf.oracles),
+      (Sketches.queries, Sketches.oracles),
       (Events.queries, Events.oracles),
       (PipelineQueries.queries, PipelineQueries.oracles))
 

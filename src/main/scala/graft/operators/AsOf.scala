@@ -73,8 +73,35 @@ object AsOf {
       .select(col("event_id"), col("user_id"), col("__asof").as("ref_orderkey"))
   }
 
+  /** Range (interval) join via banding — same-user event pairs within
+    * 60 s of each other. The naive form is an inequality join (nested
+    * loop); the scalable form buckets time into band-sized minutes and
+    * equi-joins each right row into its own and the two adjacent
+    * buckets: any |Δt| ≤ band pair shares exactly one (bucket_left,
+    * exploded bucket_right) match, so the join is a plain hash join and
+    * the precise predicate only filters bucket-mates.
+    */
+  def eventPairsWithinMinute(spark: SparkSession, dir: String): DataFrame = {
+    val BandUs = 60L * 1000 * 1000
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t_us"))
+      .withColumn("bucket", expr(s"t_us div $BandUs"))
+    val a = ev.select(col("user_id"), col("event_id").as("id_a"),
+      col("t_us").as("t_a"), col("bucket"))
+    val b = ev.select(col("user_id"), col("event_id").as("id_b"),
+        col("t_us").as("t_b"),
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("t_b") - col("t_a")) <= BandUs)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j13_asof_join" -> (eventsAsOfOrders _))
+    "j13_asof_join" -> (eventsAsOfOrders _),
+    "j14_range_join" -> (eventPairsWithinMinute _))
 
   // DuckDB has a NATIVE ASOF JOIN — the composed Spark plan is checked
   // against the engine-native operator semantics.
@@ -85,5 +112,14 @@ object AsOf {
         |        MAX(o_orderkey) AS ref_orderkey
         |      FROM orders GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, o.ref_orderkey
-        |FROM e ASOF JOIN o ON e.user_id = o.user_id AND e.t_us >= o.o_us""".stripMargin)
+        |FROM e ASOF JOIN o ON e.user_id = o.user_id AND e.t_us >= o.o_us""".stripMargin,
+    // plain inequality join: the oracle proves banding changes the
+    // plan, not the result
+    "j14_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us FROM events)
+        |SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND a.event_id < b.event_id
+        |  AND abs(b.t_us - a.t_us) <= 60000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin)
 }

@@ -17,6 +17,28 @@ class SketchSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("KmvDistinct estimate within KMV error bounds of exact") {
+    val rows = graft.operators.Sketches.kmvDistinctCustomers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, exact) = (r.getDouble(1), r.getLong(2))
+      // k=64 -> relative standard error ~1/sqrt(k-2) ~ 12.7%; allow 3 sigma
+      assert(math.abs(est - exact) / exact <= 0.4, s"est=$est exact=$exact")
+    }
+  }
+
+  test("KmvDistinct is exact below k distinct values") {
+    import spark.implicits._
+    graft.functions.KmvDistinct.register(spark)
+    val df = Seq.tabulate(200)(i => (i % 5, (i % 30).toLong)).toDF("g", "v")
+      .selectExpr("g", "pmod(2654435761 * v + 104729, 2147483647) as hv")
+      .groupBy("g").agg(expr("kmv_distinct(hv)").as("est"))
+    // 30 distinct hashes per group < k=64 -> sketch is exact
+    assert(df.collect().forall(r => r.getDouble(1) == 30.0 ||
+      { val g = r.getInt(0); r.getDouble(1) == Seq.tabulate(200)(i => (i % 5, i % 30))
+          .filter(_._1 == g).map(_._2).distinct.size.toDouble }))
+  }
+
   test("approx_percentile brackets the exact median") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val approxMedian = li.select(
