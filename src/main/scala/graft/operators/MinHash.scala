@@ -88,8 +88,27 @@ object MinHash {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard"))
   }
 
+  /** Verification stage a real dedup pipeline runs AFTER candidate
+    * generation: edit distance over normalized prefixes of each
+    * candidate pair (cheap fuzzy confirmation; codegen'd built-in).
+    * Composes d04's LSH candidates with a string-metric check.
+    */
+  def editDistanceVerify(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(spark, dir).select(col("id_a"), col("id_b"), col("jaccard"))
+    val norm = substring(
+      trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")), 1, 64)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), norm.as("prefix"))
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("prefix").as("pa")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("prefix").as("pb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        levenshtein(col("pa"), col("pb")).as("prefix_edit_dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d04_minhash_lsh" -> (nearDupPairs _))
+    "d04_minhash_lsh" -> (nearDupPairs _),
+    "d07_editdist_verify" -> (editDistanceVerify _))
 
   // Oracle = brute force: the gate checks LSH candidate RECALL at the
   // 0.5 threshold, not only the Jaccard arithmetic.
@@ -106,5 +125,22 @@ object MinHash {
         | WHERE len(a.sh) > 0 AND len(b.sh) > 0)
         |SELECT id_a, id_b, n_inter, n_union,
         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
-        |FROM p WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin)
+        |FROM p WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin,
+    "d07_editdist_verify" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |s AS (SELECT doc_id,
+        |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+        |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE len(a.sh) > 0 AND len(b.sh) > 0),
+        |n AS (SELECT doc_id,
+        |   substr(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), 1, 64) AS prefix
+        | FROM documents)
+        |SELECT p.id_a, p.id_b, p.jaccard,
+        |  CAST(levenshtein(na.prefix, nb.prefix) AS INTEGER) AS prefix_edit_dist
+        |FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
+        |WHERE p.jaccard >= 0.5""".stripMargin)
 }

@@ -297,6 +297,18 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("o_year"), col("o_month"))
 
+  // Exact interpolated percentiles per group (the distribution-profile
+  // aggregate a data-quality pass runs): Spark `percentile` and DuckDB
+  // `quantile_cont` share the q·(n−1) linear-interpolation definition.
+  def percentileProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_quantity, 0.99)").as("p99_qty"))
+      .orderBy(col("l_returnflag"))
+
   // F7: conjunctive WHERE incl. implicit string↔int cast (README.md:213).
   def conjunctiveFilter(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
@@ -460,6 +472,7 @@ object Relational {
     "x02_hemisphere_format" -> (hemisphereFormat _),
     "x03_sas_date_decode" -> (sasDateDecode _),
     "x05_date_part_counts" -> (datePartCounts _),
+    "x10_percentile_profile" -> (percentileProfile _),
     "s05_csv_roundtrip" -> (csvRoundTrip _),
     "s07_sql_over_views" -> (sqlOverViews _),
     "s08_catalog_roundtrip" -> (catalogRoundTrip _),
@@ -631,6 +644,12 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         | CAST(month(o_orderdate) AS INTEGER) AS o_month, COUNT(*) AS n_orders
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x10_percentile_profile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS p50_qty,
+        | quantile_cont(l_quantity, 0.9) AS p90_qty,
+        | quantile_cont(l_quantity, 0.99) AS p99_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "s05_csv_roundtrip" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations, MAX(n_name) AS max_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
