@@ -70,12 +70,14 @@ object MinHash {
     * on candidates only. Output shape matches the d02 baseline.
     */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    // repartition before the CPU-bound shingling (see ngramJaccard note)
+    // repartition before the CPU-bound shingling; cheap words>=3 filter
+    // instead of size(sh)>0 so the pushed-down predicate doesn't re-run
+    // the shingling below the exchange (see ngramJaccard note)
     val docs = Tables.load(spark, dir, "documents")
       .repartition(col("doc_id"))
+      .filter(size(TextAnalysis.wordsOf(col("text"))) >= 3)
       .select(col("doc_id"), TextAnalysis.shingles3(col("text")).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-      .filter(col("n_sh") > 0)
     val cand = candidatePairs(docs)
     val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))
     val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb"))

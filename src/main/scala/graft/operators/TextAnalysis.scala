@@ -132,12 +132,16 @@ object TextAnalysis {
     // one small parquet split, and higher-order shingling is CPU-bound —
     // without this every core but one idles (at 100 TB the scan itself
     // yields enough splits, but compute-heavy ops after a small scan
-    // must never inherit a single partition)
+    // must never inherit a single partition).
+    // The non-empty filter is expressed as `words >= 3` (one split), NOT
+    // `size(sh) > 0`: Catalyst pushes the predicate below the exchange,
+    // where a shingle-based filter would re-run the whole shingling
+    // single-threaded on the unrepartitioned scan.
     val docs = Tables.load(spark, dir, "documents")
       .repartition(col("doc_id"))
+      .filter(size(wordsOf(col("text"))) >= 3)
       .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-      .filter(col("n_sh") > 0)
     val posts = docs.select(col("lang"), col("doc_id"), col("n_sh"),
       explode(col("sh")).as("shingle"))
     posts.as("a").join(posts.as("b"),
