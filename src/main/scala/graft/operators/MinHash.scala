@@ -73,10 +73,11 @@ object MinHash {
     // repartition before the CPU-bound shingling; cheap words>=3 filter
     // instead of size(sh)>0 so the pushed-down predicate doesn't re-run
     // the shingling below the exchange (see ngramJaccard note)
+    graft.functions.WordShingles.register(spark)
     val docs = Tables.load(spark, dir, "documents")
       .repartition(col("doc_id"))
       .filter(size(TextAnalysis.wordsOf(col("text"))) >= 3)
-      .select(col("doc_id"), TextAnalysis.shingles3(col("text")).as("sh"))
+      .select(col("doc_id"), graft.functions.WordShingles.shingles(col("text")).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val cand = candidatePairs(docs)
     val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))

@@ -137,10 +137,12 @@ object TextAnalysis {
     // `size(sh) > 0`: Catalyst pushes the predicate below the exchange,
     // where a shingle-based filter would re-run the whole shingling
     // single-threaded on the unrepartitioned scan.
+    graft.functions.WordShingles.register(spark)
     val docs = Tables.load(spark, dir, "documents")
       .repartition(col("doc_id"))
       .filter(size(wordsOf(col("text"))) >= 3)
-      .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sh"))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.WordShingles.shingles(col("text")).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val posts = docs.select(col("lang"), col("doc_id"), col("n_sh"),
       explode(col("sh")).as("shingle"))

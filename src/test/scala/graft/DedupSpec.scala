@@ -44,6 +44,17 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b", "n_inter", "n_union", "jaccard"))
   }
 
+  test("WordShingles expression equals the built-in zip_with formulation") {
+    graft.functions.WordShingles.register(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.shingles3(col("text")).as("builtin"),
+        graft.functions.WordShingles.shingles(col("text")).as("fast"))
+    val diff = docs.filter(not(col("builtin") === col("fast")))
+    assert(diff.count() == 0,
+      diff.select("doc_id").collect().take(5).mkString(","))
+  }
+
   test("minhash signatures collide for identical shingle sets") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), TextAnalysis.shingles3(col("text")).as("sh"))
