@@ -208,6 +208,16 @@ object Relational {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
   }
 
+  // Set operations (INTERSECT / EXCEPT, set semantics with dedup) —
+  // beyond the reference surface: customer cohorts across two years.
+  def setOpsCohorts(spark: SparkSession, dir: String): DataFrame = {
+    def cohort(y: Int) = Tables.load(spark, dir, "orders")
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    cohort(1995).intersect(cohort(1996)).withColumn("op", lit("both"))
+      .unionAll(cohort(1995).except(cohort(1996)).withColumn("op", lit("only_1995")))
+  }
+
   // A7: order-stable dedup — keep latest order per customer via row_number
   // (reference dataprep.py:40 drop_duplicates-keeps-first semantics).
   def dedupFirstOrder(spark: SparkSession, dir: String): DataFrame = {
@@ -463,6 +473,7 @@ object Relational {
     "a03_table_counts" -> (tableCounts _),
     "a08_two_phase_distinct" -> (twoPhaseDistinct _),
     "a09_rollup" -> (rollupCounts _),
+    "a10_set_ops" -> (setOpsCohorts _),
     "a07_dedup_keep_first" -> (dedupFirstOrder _),
     "w01_window_group_avg" -> (windowGroupAvg _),
     "w02_pivot_priority" -> (pivotOrderPriority _),
@@ -585,6 +596,16 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "a10_set_ops" ->
+      """SELECT o_custkey, 'both' AS op FROM
+        | (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1995' FROM
+        | (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)""".stripMargin,
     "a07_dedup_keep_first" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey

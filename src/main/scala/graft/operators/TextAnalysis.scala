@@ -110,6 +110,18 @@ object TextAnalysis {
     docs(spark, dir).select(col("doc_id"), md5(norm).as("fp"), length(norm).as("norm_len"))
   }
 
+  // X: array-function surface over tokenized text — slice/sort/
+  // contains/reverse/join, flattened to scalars for the oracle compare.
+  def arrayOps(spark: SparkSession, dir: String): DataFrame = {
+    val w = wordsOf(col("text"))
+    docs(spark, dir).select(
+      col("doc_id"),
+      array_join(sort_array(slice(w, 1, 5)), "|").as("first5_sorted"),
+      array_join(reverse(slice(w, 1, 3)), "|").as("first3_reversed"),
+      array_contains(w, "the").as("has_the"),
+      size(array_distinct(slice(w, 1, 20))).as("n_distinct_first20"))
+  }
+
   // D: exact dedup — hash-groupBy on full text; canonical = min doc_id.
   // Shuffles once on the 128-bit hash, never on the full text — at
   // 100 TB group keys stay 32 bytes.
@@ -177,6 +189,7 @@ object TextAnalysis {
     "t02_quality_score" -> (qualityScore _),
     "t03_lang_id" -> (langId _),
     "t04_fingerprint" -> (fingerprint _),
+    "x11_array_ops" -> (arrayOps _),
     "d01_dedup_exact" -> (dedupExact _),
     "d02_ngram_jaccard" -> (ngramJaccard _),
     "m01_binary_meta" -> (binaryMeta _))
@@ -227,6 +240,14 @@ object TextAnalysis {
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "x11_array_ops" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)
+        |SELECT doc_id,
+        | array_to_string(list_sort(words[1:5]), '|') AS first5_sorted,
+        | array_to_string(list_reverse(words[1:3]), '|') AS first3_reversed,
+        | list_contains(words, 'the') AS has_the,
+        | CAST(len(list_distinct(words[1:20])) AS INTEGER) AS n_distinct_first20
+        |FROM w""".stripMargin,
     "d02_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, lang,
         |   string_split_regex(trim(text), '\s+') AS words FROM documents),
