@@ -25,11 +25,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val root = new java.io.File(outDir)
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
-      f.delete(); ()
-    }
-    if (root.exists()) rmTree(root)
+    if (root.exists()) Fs.rmTree(root)
     root.mkdirs()
     val status = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {

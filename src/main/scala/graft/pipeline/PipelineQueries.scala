@@ -21,13 +21,12 @@ object PipelineQueries {
   /** Staging + star frames, built once per session and persisted — the
     * honest execution model (a real pipeline materializes staging once;
     * queries run over the materialized tables), and it keeps 13 driver
-    * queries from re-running the CSV preps 13 times.
+    * queries from re-running the CSV preps 13 times. Weak-keyed via
+    * [[graft.SessionCache]] so test-suite sessions don't pin their
+    * cached blocks for the JVM lifetime.
     */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, (Pipeline.Staging, StarSchema.Star)]()
-
   private def built(s: SparkSession): (Pipeline.Staging, StarSchema.Star) =
-    cache.computeIfAbsent(s, { s: SparkSession =>
+    graft.SessionCache.memo(s, "pipeline") {
       val stg = Pipeline.Staging(
         airports = AirportsPrep.staging(s).persist(),
         cities = CitiesPrep.staging(s).persist(),
@@ -43,7 +42,7 @@ object PipelineQueries {
         statistics = StarSchema.statistics(stg.cities, cityDf).persist(),
         travelers = StarSchema.travelers(stg.travelers, airportsDf).persist())
       (stg, star)
-    })
+    }
 
   private def stg(s: SparkSession): Pipeline.Staging = built(s)._1
   private def star(s: SparkSession): StarSchema.Star = built(s)._2

@@ -11,6 +11,7 @@ values exact (floats compared exactly — our queries are designed to be
 bit-deterministic cross-engine).
 """
 import sys, os, json, math
+from decimal import Decimal
 import duckdb
 import pyarrow.parquet as pq
 
@@ -18,6 +19,10 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
         return repr(v)
+    # tag Decimal distinctly from int: the driver's compare is typed, so
+    # an uncast oracle SUM (DuckDB HUGEINT -> decimal128) vs Spark int64
+    # must FAIL here too, not hide behind str(Decimal(x)) == str(x)
+    if isinstance(v, Decimal): return f"dec:{v}"
     return str(v)
 
 def table_rows(tbl):
