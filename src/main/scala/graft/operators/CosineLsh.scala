@@ -75,27 +75,20 @@ object CosineLsh {
       .filter(col("sim") >= SimThreshold)
   }
 
-  /** Bucketed ANN top-k (IVF-style): query vectors probe only their own
-    * LSH band buckets instead of scanning every vector — the scale path
-    * next to [[VectorSearch.annBruteForce]] for large query sets. Same
-    * query set as v01 (vec_id < 10), k = 5 within candidates.
+  /** (vec_id, qv, n2, bi, k): one row per vector per band with its
+    * packed bucket key — the shared index layout for the ANN paths.
     */
-  def annTopK(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    LongArrayDot.register(spark)
-    val emb = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), VectorSearch.quantize(col("embedding")).as("qv"))
-      .withColumn("n2", LongArrayDot.dot(col("qv"), col("qv")))
-    val withKeys = emb.select(
+  private def bandsOf(emb: DataFrame): DataFrame =
+    emb.select(
       col("vec_id"), col("qv"), col("n2"),
       explode(array((0 until NumBands).map(b =>
         struct(lit(b).as("bi"), bandKey(b).as("k"))): _*)).as("band"))
-    val probes = withKeys.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("band").as("q_band"))
-    val cand = probes.join(withKeys,
-        col("q_band") === col("band") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      .distinct()
+      .select(col("vec_id"), col("qv"), col("n2"),
+        col("band.bi").as("bi"), col("band.k").as("k"))
+
+  /** Top-5 among candidate (query, neighbor) pairs by exact cosine. */
+  private def rankCandidates(emb: DataFrame, cand: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // only the probe vectors are broadcast — broadcasting the full
     // embeddings table here would defeat the IVF scale story
     val q = emb.filter(col("vec_id") < 10)
@@ -110,9 +103,63 @@ object CosineLsh {
       .filter(col("rank") <= 5)
   }
 
+  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+    LongArrayDot.register(spark)
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorSearch.quantize(col("embedding")).as("qv"))
+      .withColumn("n2", LongArrayDot.dot(col("qv"), col("qv")))
+  }
+
+  /** Bucketed ANN top-k (IVF-style): query vectors probe only their own
+    * LSH band buckets instead of scanning every vector — the scale path
+    * next to [[VectorSearch.annBruteForce]] for large query sets. Same
+    * query set as v01 (vec_id < 10), k = 5 within candidates.
+    */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(spark, dir)
+    val data = bandsOf(emb)
+    val probes = data.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("bi"), col("k"))
+    val cand = probes.join(data, Seq("bi", "k"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    rankCandidates(emb, cand)
+  }
+
+  /** Probe keys per band: the query's own bucket plus every
+    * Hamming-distance-1 bucket (one plane bit flipped).
+    */
+  val ProbeFlips: Seq[Int] = 0 +: (0 until BitsPerBand).map(1 << _)
+
+  /** Multi-probe ANN top-k — the recall knob v02 lacks: a near neighbor
+    * that disagrees with the query on ONE hyperplane per band lands in a
+    * Hamming-adjacent bucket, so each query also probes every 1-bit-flip
+    * of its band keys (4 bands x 5 keys = 20 probes vs v02's 4).
+    *
+    * Scale shape: multi-probe multiplies only the PROBE side of the
+    * equi-join (20 rows per query) — the indexed data side and its
+    * shuffle stay exactly as v02, unlike lowering bits-per-band, which
+    * would grow every bucket for all queries.
+    */
+  def annTopKMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(spark, dir)
+    val data = bandsOf(emb)
+    val probes = data.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("bi"),
+        explode(array(ProbeFlips.map(f =>
+          col("k").bitwiseXOR(lit(f))): _*)).as("k"))
+    val cand = probes.join(data, Seq("bi", "k"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    rankCandidates(emb, cand)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d05_cosine_lsh" -> (nearDupPairs _),
-    "v02_ann_lsh_topk" -> (annTopK _))
+    "v02_ann_lsh_topk" -> (annTopK _),
+    "v03_ann_multiprobe_topk" -> (annTopKMultiProbe _))
 
   // ---- DuckDB oracle: full LSH replication with the same ±1 planes ----
 
@@ -151,11 +198,12 @@ object CosineLsh {
        |WHERE $simExpr >= $SimThreshold""".stripMargin
   }
 
-  private val annOracleSql: String = {
+  /** Shared ANN oracle body: candidate arms differ per variant (v02
+    * probes own buckets; v03 also probes every 1-bit-flipped key via
+    * DuckDB's xor, replicating [[ProbeFlips]] exactly).
+    */
+  private def annOracleSqlFor(candUnion: String): String = {
     val keyCols = (0 until NumBands).map(b => s"${bandKeySql(b)} AS k$b").mkString(",\n   ")
-    val candUnion = (0 until NumBands).map(b =>
-      s"SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id FROM s q JOIN s d ON q.k$b = d.k$b AND q.vec_id < 10 AND d.vec_id <> q.vec_id")
-      .mkString("\n UNION\n ")
     val simExpr =
       """CAST(CAST(list_sum(list_transform(range(1, len(x.qv)+1), i -> x.qv[i]*y.qv[i])) AS BIGINT) AS DOUBLE)
         |     / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))""".stripMargin
@@ -172,7 +220,18 @@ object CosineLsh {
        |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
   }
 
+  private val annOracleSql: String = annOracleSqlFor(
+    (0 until NumBands).map(b =>
+      s"SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id FROM s q JOIN s d ON q.k$b = d.k$b AND q.vec_id < 10 AND d.vec_id <> q.vec_id")
+      .mkString("\n UNION\n "))
+
+  private val annMultiProbeOracleSql: String = annOracleSqlFor(
+    (for (b <- 0 until NumBands; f <- ProbeFlips) yield
+      s"SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id FROM s q JOIN s d ON xor(q.k$b, $f) = d.k$b AND q.vec_id < 10 AND d.vec_id <> q.vec_id")
+      .mkString("\n UNION\n "))
+
   val oracles: Map[String, String] = Map(
     "d05_cosine_lsh" -> oracleSql,
-    "v02_ann_lsh_topk" -> annOracleSql)
+    "v02_ann_lsh_topk" -> annOracleSql,
+    "v03_ann_multiprobe_topk" -> annMultiProbeOracleSql)
 }

@@ -167,6 +167,31 @@ object Events {
     spark.table(sinkName).orderBy(col("c_mktsegment"))
   }
 
+  // E: stream-STREAM join — the events stream self-joined (views vs
+  // purchases) with watermarks on both sides and a time-range predicate
+  // ([[graft.streaming.StreamingOps.viewPurchaseAttribution]]). The
+  // memory sink collects the append-mode matches; the per-user rollup
+  // below is a batch query over the sink table. Oracle = the equivalent
+  // batch interval join, which AvailableNow replay must reproduce.
+  def streamStreamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = Tables.path(dir, "events")
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("basePath", dir).parquet(s"$path*")
+    val joined = graft.streaming.StreamingOps.viewPurchaseAttribution(stream)
+    val sinkName = s"e09_mem_${Integer.toHexString(dir.hashCode)}"
+    val q = joined.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        countDistinct(col("view_id")).as("n_views"))
+      .orderBy(col("user_id"))
+  }
+
   // E: semi-structured props — JSON string column parsed with schema'd
   // from_json (single-field schema prunes the parse to just `k`), over
   // the shared repartitioned frame so the parse runs on all cores.
@@ -190,9 +215,22 @@ object Events {
     "e02_sessionize" -> (sessionize _),
     "e03_top_types_per_user" -> (topEventTypesPerUser _),
     "e04_stream_hourly" -> (streamHourly _),
-    "e05_session_window" -> (sessionWindows _))
+    "e05_session_window" -> (sessionWindows _),
+    "e09_stream_stream_join" -> (streamStreamAttribution _))
 
   val oracles: Map[String, String] = Map(
+    // the streaming join is held to the equivalent batch interval join
+    "e09_stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, tus AS v_us FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, tus AS p_us FROM e WHERE event_type = 'purchase'),
+        |j AS (SELECT p.user_id, purchase_id, view_id
+        |      FROM p JOIN v ON p.user_id = v.user_id
+        |        AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 3600000000)
+        |SELECT user_id, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT purchase_id) AS n_purchases,
+        |  COUNT(DISTINCT view_id) AS n_views
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
     "e08_stream_enrich" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -187,6 +187,35 @@ object Relational {
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
 
+  // Cube (all 2³ grouping combinations) over status × priority × year —
+  // the dashboard-style companion to a09's rollup. Same single-pass
+  // Expand plan: 8× row fan-out BEFORE the shuffle, partial aggregation
+  // applies per grouping set, so the exchange carries at most
+  // Σ|grouping-set key spaces| rows per mapper — safe at 100 TB (the
+  // fan-out multiplies mapper CPU, not reducer skew).
+  def cubeCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .cube(col("o_orderstatus"), col("o_orderpriority"), col("o_year"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+
+  // GROUPING SETS with hand-picked sets — the general form behind
+  // rollup/cube, plus GROUPING() markers to disambiguate subtotal rows
+  // from genuine NULL keys (cast to INT for a stable cross-engine type).
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_year, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_year) AS INT) AS g_year
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_year), (o_orderstatus, o_year))
+        |""".stripMargin)
+  }
+
   // Latest-wins upsert (MERGE emulation on immutable storage): a batch
   // of updates is unioned with the base, versioned, and resolved with a
   // per-key row_number — the lakehouse pattern for UPDATE/MERGE when
@@ -465,6 +494,8 @@ object Relational {
     "a03_table_counts" -> (tableCounts _),
     "a08_two_phase_distinct" -> (twoPhaseDistinct _),
     "a09_rollup" -> (rollupCounts _),
+    "a11_cube" -> (cubeCounts _),
+    "a12_grouping_sets" -> (groupingSets _),
     "a10_set_ops" -> (setOpsCohorts _),
     "a07_dedup_keep_first" -> (dedupFirstOrder _),
     "w01_window_group_avg" -> (windowGroupAvg _),
@@ -588,6 +619,21 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "a11_cube" ->
+      """WITH o AS (SELECT o_orderstatus, o_orderpriority,
+        |   CAST(year(o_orderdate) AS INTEGER) AS o_year, o_totalprice FROM orders)
+        |SELECT o_orderstatus, o_orderpriority, o_year, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM o GROUP BY CUBE(o_orderstatus, o_orderpriority, o_year)""".stripMargin,
+    "a12_grouping_sets" ->
+      """WITH o AS (SELECT o_orderstatus,
+        |   CAST(year(o_orderdate) AS INTEGER) AS o_year, o_totalprice FROM orders)
+        |SELECT o_orderstatus, o_year, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_year) AS INTEGER) AS g_year
+        |FROM o GROUP BY GROUPING SETS ((o_orderstatus), (o_year),
+        |  (o_orderstatus, o_year))""".stripMargin,
     "a10_set_ops" ->
       """SELECT o_custkey, 'both' AS op FROM
         | (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

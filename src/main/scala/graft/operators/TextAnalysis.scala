@@ -155,9 +155,40 @@ object TextAnalysis {
       .filter(size(wordsOf(col("text"))) >= 3)
       .select(col("doc_id"), col("lang"),
         graft.functions.WordShingles.shingles(col("text")).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val posts = docs.select(col("lang"), col("doc_id"), col("n_sh"),
+    jaccardFromShingled(docs, dfCap = None)
+  }
+
+  /** Shared inverted-index Jaccard core over a (doc_id, lang, sh) frame.
+    *
+    * With `dfCap = Some(c)`: postings whose shingle appears in more than
+    * c documents (per lang) are dropped BEFORE the self-join. This is
+    * the 100 TB safety valve for power-law corpora — one hot shingle
+    * with df = 10⁶ costs 10¹² join rows uncapped, and high-df shingles
+    * carry no near-dup signal (boilerplate). The capped result is a
+    * LOWER BOUND on true Jaccard: n_inter counts only shared low-df
+    * shingles, while n_union keeps the FULL set sizes.
+    *
+    * Skew-safety of the cap itself: df is computed with a hash
+    * aggregate (map-side partial combine — a hot shingle never
+    * concentrates rows the way a window over (lang, shingle) would),
+    * and the hot-shingle list (at most |postings|/c entries, tiny for
+    * any useful cap) is broadcast anti-joined, so postings are filtered
+    * without an extra shuffle.
+    */
+  private[graft] def jaccardFromShingled(
+      shingled: DataFrame, dfCap: Option[Int]): DataFrame = {
+    val docs = shingled.withColumn("n_sh", size(col("sh")))
+    val all = docs.select(col("lang"), col("doc_id"), col("n_sh"),
       explode(col("sh")).as("shingle"))
+    val posts = dfCap match {
+      case None => all
+      case Some(cap) =>
+        val hot = all.groupBy(col("lang"), col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap)
+          .select(col("lang"), col("shingle"))
+        all.join(broadcast(hot), Seq("lang", "shingle"), "left_anti")
+    }
     posts.as("a").join(posts.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -169,6 +200,23 @@ object TextAnalysis {
         (col("na") + col("nb") - col("n_inter")).as("n_union"))
       .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union"))
       .filter(col("jaccard") >= 0.05)
+  }
+
+  /** d08: the df-capped production variant of d02 (cap = [[JaccardDfCap]],
+    * which drops real postings at both gate scales — the oracle
+    * replicates the cap, so the gate verifies the cap semantics, not
+    * just that it's a no-op).
+    */
+  val JaccardDfCap = 4
+
+  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
+    val docs = Tables.load(spark, dir, "documents")
+      .repartition(col("doc_id"))
+      .filter(size(wordsOf(col("text"))) >= 3)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.WordShingles.shingles(col("text")).as("sh"))
+    jaccardFromShingled(docs, dfCap = Some(JaccardDfCap))
   }
 
   // S: multimodal binary-column plumbing — text bytes as an opaque
@@ -192,6 +240,7 @@ object TextAnalysis {
     "x11_array_ops" -> (arrayOps _),
     "d01_dedup_exact" -> (dedupExact _),
     "d02_ngram_jaccard" -> (ngramJaccard _),
+    "d08_ngram_jaccard_capped" -> (ngramJaccardCapped _),
     "m01_binary_meta" -> (binaryMeta _))
 
   val oracles: Map[String, String] = Map(
@@ -261,6 +310,25 @@ object TextAnalysis {
         |SELECT id_a, id_b, n_inter, n_union,
         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
         |FROM p WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.05""".stripMargin,
+    // the cap is replicated exactly: postings whose per-lang shingle df
+    // exceeds the cap are dropped from the intersection; set sizes stay full
+    "d08_ngram_jaccard_capped" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |   string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+         |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+         |p AS (SELECT doc_id, lang, CAST(len(sh) AS INTEGER) AS n_sh, unnest(sh) AS shingle FROM s),
+         |k AS (SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY lang, shingle) AS df FROM p)
+         |      WHERE df <= $JaccardDfCap),
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         |        CAST(COUNT(*) AS INTEGER) AS n_inter
+         |      FROM k a JOIN k b ON a.shingle = b.shingle AND a.lang = b.lang
+         |        AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, n_inter, na + nb - n_inter AS n_union,
+         |  CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+         |FROM j WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.05""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

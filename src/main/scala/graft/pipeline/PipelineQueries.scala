@@ -70,33 +70,51 @@ object PipelineQueries {
     s"CASE WHEN $v < 0 THEN CAST(ABS($v) AS VARCHAR) || '$neg' ELSE CAST($v AS VARCHAR) || '$pos' END"
   }
 
-  private def raceMax(race: String): String =
-    s"""max(CASE WHEN "Race" = '$race' THEN "Count" END)"""
+  private def raceMin(race: String): String =
+    s"""min(CASE WHEN "Race" = '$race' THEN "Count" END)"""
 
+  /** Replicates CitiesPrep's deterministic keep-first contract (see its
+    * scaladoc): one base row per (City, State) chosen by row_number over
+    * the base columns (ASC NULLS FIRST — Spark's asc_nulls_first), race
+    * counts as min per race, completeness filter on all five races.
+    */
   private val stCitiesSql: String = {
-    val raceCols = CitiesPrep.RaceCols.map { case (race, (cnt, per)) =>
-      s"""  ${raceMax(race)} AS $cnt,
-         |  ROUND(CAST(${raceMax(race)} AS DOUBLE) / min("Total Population"), 2) AS $per""".stripMargin
+    val raceCols = CitiesPrep.RaceCols.map { case (_, (cnt, per)) =>
+      s"""  r.$cnt AS $cnt,
+         |  ROUND(CAST(r.$cnt AS DOUBLE) / b."Total Population", 2) AS $per""".stripMargin
     }.mkString(",\n")
-    val having = CitiesPrep.Races.map(r => s"${raceMax(r)} IS NOT NULL").mkString(" AND ")
+    val raceAgg = CitiesPrep.RaceCols.map { case (race, (cnt, _)) =>
+      s"${raceMin(race)} AS $cnt"
+    }.mkString(",\n        ")
+    val notNull = CitiesPrep.RaceCols.map { case (_, (cnt, _)) =>
+      s"r.$cnt IS NOT NULL"
+    }.mkString(" AND ")
+    val ordering = CitiesPrep.BaseCols
+      .map(c => s""""$c" ASC NULLS FIRST""").mkString(", ")
     s"""st_cities AS (
-       | SELECT "City" AS city,
-       |  min("Median Age") AS median_age,
-       |  min("Male Population") AS cnt_male,
-       |  min("Female Population") AS cnt_female,
-       |  min("Total Population") AS population,
-       |  min("Number of Veterans") AS cnt_veterans,
-       |  min("Foreign-born") AS cnt_foreign_born,
-       |  min("Average Household Size") AS avg_household,
-       |  min("State Code") AS state,
+       | SELECT b."City" AS city,
+       |  b."Median Age" AS median_age,
+       |  b."Male Population" AS cnt_male,
+       |  b."Female Population" AS cnt_female,
+       |  b."Total Population" AS population,
+       |  b."Number of Veterans" AS cnt_veterans,
+       |  b."Foreign-born" AS cnt_foreign_born,
+       |  b."Average Household Size" AS avg_household,
+       |  b."State Code" AS state,
        |$raceCols,
-       |  ROUND(CAST(min("Male Population") AS DOUBLE) / min("Total Population"), 2) AS per_male,
-       |  ROUND(CAST(min("Female Population") AS DOUBLE) / min("Total Population"), 2) AS per_female,
-       |  ROUND(CAST(min("Number of Veterans") AS DOUBLE) / min("Total Population"), 2) AS per_veterans,
-       |  ROUND(CAST(min("Foreign-born") AS DOUBLE) / min("Total Population"), 2) AS per_foreign_born
-       | FROM read_csv('${Schemas.citiesCsv}', delim=';', header=true)
-       | GROUP BY "City", "State"
-       | HAVING $having
+       |  ROUND(CAST(b."Male Population" AS DOUBLE) / b."Total Population", 2) AS per_male,
+       |  ROUND(CAST(b."Female Population" AS DOUBLE) / b."Total Population", 2) AS per_female,
+       |  ROUND(CAST(b."Number of Veterans" AS DOUBLE) / b."Total Population", 2) AS per_veterans,
+       |  ROUND(CAST(b."Foreign-born" AS DOUBLE) / b."Total Population", 2) AS per_foreign_born
+       | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY "City", "State"
+       |         ORDER BY $ordering) AS rn
+       |       FROM read_csv('${Schemas.citiesCsv}', delim=';', header=true)) b
+       | JOIN (SELECT "City", "State",
+       |        $raceAgg
+       |       FROM read_csv('${Schemas.citiesCsv}', delim=';', header=true)
+       |       GROUP BY "City", "State") r
+       |   ON b."City" = r."City" AND b."State" = r."State"
+       | WHERE b.rn = 1 AND $notNull
        |)""".stripMargin
   }
 

@@ -28,21 +28,45 @@ object CitiesPrep {
       (("cnt_amer_ind_ak_native", "per_amer_ind_ak_native")),
     "Black or African-American" -> (("cnt_black", "per_black_afr_amer")))
 
+  /** Base demographic columns, in the tie-break order used by the
+    * keep-first dedup below (City/State excluded — they're the key).
+    */
+  val BaseCols: Seq[String] = Seq(
+    "Median Age", "Male Population", "Female Population",
+    "Total Population", "Number of Veterans", "Foreign-born",
+    "Average Household Size", "State Code")
+
   /** dataprep.py:11-95 — the 5 race self-merges collapse into ONE pivot
-    * (SURVEY W2): groupBy all base demographic columns, pivot Race. A
-    * city missing any of the 5 races pivots to null and is filtered —
-    * identical to the reference's inner merges dropping it. The
-    * merge-fanout dedup (A7, dataprep.py:40) is subsumed by the groupBy.
+    * (SURVEY W2): per-(City, State) race counts pivoted wide, joined to
+    * ONE base row per (City, State). A city missing any of the 5 races
+    * pivots to null and is filtered — identical to the reference's inner
+    * merges dropping it.
+    *
+    * Duplicate contract (A7, dataprep.py:40): the reference dedups with
+    * `drop_duplicates(subset=["City","State"])`, keeping the FIRST row —
+    * under conflicting duplicates "first" in pandas depends on file
+    * order filtered through a non-stable quicksort, so it is not a
+    * reproducible cross-engine spec. This pins the same keep-ONE-row
+    * semantics deterministically: the lexicographically smallest base
+    * tuple wins (row_number over [[BaseCols]], nulls first), and
+    * duplicate race rows resolve to min(Count). Where duplicates don't
+    * conflict — every row of the reference's own data — this is exactly
+    * pandas' result.
     */
   def staging(spark: SparkSession, path: String = Schemas.citiesCsv): DataFrame = {
     val raw = spark.read.option("sep", ";").option("header", "true")
       .schema(Schemas.rawCities).csv(path)
-    val pivoted = raw.groupBy(
-        col("City"), col("State"), col("Median Age"), col("Male Population"),
-        col("Female Population"), col("Total Population"),
-        col("Number of Veterans"), col("Foreign-born"),
-        col("Average Household Size"), col("State Code"))
-      .pivot("Race", Races).agg(first(col("Count")))
+    val wFirst = Window.partitionBy(col("City"), col("State"))
+      .orderBy(BaseCols.map(c => col(s"`$c`").asc_nulls_first): _*)
+    val base = raw
+      .select((Seq("City", "State") ++ BaseCols).map(c => col(s"`$c`")): _*)
+      .withColumn("__rn", row_number().over(wFirst))
+      .filter(col("__rn") === 1).drop("__rn")
+    val races = raw.groupBy(col("City"), col("State"))
+      .pivot("Race", Races).agg(min(col("Count")))
+    // base is already hash-partitioned by the window's (City, State) key,
+    // so this equi-join reuses that exchange
+    val pivoted = base.join(races, Seq("City", "State"))
     val complete = pivoted.filter(
       Races.map(r => col(s"`$r`").isNotNull).reduce(_ && _))
     val pop = col("Total Population")

@@ -47,6 +47,30 @@ object StreamingOps {
       .withWatermark("t", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream join — purchases attributed to any view
+    * by the same user within the preceding hour (view ≤ purchase).
+    *
+    * Both inputs carry watermarks and the join predicate bounds the
+    * event-time range, so the state store keeps each buffered view only
+    * until `watermark − 1 h` passes it — bounded state per side, the
+    * requirement for an unbounded run. Inner-join matches emit as soon
+    * as both rows have arrived (append mode).
+    */
+  def viewPurchaseAttribution(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val base = withEventTime(events).withColumn("ts_us", expr("ts div 1000"))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("t").as("v_t"))
+      .withWatermark("v_t", watermark)
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("t").as("p_t"))
+      .withWatermark("p_t", watermark)
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_t") <= col("p_t") &&
+        col("v_t") >= col("p_t") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"))
+  }
+
   /** Per-user session aggregate emitted when a session closes. */
   case class SessionOut(user_id: Long, n_events: Long, start_us: Long,
                         end_us: Long, total_cents: Long)

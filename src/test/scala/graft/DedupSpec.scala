@@ -44,6 +44,31 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b", "n_inter", "n_union", "jaccard"))
   }
 
+  test("d08 df cap drops hot-shingle pairs and bounds the candidate join") {
+    import spark.implicits._
+    // 40 docs that ALL share one boilerplate sentence (the hot shingles)
+    // plus two genuine near-dups sharing rare shingles. Uncapped, the
+    // boilerplate alone generates 40*39/2 = 780 candidate pairs; capped,
+    // the hot shingles are dropped and only the rare-shingle pair joins.
+    val boiler = "subscribe to our newsletter today"
+    val docs = ((1 to 40).map(i => (i.toLong, "en", s"unique$i words$i here$i $boiler")) :+
+        (101L, "en", "rare alpha beta gamma delta epsilon") :+
+        (102L, "en", "rare alpha beta gamma delta zeta"))
+      .toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"), TextAnalysis.shingles3(col("text")).as("sh"))
+    val capped = TextAnalysis.jaccardFromShingled(docs, dfCap = Some(4))
+    val uncapped = TextAnalysis.jaccardFromShingled(docs, dfCap = None)
+    // uncapped: the boilerplate floods the result with cross-doc pairs
+    assert(uncapped.filter(col("id_a") <= 40 && col("id_b") <= 40).count() == 780)
+    // capped: every boilerplate-only pair is gone...
+    assert(capped.filter(col("id_a") <= 40).count() == 0)
+    // ...but the genuine near-dup pair survives with exact counts over
+    // its (rare) shared shingles
+    val pair = capped.filter(col("id_a") === 101 && col("id_b") === 102).collect()
+    assert(pair.length == 1)
+    assert(pair.head.getAs[Int]("n_inter") == 3) // 4-gram windows shared by 101/102
+  }
+
   test("WordShingles expression equals the built-in zip_with formulation") {
     graft.functions.WordShingles.register(spark)
     val docs = Tables.load(spark, sfDir, "documents")

@@ -49,6 +49,32 @@ class PropertySpec extends AnyFunSuite {
     assert(got == rows.toSet)
   }
 
+  test("cities prep resolves conflicting (City, State) duplicates to one deterministic row") {
+    import graft.pipeline.CitiesPrep
+    val dir = java.nio.file.Files.createTempDirectory("cities_conflict")
+    val f = dir.resolve("cities.csv")
+    val header = "City;State;Median Age;Male Population;Female Population;" +
+      "Total Population;Number of Veterans;Foreign-born;Average Household Size;" +
+      "State Code;Race;Count"
+    val base1 = "Aville;Alpha;30.0;100;110;210;10;20;2.5;AL"
+    val base2 = "Aville;Alpha;25.0;999;110;210;10;20;2.5;AL" // conflicting duplicate
+    val races = Seq("White" -> 50, "Hispanic or Latino" -> 30, "Asian" -> 20,
+      "American Indian and Alaska Native" -> 5, "Black or African-American" -> 40)
+    val rows = races.map { case (r, c) => s"$base1;$r;$c" } :+ s"$base2;White;45"
+    java.nio.file.Files.write(f, (header +: rows).mkString("\n").getBytes("UTF-8"))
+    val out = CitiesPrep.staging(spark, f.toString).collect()
+    // the round-2 formulation (groupBy all base columns) would emit TWO
+    // rows here; the keep-first pin must emit exactly one
+    assert(out.length == 1, s"expected 1 row, got ${out.length}")
+    val row = out.head
+    // lexicographically smallest base tuple wins (Median Age 25.0 < 30.0)
+    assert(row.getAs[Double]("median_age") == 25.0)
+    assert(row.getAs[Int]("cnt_male") == 999)
+    // duplicate race rows resolve to min(Count)
+    assert(row.getAs[Int]("cnt_white") == 45)
+    assert(row.getAs[Double]("per_white") == 0.21) // round(45/210, 2)
+  }
+
   test("quantized cosine is symmetric and bounded") {
     import spark.implicits._
     import graft.operators.VectorSearch

@@ -70,6 +70,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches in range, drops out of range, evicts state") {
+    val sqlCtx = spark.sqlContext
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val events = input.toDF().toDF("event_id", "user_id", "event_type", "ts_ns")
+      .withColumn("ts", col("ts_ns"))
+      .withColumn("value", lit(0.0)) // schema shape parity with events
+    val q = StreamingOps.viewPurchaseAttribution(events).writeStream
+      .format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      val MinNs = 60L * 1000 * 1000 * 1000
+      val B = 10000 * MinNs
+      // view at B, purchase 30 min later -> in range (joins);
+      // purchase 90 min after the view -> out of the 1 h range
+      input.addData(
+        (10L, 1L, "view", B),
+        (20L, 1L, "purchase", B + 30 * MinNs),
+        (21L, 1L, "purchase", B + 90 * MinNs))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").select("purchase_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((20L, 10L)), s"got $got")
+      // advance the watermark far past B + 1 h ON BOTH SIDES (the query
+      // watermark is the MIN across the two watermark operators, so a
+      // future view alone would pin it at the purchases side's last
+      // event): batch-1 state must then be evicted — numRowsTotal drops
+      // to the recent rows only, not everything ever seen
+      input.addData(
+        (90L, 8L, "view", B + 5000 * MinNs),
+        (91L, 9L, "purchase", B + 5000 * MinNs))
+      q.processAllAvailable()
+      input.addData(
+        (92L, 8L, "view", B + 10000 * MinNs),
+        (93L, 9L, "purchase", B + 10000 * MinNs))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 4, s"state not evicted: $stateRows rows buffered (7 ever seen)")
+    } finally q.stop()
+  }
+
   test("streaming hourly counts equal the batch twin") {
     import org.apache.spark.sql.streaming.Trigger
     val path = Tables.path(sfDir, "events")

@@ -48,6 +48,18 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall below floor")
   }
 
+  test("v03 multi-probe recall beats v02 single-probe and clears 0.85") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(VectorSearch.annBruteForce(spark, sfDir))
+    val v2 = (pairs(CosineLsh.annTopK(spark, sfDir)) & truth).size.toDouble / truth.size
+    val v3 = (pairs(CosineLsh.annTopKMultiProbe(spark, sfDir)) & truth).size.toDouble / truth.size
+    // measured on the driver testdata: v02 ~0.42-0.46, v03 ~0.90-0.92
+    assert(v3 > v2, s"multi-probe recall $v3 not above single-probe $v2")
+    assert(v3 >= 0.85, s"multi-probe recall $v3 below floor")
+  }
+
   test("ANN brute-force top-k returns k neighbors per query, ranked") {
     val topk = VectorSearch.annBruteForce(spark, sfDir).collect()
     val byQuery = topk.groupBy(_.getLong(0))
