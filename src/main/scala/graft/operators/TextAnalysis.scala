@@ -219,6 +219,78 @@ object TextAnalysis {
     jaccardFromShingled(docs, dfCap = Some(JaccardDfCap))
   }
 
+  // ---- D: SimHash near-dup over text ----------------------------------
+  // 60-bit majority signature over each document's DISTINCT word set:
+  // word hash = first 15 hex chars of md5 (a pure function both engines
+  // compute identically — same trick as CosineLsh's md5-derived planes),
+  // signature bit b = majority vote of the words' bit b (ties -> 0).
+  // Near-dups are pairs with Hamming distance <= 3: the signature is
+  // banded into 4 x 15-bit keys, and <= 3 differing bits can touch at
+  // most 3 bands, so every qualifying pair shares >= 1 band key
+  // (pigeonhole) — candidates come from a pure equi-join, the exact
+  // bit_count(xor) filter runs on bucket-mates only. Same scale shape
+  // as d04/d05: shuffle on 15-bit band keys, never all-pairs.
+
+  val SimHashBits = 60
+  val SimHashBands = 4
+  val SimHashBandBits = 15
+  val SimHashMaxHamming = 3
+
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.load(spark, dir, "documents")
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(array_distinct(wordsOf(col("text")))).as("word"))
+    val hashed = words.select(col("doc_id"),
+      conv(substring(md5(col("word")), 1, 15), 16, 10).cast(LongType).as("h"))
+    // one hash-agg computes all 60 per-bit vote counts (map-side combine
+    // keeps the shuffle at one row per doc)
+    val aggs = count(lit(1)).as("n") +: (0 until SimHashBits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"c$b"))
+    val counts = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sig = (0 until SimHashBits).map(b =>
+      when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val sigs = counts.select(col("doc_id"), sig.as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until SimHashBands).map(c =>
+        struct(lit(c).as("bi"),
+          shiftright(col("sig"), c * SimHashBandBits)
+            .bitwiseAND(lit((1L << SimHashBandBits) - 1)).as("k"))): _*)).as("band"))
+      .select(col("doc_id"), col("sig"), col("band.bi").as("bi"), col("band.k").as("k"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.bi") === col("b.bi") && col("a.k") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .filter(col("hamming") <= SimHashMaxHamming)
+  }
+
+  private val simhashOracleSql: String = {
+    val voteCols = (0 until SimHashBits)
+      .map(b => s"SUM((h >> $b) & 1) AS c$b").mkString(",\n   ")
+    val sigExpr = (0 until SimHashBits)
+      .map(b => s"(CASE WHEN 2*c$b > n THEN (1::BIGINT << $b) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    val bandIdx = (0 until SimHashBands).mkString("[", ",", "]")
+    val mask = (1L << SimHashBandBits) - 1
+    s"""WITH w AS (SELECT doc_id,
+       |   unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS word
+       | FROM documents),
+       |h AS (SELECT doc_id, CAST(('0x' || substring(md5(word), 1, 15)) AS BIGINT) AS h FROM w),
+       |c AS (SELECT doc_id, COUNT(*) AS n,
+       |   $voteCols
+       | FROM h GROUP BY doc_id),
+       |s AS (SELECT doc_id, $sigExpr AS sig FROM c),
+       |b AS (SELECT doc_id, sig, i AS bi, (sig >> (i * $SimHashBandBits)) & $mask AS k
+       |      FROM s, unnest($bandIdx) AS u(i)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, a.sig AS sa, b2.sig AS sb
+       |         FROM b a JOIN b b2 ON a.bi = b2.bi AND a.k = b2.k AND a.doc_id < b2.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $SimHashMaxHamming""".stripMargin
+  }
+
   // S: multimodal binary-column plumbing — text bytes as an opaque
   // binary payload with typed metadata (byte length, content hash,
   // magic-prefix). The per-partition decode/feature step is
@@ -241,6 +313,7 @@ object TextAnalysis {
     "d01_dedup_exact" -> (dedupExact _),
     "d02_ngram_jaccard" -> (ngramJaccard _),
     "d08_ngram_jaccard_capped" -> (ngramJaccardCapped _),
+    "d09_simhash_text" -> (simhashNearDup _),
     "m01_binary_meta" -> (binaryMeta _))
 
   val oracles: Map[String, String] = Map(
@@ -310,6 +383,7 @@ object TextAnalysis {
         |SELECT id_a, id_b, n_inter, n_union,
         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
         |FROM p WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.05""".stripMargin,
+    "d09_simhash_text" -> simhashOracleSql,
     // the cap is replicated exactly: postings whose per-lang shingle df
     // exceeds the cap are dropped from the intersection; set sizes stay full
     "d08_ngram_jaccard_capped" ->

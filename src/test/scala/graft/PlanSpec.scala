@@ -64,6 +64,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d08/d09 candidate generation stays equi-join (no cartesian)") {
+    for (df <- Seq(
+        graft.operators.TextAnalysis.ngramJaccardCapped(spark, sfDir),
+        graft.operators.TextAnalysis.simhashNearDup(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
+  test("v03 broadcasts only the filtered probe vectors, not the table") {
+    val df = graft.operators.CosineLsh.annTopKMultiProbe(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the vec_id < 10 probe filter must be pushed into a scan feeding
+    // the broadcast side (the full-table broadcast was a round-2 bug)
+    val probeScan = allScans(df.queryExecution.executedPlan)
+      .exists(_.metadata("PushedFilters").contains("LessThan(vec_id,10)"))
+    assert(probeScan, "no scan with the probe filter pushed down")
+  }
+
+  test("a11 cube is a single Expand pass (one aggregate exchange)") {
+    val plan = Relational.cubeCounts(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("Expand"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("bucketed aggregation runs with zero shuffle exchanges") {
     val df = Relational.bucketedAgg(spark, sfDir)
     df.collect()
