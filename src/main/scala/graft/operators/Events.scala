@@ -43,6 +43,40 @@ object Events {
   private def eventsUs(spark: SparkSession, dir: String): DataFrame =
     eventsBase(spark, dir).withColumn("ts_us", expr("ts div 1000"))
 
+  /** The events table as a file-based stream (the file source wants a
+    * directory basePath; the testdata table is a single parquet file, so
+    * glob it under its parent dir). */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = Tables.path(dir, "events")
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).option("basePath", dir).parquet(s"$path*")
+  }
+
+  /** Run a streaming plan to completion with Trigger.AvailableNow into a
+    * memory sink and return the sink table.
+    *
+    * Every stateful operator commits one state store per shuffle
+    * partition per micro-batch; at the session's 32 partitions that
+    * fixed commit cost dominates a single-batch replay (a stream-stream
+    * join carries FOUR stores per partition — ~8 s of pure machinery,
+    * data-size independent). State partition count is fixed at query
+    * start, so size it to the run instead of the session default: a
+    * long-lived production query with high key cardinality keeps it
+    * high, a bounded replay wants it low.
+    */
+  private def runAvailableNow(spark: SparkSession, out: DataFrame,
+                              sinkName: String, mode: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(sinkName)
+  }
+
   // E: tumbling-window aggregation via Spark's `window()` operator
   // (streaming twin: e04 runs StreamingOps.hourlyCounts as a stream).
   def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
@@ -95,19 +129,9 @@ object Events {
   // memory sink (complete mode: no watermark eviction on replay, so the
   // result equals the batch twin and shares e01's oracle shape).
   def streamHourly(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val path = Tables.path(dir, "events")
-    val schema = spark.read.parquet(path).schema
-    // the file stream source wants a directory basePath; the testdata
-    // table is a single parquet file, so glob it under its parent dir
-    val stream = spark.readStream.schema(schema)
-      .option("basePath", dir).parquet(s"$path*")
-    val out = graft.streaming.StreamingOps.hourlyCounts(stream)
-    val sinkName = s"e04_mem_${Integer.toHexString(dir.hashCode)}"
-    val q = out.writeStream.format("memory").queryName(sinkName)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(sinkName)
+    val out = graft.streaming.StreamingOps.hourlyCounts(eventsStream(spark, dir))
+    runAvailableNow(spark, out,
+        s"e04_mem_${Integer.toHexString(dir.hashCode)}", "complete")
       .orderBy(col("hour_start"), col("event_type"))
   }
 
@@ -149,22 +173,15 @@ object Events {
   // segment; complete mode + AvailableNow replay makes the result equal
   // the batch join, which is what the oracle checks.
   def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val path = Tables.path(dir, "events")
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema)
-      .option("basePath", dir).parquet(s"$path*")
     val cust = Tables.load(spark, dir, "customer")
-    val out = stream
+    val out = eventsStream(spark, dir)
       .join(broadcast(cust), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
-    val sinkName = s"e08_mem_${Integer.toHexString(dir.hashCode)}"
-    val q = out.writeStream.format("memory").queryName(sinkName)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(sinkName).orderBy(col("c_mktsegment"))
+    runAvailableNow(spark, out,
+        s"e08_mem_${Integer.toHexString(dir.hashCode)}", "complete")
+      .orderBy(col("c_mktsegment"))
   }
 
   // E: stream-STREAM join — the events stream self-joined (views vs
@@ -174,17 +191,10 @@ object Events {
   // below is a batch query over the sink table. Oracle = the equivalent
   // batch interval join, which AvailableNow replay must reproduce.
   def streamStreamAttribution(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val path = Tables.path(dir, "events")
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema)
-      .option("basePath", dir).parquet(s"$path*")
-    val joined = graft.streaming.StreamingOps.viewPurchaseAttribution(stream)
-    val sinkName = s"e09_mem_${Integer.toHexString(dir.hashCode)}"
-    val q = joined.writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(sinkName)
+    val joined = graft.streaming.StreamingOps
+      .viewPurchaseAttribution(eventsStream(spark, dir))
+    runAvailableNow(spark, joined,
+        s"e09_mem_${Integer.toHexString(dir.hashCode)}", "append")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("purchase_id")).as("n_purchases"),

