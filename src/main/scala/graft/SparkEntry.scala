@@ -23,6 +23,7 @@ object SparkEntry {
       (VectorSearch.queries, VectorSearch.oracles),
       (MinHash.queries, MinHash.oracles),
       (CosineLsh.queries, CosineLsh.oracles),
+      (Ivf.queries, Ivf.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (Skew.queries, Skew.oracles),
       (AsOf.queries, AsOf.oracles),

@@ -87,7 +87,7 @@ object CosineLsh {
         col("band.bi").as("bi"), col("band.k").as("k"))
 
   /** Top-5 among candidate (query, neighbor) pairs by exact cosine. */
-  private def rankCandidates(emb: DataFrame, cand: DataFrame): DataFrame = {
+  private[operators] def rankCandidates(emb: DataFrame, cand: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // only the probe vectors are broadcast — broadcasting the full
     // embeddings table here would defeat the IVF scale story
@@ -103,7 +103,7 @@ object CosineLsh {
       .filter(col("rank") <= 5)
   }
 
-  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def quantized(spark: SparkSession, dir: String): DataFrame = {
     LongArrayDot.register(spark)
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), VectorSearch.quantize(col("embedding")).as("qv"))

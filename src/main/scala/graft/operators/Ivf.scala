@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.functions.LongArrayDot
+
+/** IVF (inverted-file) ANN with a TRAINED coarse quantizer — the
+  * classical vector-index shape next to the hash-based buckets of
+  * [[CosineLsh.annTopK]]/annTopKMultiProbe: k-means centroids partition
+  * the vectors into cells, each query probes only its nearest cells.
+  *
+  * The quantizer is distributed Lloyd's algorithm in pure DataFrame
+  * ops — assignment = cross join against the BROADCAST centroid table
+  * (16 rows) + per-vector argmin window; update = posexplode to
+  * (cluster, dim) cells, one hash aggregate, regroup to arrays. Both
+  * steps are the canonical 1000-executor k-means shape (centroids always
+  * driver-size, vectors never collected; a 100 TB corpus would train on
+  * a sample and assign the full set with the same plan).
+  *
+  * Determinism contract (how a k-means can be oracle-checked at all):
+  * init = the [[NumCentroids]] lowest vec_ids, all arithmetic integer
+  * (quantized vectors; centroid means use truncating integer division,
+  * which Spark's `div` and DuckDB's `//` agree on), argmin ties broken
+  * by centroid id. The DuckDB oracle replays the ENTIRE training loop
+  * iteration by iteration, so the gate verifies the trained index, not
+  * just the final cosine math.
+  */
+object Ivf {
+
+  val NumCentroids = 16
+  val KMeansIters = 2
+  val NumProbes = 2
+
+  /** (vec_id, qv, cid): each vector labeled with its nearest centroid.
+    * Rank key is cv·cv − 2·(qv·cv) — the squared distance minus the
+    * per-vector constant qv·qv, which cannot change the argmin.
+    */
+  private def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val cost = LongArrayDot.dot(col("cv"), col("cv")) -
+      lit(2L) * LongArrayDot.dot(col("qv"), col("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cost"), col("cid"))
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("qv"), col("cid"), cost.as("cost"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("cid"))
+  }
+
+  /** New centroid per cluster: element-wise truncating-integer mean. */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+
+  /** Final trained centroids after [[KMeansIters]] Lloyd iterations. */
+  private[operators] def centroids(emb: DataFrame): DataFrame = {
+    val init = emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").cast(IntegerType).as("cid"), col("qv").as("cv"))
+    (1 to KMeansIters).foldLeft(init)((c, _) => update(assign(emb, c)))
+  }
+
+  /** v04: queries (vec_id < 10) probe their [[NumProbes]] nearest cells,
+    * exact cosine + top-5 within the probed cells' members only.
+    */
+  def annTopKIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = CosineLsh.quantized(spark, dir)
+    val c = centroids(emb)
+    val index = assign(emb, c).select(col("vec_id"), col("cid"))
+    val cost = LongArrayDot.dot(col("cv"), col("cv")) -
+      lit(2L) * LongArrayDot.dot(col("qv"), col("cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cost"), col("cid"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(c))
+      .select(col("vec_id").as("query_id"), col("cid"), cost.as("cost"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NumProbes)
+      .select(col("query_id"), col("cid"))
+    val cand = probes.join(index, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    CosineLsh.rankCandidates(emb, cand)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v04_ann_ivf_topk" -> (annTopKIvf _))
+
+  // ---- DuckDB oracle: full k-means replay, iteration by iteration ----
+
+  private val qexpr =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4096) AS BIGINT))"
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) AS BIGINT)"
+
+  /** a{i} = assignment of n under c{i-1}; c{i} = integer-mean update. */
+  private def iterSql(i: Int): String =
+    s"""a$i AS (SELECT vec_id, qv, cid FROM (
+       |  SELECT n.vec_id, n.qv, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")}, c.cid) AS rn
+       |  FROM n, c${i - 1} c) WHERE rn = 1),
+       |c$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+       |  SELECT cid, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS m FROM (
+       |    SELECT cid, i AS pos, qv[i] AS v FROM a$i, unnest(range(1, len(qv)+1)) AS u(i))
+       |  GROUP BY cid, pos) GROUP BY cid)""".stripMargin
+
+  private val oracleSql: String = {
+    val iters = (1 to KMeansIters).map(iterSql).mkString(",\n")
+    val cFinal = s"c$KMeansIters"
+    s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS n2 FROM e),
+       |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cv FROM e WHERE vec_id < $NumCentroids),
+       |$iters,
+       |idx AS (SELECT vec_id, cid FROM (
+       |  SELECT n.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")}, c.cid) AS rn
+       |  FROM n, $cFinal c) WHERE rn = 1),
+       |pr AS (SELECT vec_id AS query_id, cid FROM (
+       |  SELECT n.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")}, c.cid) AS rn
+       |  FROM n, $cFinal c WHERE n.vec_id < 10) WHERE rn <= $NumProbes),
+       |cand AS (SELECT DISTINCT pr.query_id, idx.vec_id AS neighbor_id
+       |         FROM pr JOIN idx USING (cid) WHERE idx.vec_id <> pr.query_id),
+       |p AS (SELECT cand.query_id, cand.neighbor_id,
+       |  CAST(${dotSql("x.qv", "y.qv")} AS DOUBLE)
+       |    / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS sim
+       | FROM cand JOIN n x ON x.vec_id = cand.query_id JOIN n y ON y.vec_id = cand.neighbor_id),
+       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM p)
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "v04_ann_ivf_topk" -> oracleSql)
+}
