@@ -199,6 +199,30 @@ object Relational {
       .cube(col("o_orderstatus"), col("o_orderpriority"), col("o_year"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
 
+  // Full analytic-window surface over one shuffle: lag/lead, rank/
+  // dense_rank, ntile, and a running sum share the SAME (partition,
+  // order) spec, so Catalyst evaluates all six in a single Window
+  // operator after one hash exchange — the shape to insist on at 100 TB
+  // (each distinct window spec costs its own sort/shuffle).
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") <= 300)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        ntile(4).over(w).as("quartile"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running_total"))
+  }
+
   // GROUPING SETS with hand-picked sets — the general form behind
   // rollup/cube, plus GROUPING() markers to disambiguate subtotal rows
   // from genuine NULL keys (cast to INT for a stable cross-engine type).
@@ -502,6 +526,7 @@ object Relational {
     "w02_pivot_priority" -> (pivotOrderPriority _),
     "w03_surrogate_keys" -> (surrogateKeys _),
     "w04_unpivot_priority" -> (unpivotPriority _),
+    "w05_window_suite" -> (windowSuite _),
     "x01_string_ops" -> (stringOps _),
     "x02_hemisphere_format" -> (hemisphereFormat _),
     "x03_sas_date_decode" -> (sasDateDecode _),
@@ -619,6 +644,19 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "w05_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  CAST(RANK() OVER w AS INTEGER) AS rk,
+        |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drk,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey <= 300
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "a11_cube" ->
       """WITH o AS (SELECT o_orderstatus, o_orderpriority,
         |   CAST(year(o_orderdate) AS INTEGER) AS o_year, o_totalprice FROM orders)

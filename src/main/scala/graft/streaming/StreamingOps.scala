@@ -56,7 +56,14 @@ object StreamingOps {
     * requirement for an unbounded run. Inner-join matches emit as soon
     * as both rows have arrived (append mode).
     */
-  def viewPurchaseAttribution(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+  /** With `joinType = "leftOuter"`, purchases with NO qualifying view
+    * still emit (null view_id) — but only once the watermark has passed
+    * their join window, when the engine can PROVE no match is coming;
+    * until then they sit in state. Exercised under controlled
+    * micro-batches in StreamingSpec.
+    */
+  def viewPurchaseAttribution(events: DataFrame, watermark: String = "1 hour",
+                              joinType: String = "inner"): DataFrame = {
     val base = withEventTime(events).withColumn("ts_us", expr("ts div 1000"))
     val views = base.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("t").as("v_t"))
@@ -67,7 +74,8 @@ object StreamingOps {
     purchases.join(views,
       col("p_user") === col("v_user") &&
         col("v_t") <= col("p_t") &&
-        col("v_t") >= col("p_t") - expr("INTERVAL 1 HOUR"))
+        col("v_t") >= col("p_t") - expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"))
   }
 

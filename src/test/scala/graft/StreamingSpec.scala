@@ -111,6 +111,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched rows only past the watermark") {
+    val sqlCtx = spark.sqlContext
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val events = input.toDF().toDF("event_id", "user_id", "event_type", "ts_ns")
+      .withColumn("ts", col("ts_ns"))
+      .withColumn("value", lit(0.0))
+    val q = StreamingOps.viewPurchaseAttribution(events, joinType = "leftOuter")
+      .writeStream.format("memory").queryName("ssj_outer_out")
+      .outputMode("append").start()
+    try {
+      val MinNs = 60L * 1000 * 1000 * 1000
+      val B = 10000 * MinNs
+      def rows() = spark.table("ssj_outer_out")
+        .select("purchase_id", "view_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // P1 has no view; P2 matches V — only the MATCH emits now (P1
+      // might still find a matching view until the watermark passes it)
+      input.addData(
+        (10L, 1L, "view", B),
+        (20L, 1L, "purchase", B + 30 * MinNs),
+        (21L, 2L, "purchase", B))
+      q.processAllAvailable()
+      assert(rows() == Set((20L, 10L)), s"after batch 1: ${rows()}")
+      // advance both sides' watermarks far past P1's join window, plus
+      // one more batch for the eviction to surface the null-extended row
+      input.addData(
+        (90L, 8L, "view", B + 5000 * MinNs),
+        (91L, 9L, "purchase", B + 5000 * MinNs))
+      q.processAllAvailable()
+      input.addData(
+        (92L, 8L, "view", B + 10000 * MinNs),
+        (93L, 9L, "purchase", B + 10000 * MinNs))
+      q.processAllAvailable()
+      assert(rows().contains((21L, -1L)),
+        s"unmatched purchase never emitted null-extended: ${rows()}")
+    } finally q.stop()
+  }
+
   test("streaming hourly counts equal the batch twin") {
     import org.apache.spark.sql.streaming.Trigger
     val path = Tables.path(sfDir, "events")
