@@ -104,9 +104,47 @@ object MinHash {
         levenshtein(col("pa"), col("pb")).as("prefix_edit_dist"))
   }
 
+  val LabelPropIters = 3
+
+  /** Near-dup CLUSTERS from the d04 pair graph — the step a real
+    * training pipeline runs after pair detection: group transitive
+    * near-dups and pick one canonical document per group (min doc_id).
+    *
+    * Connected components via [[LabelPropIters]] rounds of min-label
+    * propagation in pure DataFrame ops: every vertex starts as its own
+    * label; each round takes the min of its own and its neighbors'
+    * labels (one hash-agg over the symmetrized edge list per round —
+    * the bounded-iteration broadcast-free shape that scales like v04's
+    * k-means). The iteration count is FIXED, not run-to-convergence, so
+    * the DuckDB oracle replays the exact same rounds bit-for-bit; on
+    * this corpus the pair-graph diameter is < 3, so the labels ARE the
+    * true components (asserted against transitive closure in DedupSpec).
+    */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(spark, dir).select(col("id_a"), col("id_b"))
+    val edges = pairs.unionByName(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val verts = edges.select(col("id_a").as("v")).distinct()
+    val init = verts.withColumn("label", col("v"))
+    val labels = (1 to LabelPropIters).foldLeft(init) { (l, _) =>
+      val nbr = edges.join(l.withColumnRenamed("v", "id_b"), "id_b")
+        .groupBy(col("id_a").as("v")).agg(min(col("label")).as("nl"))
+      l.join(nbr, "v")
+        .select(col("v"), least(col("label"), col("nl")).as("label"))
+    }
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_members"),
+        min(col("v")).as("canonical_id"),
+        array_join(transform(array_sort(collect_list(col("v"))),
+          x => x.cast(StringType)), ",").as("members"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d04_minhash_lsh" -> (nearDupPairs _),
-    "d07_editdist_verify" -> (editDistanceVerify _))
+    "d07_editdist_verify" -> (editDistanceVerify _),
+    "d10_neardup_clusters" -> (nearDupClusters _))
 
   // Oracle = brute force: the gate checks LSH candidate RECALL at the
   // 0.5 threshold, not only the Jaccard arithmetic.
@@ -140,5 +178,33 @@ object MinHash {
         |SELECT p.id_a, p.id_b, p.jaccard,
         |  CAST(levenshtein(na.prefix, nb.prefix) AS INTEGER) AS prefix_edit_dist
         |FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
-        |WHERE p.jaccard >= 0.5""".stripMargin)
+        |WHERE p.jaccard >= 0.5""".stripMargin,
+    "d10_neardup_clusters" -> d10OracleSql)
+
+  /** Brute-force 0.5-threshold pair graph, then the SAME fixed
+    * [[LabelPropIters]] min-label rounds the Spark side runs.
+    */
+  private def d10OracleSql: String = {
+    val rounds = (1 to LabelPropIters).map { i =>
+      s"""l$i AS (SELECT l.v, least(l.label, MIN(n.label)) AS label
+         | FROM l${i - 1} l JOIN e ON e.id_a = l.v JOIN l${i - 1} n ON n.v = e.id_b
+         | GROUP BY l.v, l.label)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+       |s AS (SELECT doc_id,
+       |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+       |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       | FROM s a JOIN s b ON a.doc_id < b.doc_id
+       | WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       |e AS (SELECT id_a, id_b FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+       |l0 AS (SELECT DISTINCT id_a AS v, id_a AS label FROM e),
+       |$rounds
+       |SELECT label AS cluster_id, CAST(COUNT(*) AS INTEGER) AS n_members,
+       |  MIN(v) AS canonical_id,
+       |  array_to_string(list_transform(list_sort(list(v)), x -> CAST(x AS VARCHAR)), ',') AS members
+       |FROM l$LabelPropIters GROUP BY label ORDER BY cluster_id""".stripMargin
+  }
 }

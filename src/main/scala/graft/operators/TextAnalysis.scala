@@ -77,6 +77,24 @@ object TextAnalysis {
       (nTok >= 10 && nStop > 0).as("is_quality"))
   }
 
+  // T: training-data selection — keep documents at or above the corpus
+  // MEDIAN token count that contain at least one stopword (a typical
+  // quality gate composing a scalar aggregate with a row filter). The
+  // exact percentile is one tiny scalar aggregate broadcast back over
+  // the scan — at 100 TB swap in approx_percentile; the plan shape
+  // (broadcast scalar, no second full shuffle) stays the same.
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val w = wordsOf(lower(col("text")))
+    val scored = docs(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(tokenRegex), lit(0))).as("n_tokens"),
+      (size(filter(w, x => x.isin(stopwords: _*))) > 0).as("has_stop"))
+    val med = scored.agg(expr("percentile(n_tokens, 0.5)").as("median_tokens"))
+    scored.crossJoin(broadcast(med))
+      .filter(col("n_tokens") >= col("median_tokens") && col("has_stop"))
+      .select(col("doc_id"), col("n_tokens"), col("median_tokens"))
+  }
+
   // T: language ID — marker-stopword n-gram heuristic (argmax with fixed
   // precedence; deterministic across engines).
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -312,6 +330,7 @@ object TextAnalysis {
     "t02_quality_score" -> (qualityScore _),
     "t03_lang_id" -> (langId _),
     "t04_fingerprint" -> (fingerprint _),
+    "t05_quality_filter" -> (qualityFilter _),
     "x11_array_ops" -> (arrayOps _),
     "d01_dedup_exact" -> (dedupExact _),
     "d02_ngram_jaccard" -> (ngramJaccard _),
@@ -365,6 +384,16 @@ object TextAnalysis {
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // percentile == quantile_cont bit-exact (established by x10)
+    "t05_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id,
+         |   CAST(len(regexp_extract_all(text, '$tokenRegex')) AS INTEGER) AS n_tokens,
+         |   len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |     x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) > 0 AS has_stop
+         | FROM documents),
+         |m AS (SELECT quantile_cont(n_tokens, 0.5) AS median_tokens FROM t)
+         |SELECT doc_id, n_tokens, median_tokens
+         |FROM t, m WHERE n_tokens >= median_tokens AND has_stop""".stripMargin,
     "x11_array_ops" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)
         |SELECT doc_id,

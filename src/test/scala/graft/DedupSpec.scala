@@ -69,6 +69,27 @@ class DedupSpec extends SparkSpec {
     assert(pair.head.getAs[Int]("n_inter") == 3) // 4-gram windows shared by 101/102
   }
 
+  test("d10 fixed-round label propagation equals true connected components here") {
+    val pairs = MinHash.nearDupPairs(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reference union-find over the same pair graph
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(v => (v, find(v))).toSeq
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val got = MinHash.nearDupClusters(spark, sfDir)
+      .select("members").collect()
+      .map(_.getString(0).split(",").map(_.toLong).toSet).toSet
+    assert(got == want, s"clusters diverge: got ${got.size}, want ${want.size}")
+  }
+
   test("WordShingles expression equals the built-in zip_with formulation") {
     graft.functions.WordShingles.register(spark)
     val docs = Tables.load(spark, sfDir, "documents")
