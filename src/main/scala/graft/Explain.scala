@@ -13,9 +13,9 @@ object Explain {
     "j12_salted_join", "j13_asof_join", "a08_two_phase_distinct", "w03_surrogate_keys",
     "s11_partitioned_scan", "s12_bucketed_agg",
     "d02_ngram_jaccard", "d04_minhash_lsh", "d05_cosine_lsh",
-    "d08_ngram_jaccard_capped", "d09_simhash_text",
-    "v02_ann_lsh_topk", "v03_ann_multiprobe_topk",
-    "a11_cube", "e06_json_props",
+    "d08_ngram_jaccard_capped", "d09_simhash_text", "d10_neardup_clusters",
+    "v02_ann_lsh_topk", "v03_ann_multiprobe_topk", "v04_ann_ivf_topk",
+    "a11_cube", "w05_window_suite", "e06_json_props",
     "p11_q1", "p13_q3", "e02_sessionize")
 
   def main(args: Array[String]): Unit = {

@@ -415,6 +415,37 @@ object Relational {
       .orderBy(col("n_regionkey"))
   }
 
+  // JSON-lines round-trip — the remaining text source format: write
+  // nation as JSONL, read back with an explicit schema (inference is
+  // non-deterministic at scale), same checksum aggregate as s05 so the
+  // oracle proves the format preserved the data.
+  def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip_${Integer.toHexString(dir.hashCode)}"
+    Tables.load(spark, dir, "nation").write.mode("overwrite").json(tmp)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.read.schema(schema).json(tmp)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("max_name"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  // ORC round-trip — the second columnar format (parquet is everywhere
+  // else): write orders as ORC, read back, aggregate. ORC carries its
+  // own schema and supports the same predicate pushdown tier.
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc_roundtrip_${Integer.toHexString(dir.hashCode)}"
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // S7: staging temp views + SQL entry point (reference COPY→staging +
   // ad-hoc SQL tier): every table registered in the catalog, the query
   // itself expressed in SQL text against the views.
@@ -533,6 +564,8 @@ object Relational {
     "x05_date_part_counts" -> (datePartCounts _),
     "x10_percentile_profile" -> (percentileProfile _),
     "s05_csv_roundtrip" -> (csvRoundTrip _),
+    "s13_json_roundtrip" -> (jsonRoundTrip _),
+    "s14_orc_roundtrip" -> (orcRoundTrip _),
     "s07_sql_over_views" -> (sqlOverViews _),
     "s08_catalog_roundtrip" -> (catalogRoundTrip _),
     "s10_static_values_join" -> (staticValuesJoin _),
@@ -750,6 +783,13 @@ object Relational {
     "s05_csv_roundtrip" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations, MAX(n_name) AS max_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "s13_json_roundtrip" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations, MAX(n_name) AS max_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "s14_orc_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "s07_sql_over_views" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
