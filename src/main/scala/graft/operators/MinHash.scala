@@ -69,22 +69,25 @@ object MinHash {
   /** Near-dup pairs at Jaccard ≥ 0.5: LSH candidates, then exact Jaccard
     * on candidates only. Output shape matches the d02 baseline.
     */
-  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    // shared per-session shingled frame (see TextAnalysis.shingledDocs)
-    val docs = TextAnalysis.shingledDocs(spark, dir)
-      .select(col("doc_id"), col("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val cand = candidatePairs(docs)
-    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))
-    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    cand.join(a, "id_a").join(b, "id_b")
-      .select(col("id_a"), col("id_b"), inter.as("n_inter"),
-        (col("na") + col("nb") - inter).as("n_union"))
-      .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union"))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard"))
-  }
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    // memoized + persisted: d04's pair detection is also the input of
+    // the d07 verify stage and d10 clustering — detect once per session
+    graft.SessionCache.memo(spark, s"minhashPairs:$dir") {
+      val docs = TextAnalysis.shingledDocs(spark, dir)
+        .select(col("doc_id"), col("sh"))
+        .withColumn("n_sh", size(col("sh")))
+      val cand = candidatePairs(docs)
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))
+      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      cand.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"), inter.as("n_inter"),
+          (col("na") + col("nb") - inter).as("n_union"))
+        .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard"))
+        .persist()
+    }
 
   /** Verification stage a real dedup pipeline runs AFTER candidate
     * generation: edit distance over normalized prefixes of each
