@@ -95,6 +95,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("median_tokens"))
   }
 
+  // T: top characteristic terms per document — highest term frequency,
+  // rarest document frequency as tiebreak (an integer-only TF-IDF
+  // stand-in: no float idf, so the ranking is bit-deterministic across
+  // engines). Two hash aggregates + a join on the term, then a per-doc
+  // top-3 window — no global sort.
+  def topTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs(spark, dir)
+      .select(col("doc_id"), explode(wordsOf(lower(col("text")))).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).cast(IntegerType).as("tf"))
+    val df = tf.groupBy(col("word"))
+      .agg(count(lit(1)).cast(IntegerType).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("word"))
+    tf.join(df, "word")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("rk"))
+  }
+
+  // T: deterministic stratified sampling — the training-data selection
+  // primitive: per-language rates (en 10%, others 50%) via an
+  // md5-derived hash bucket of the doc id, so the SAME sample comes out
+  // of any engine, any partitioning, any run (sample(fraction) cannot
+  // promise that). Pure filter: no shuffle at all.
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType), lit(100L))
+    val threshold = when(col("lang") === "en", 10L).otherwise(50L)
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < threshold)
+  }
+
   // T: language ID — marker-stopword n-gram heuristic (argmax with fixed
   // precedence; deterministic across engines).
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -331,6 +367,8 @@ object TextAnalysis {
     "t03_lang_id" -> (langId _),
     "t04_fingerprint" -> (fingerprint _),
     "t05_quality_filter" -> (qualityFilter _),
+    "t06_top_terms" -> (topTerms _),
+    "t07_stratified_sample" -> (stratifiedSample _),
     "x11_array_ops" -> (arrayOps _),
     "d01_dedup_exact" -> (dedupExact _),
     "d02_ngram_jaccard" -> (ngramJaccard _),
@@ -384,6 +422,22 @@ object TextAnalysis {
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "t06_top_terms" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS INTEGER) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, CAST(COUNT(*) AS INTEGER) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |   CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |     ORDER BY tf.tf DESC, df.df ASC, tf.word) AS INTEGER) AS rk
+        | FROM tf JOIN df USING (word))
+        |SELECT doc_id, word, tf, df, rk FROM r WHERE rk <= 3""".stripMargin,
+    "t07_stratified_sample" ->
+      """SELECT doc_id, lang,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |  < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin,
     // percentile == quantile_cont bit-exact (established by x10)
     "t05_quality_filter" ->
       s"""WITH t AS (SELECT doc_id,
