@@ -202,6 +202,19 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  // E: CHAINED stateful streaming — windowed aggregation downstream of
+  // the watermarked stream-stream join (multiple stateful operators in
+  // one query). Append mode emits a window only once the global
+  // watermark (min of both sides' maxima, minus the delay) passes its
+  // end, so the oracle applies the same cutoff to the batch twin.
+  def streamAttributionHourly(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.streaming.StreamingOps
+      .attributionHourly(eventsStream(spark, dir))
+    runAvailableNow(spark, out,
+        s"e10_mem_${Integer.toHexString(dir.hashCode)}", "append")
+      .orderBy(col("hour_start"))
+  }
+
   // E: semi-structured props — JSON string column parsed with schema'd
   // from_json (single-field schema prunes the parse to just `k`), over
   // the shared repartitioned frame so the parse runs on all cores.
@@ -226,9 +239,26 @@ object Events {
     "e03_top_types_per_user" -> (topEventTypesPerUser _),
     "e04_stream_hourly" -> (streamHourly _),
     "e05_session_window" -> (sessionWindows _),
-    "e09_stream_stream_join" -> (streamStreamAttribution _))
+    "e09_stream_stream_join" -> (streamStreamAttribution _),
+    "e10_attribution_hourly" -> (streamAttributionHourly _))
 
   val oracles: Map[String, String] = Map(
+    // batch interval join + hourly rollup, cut off at the final global
+    // watermark exactly as the append-mode streaming query is: windows
+    // whose end exceeds min(max view, max purchase) - 1h are still open
+    // when the replay finishes and must not be in the result
+    "e10_attribution_hourly" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, tus AS v_us FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, tus AS p_us FROM e WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT MAX(v_us) FROM v), (SELECT MAX(p_us) FROM p)) - 3600000000 AS wm_us),
+        |j AS (SELECT p.user_id, purchase_id, view_id, p_us
+        |      FROM p JOIN v ON p.user_id = v.user_id
+        |        AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 3600000000),
+        |a AS (SELECT (p_us // 3600000000) * 3600000000 AS wstart, COUNT(*) AS n_pairs
+        |      FROM j GROUP BY 1)
+        |SELECT strftime(make_timestamp(wstart), '%Y-%m-%d %H:%M') AS hour_start, n_pairs
+        |FROM a, wm WHERE wstart + 3600000000 <= wm_us ORDER BY 1""".stripMargin,
     // the streaming join is held to the equivalent batch interval join
     "e09_stream_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),

@@ -79,6 +79,32 @@ object StreamingOps {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"))
   }
 
+  /** Chained stateful operators: hourly counts of attributed purchases
+    * — a windowed aggregation DOWNSTREAM of the watermarked
+    * stream-stream join (purchase event time carried through the join).
+    * In append mode a window only emits once the global watermark
+    * passes its end, so the last partial hour stays in state — the
+    * batch oracle must apply the same cutoff.
+    */
+  def attributionHourly(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val base = withEventTime(events).withColumn("ts_us", expr("ts div 1000"))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("t").as("v_t"))
+      .withWatermark("v_t", watermark)
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("t").as("p_t"))
+      .withWatermark("p_t", watermark)
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_t") <= col("p_t") &&
+        col("v_t") >= col("p_t") - expr("INTERVAL 1 HOUR"))
+      .groupBy(window(col("p_t"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("n_pairs"))
+  }
+
   /** Per-user session aggregate emitted when a session closes. */
   case class SessionOut(user_id: Long, n_events: Long, start_us: Long,
                         end_us: Long, total_cents: Long)
