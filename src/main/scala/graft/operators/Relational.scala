@@ -261,6 +261,29 @@ object Relational {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
   }
 
+  // SCD type-2 dimension build: each customer's order history becomes
+  // versioned rows with [effective_from, effective_to) validity — the
+  // warehouse pattern for historizing a changing dimension. One window
+  // over (key, change time): effective_to = next change's date (null =
+  // current), is_current flags the open version. Single shuffle on the
+  // key; at 100 TB this is exactly the incremental-dim rebuild shape.
+  def scd2CustomerStatus(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") <= 300)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_orderstatus"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+      .select(
+        col("o_custkey"), col("version"),
+        col("o_orderstatus").as("status"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("effective_from"),
+        date_format(col("next_date"), "yyyy-MM-dd").as("effective_to"),
+        col("next_date").isNull.as("is_current"))
+  }
+
   // Set operations (INTERSECT / EXCEPT, set semantics with dedup) —
   // beyond the reference surface: customer cohorts across two years.
   def setOpsCohorts(spark: SparkSession, dir: String): DataFrame = {
@@ -500,6 +523,31 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  // Dynamic partition pruning: the year filter lives on the DIM side of
+  // the join, not the fact scan — at planning time the fact's partition
+  // set is unknown, and Catalyst injects a runtime pruning subquery from
+  // the broadcast dim so only the matching o_year directories are read
+  // (PlanSpec asserts the dynamicpruning filter). THE star-schema scale
+  // feature: a 100 TB fact never scans partitions the dims exclude.
+  def dynamicPruning(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_orders_dpp_${Integer.toHexString(dir.hashCode)}"
+    Tables.load(spark, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    // the dim must be a SCANNED relation with a selective filter for the
+    // planner to judge pruning worthwhile — a VALUES relation gets
+    // constant-folded and its filter disappears before the DPP rule runs
+    val dimPath = s"${path}_dim"
+    spark.sql("SELECT * FROM VALUES (1995, 'target'), (1996, 'other') AS t(d_year, d_label)")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("d_label") === "target")
+    spark.read.parquet(path)
+      .join(dim, col("o_year") === col("d_year"))
+      .groupBy(col("d_label"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // Bucketed table + shuffle-free aggregation: orders written bucketed
   // by o_custkey, so the per-customer aggregate runs with ZERO exchanges
   // (the bucketing satisfies the required hash distribution). This is
@@ -570,7 +618,9 @@ object Relational {
     "s08_catalog_roundtrip" -> (catalogRoundTrip _),
     "s10_static_values_join" -> (staticValuesJoin _),
     "s11_partitioned_scan" -> (partitionedScan _),
-    "s12_bucketed_agg" -> (bucketedAgg _))
+    "s12_bucketed_agg" -> (bucketedAgg _),
+    "s15_dynamic_pruning" -> (dynamicPruning _),
+    "u02_scd2_history" -> (scd2CustomerStatus _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -790,6 +840,19 @@ object Relational {
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "s15_dynamic_pruning" ->
+      """SELECT 'target' AS d_label, o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin,
+    "u02_scd2_history" ->
+      """SELECT o_custkey,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+        |  o_orderstatus AS status,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS effective_from,
+        |  strftime(lead(o_orderdate, 1) OVER w, '%Y-%m-%d') AS effective_to,
+        |  lead(o_orderdate, 1) OVER w IS NULL AS is_current
+        |FROM orders WHERE o_custkey <= 300
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "s07_sql_over_views" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

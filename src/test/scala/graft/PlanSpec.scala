@@ -91,6 +91,14 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
   }
 
+  test("s15 fact scan carries a dynamic (runtime) partition pruning filter") {
+    val df = Relational.dynamicPruning(spark, sfDir)
+    df.collect() // force the write + the runtime subquery
+    val parts = allScans(df.queryExecution.executedPlan)
+      .map(_.metadata.getOrElse("PartitionFilters", "")).mkString
+    assert(parts.contains("dynamicpruning"), s"no dynamic pruning filter: $parts")
+  }
+
   test("bucketed aggregation runs with zero shuffle exchanges") {
     val df = Relational.bucketedAgg(spark, sfDir)
     df.collect()
