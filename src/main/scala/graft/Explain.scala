@@ -11,7 +11,7 @@ object Explain {
   val Headline: Seq[String] = Seq(
     "q01_pricing_summary", "q05_local_supplier_volume", "j10_cross_scalar_pct",
     "j12_salted_join", "j13_asof_join", "a08_two_phase_distinct", "w03_surrogate_keys",
-    "s11_partitioned_scan", "s12_bucketed_agg",
+    "s11_partitioned_scan", "s12_bucketed_agg", "s15_dynamic_pruning",
     "d02_ngram_jaccard", "d04_minhash_lsh", "d05_cosine_lsh",
     "d08_ngram_jaccard_capped", "d09_simhash_text", "d10_neardup_clusters",
     "v02_ann_lsh_topk", "v03_ann_multiprobe_topk", "v04_ann_ivf_topk",

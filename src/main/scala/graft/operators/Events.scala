@@ -215,6 +215,24 @@ object Events {
       .orderBy(col("hour_start"))
   }
 
+  // E: funnel conversion — per-user FIRST view/purchase instants in one
+  // conditional aggregate (no self-join), then one global rollup:
+  // how many users viewed, purchased, and converted (first purchase at
+  // or after first view). Two tiny shuffles; the per-user frame is the
+  // classic map-side-combinable shape.
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = eventsUs(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("first_view_us"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("first_purchase_us"))
+    perUser.agg(
+      count(col("first_view_us")).as("n_users_view"),
+      count(col("first_purchase_us")).as("n_users_purchase"),
+      count(when(col("first_purchase_us") >= col("first_view_us"), lit(1)))
+        .as("n_converted"))
+  }
+
   // E: semi-structured props — JSON string column parsed with schema'd
   // from_json (single-field schema prunes the parse to just `k`), over
   // the shared repartitioned frame so the parse runs on all cores.
@@ -240,9 +258,18 @@ object Events {
     "e04_stream_hourly" -> (streamHourly _),
     "e05_session_window" -> (sessionWindows _),
     "e09_stream_stream_join" -> (streamStreamAttribution _),
-    "e10_attribution_hourly" -> (streamAttributionHourly _))
+    "e10_attribution_hourly" -> (streamAttributionHourly _),
+    "e11_funnel_conversion" -> (funnelConversion _))
 
   val oracles: Map[String, String] = Map(
+    "e11_funnel_conversion" ->
+      """WITH u AS (SELECT user_id,
+        |   MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END) AS fv,
+        |   MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS fp
+        | FROM events GROUP BY user_id)
+        |SELECT COUNT(fv) AS n_users_view, COUNT(fp) AS n_users_purchase,
+        |  COUNT(CASE WHEN fp >= fv THEN 1 END) AS n_converted
+        |FROM u""".stripMargin,
     // batch interval join + hourly rollup, cut off at the final global
     // watermark exactly as the append-mode streaming query is: windows
     // whose end exceeds min(max view, max purchase) - 1h are still open
