@@ -438,6 +438,21 @@ object Relational {
       .orderBy(col("n_regionkey"))
   }
 
+  // Datetime-arithmetic surface: add_months / last_day / date_trunc /
+  // datediff / day-of-week over order dates — all codegen'd built-ins,
+  // emitted as formatted strings / integers for cross-engine compare.
+  def dateArithmetic(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_3m"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd").as("quarter_start"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).as("days_since_95"),
+        dayofweek(col("o_orderdate")).as("dow"))
+
   // JSON-lines round-trip — the remaining text source format: write
   // nation as JSONL, read back with an explicit schema (inference is
   // non-deterministic at scale), same checksum aggregate as s05 so the
@@ -610,6 +625,7 @@ object Relational {
     "x02_hemisphere_format" -> (hemisphereFormat _),
     "x03_sas_date_decode" -> (sasDateDecode _),
     "x05_date_part_counts" -> (datePartCounts _),
+    "x12_date_arithmetic" -> (dateArithmetic _),
     "x10_percentile_profile" -> (percentileProfile _),
     "s05_csv_roundtrip" -> (csvRoundTrip _),
     "s13_json_roundtrip" -> (jsonRoundTrip _),
@@ -824,6 +840,16 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         | CAST(month(o_orderdate) AS INTEGER) AS o_month, COUNT(*) AS n_orders
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday
+    "x12_date_arithmetic" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+        |  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since_95,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
+        |FROM orders WHERE o_orderkey <= 2000""".stripMargin,
     "x10_percentile_profile" ->
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.5) AS p50_qty,
