@@ -59,9 +59,15 @@ object Bench {
     println(line)
     // also persist to a file: the driver captures only the stdout tail,
     // and round 2's bench record lost its header + 18 timings to log
-    // truncation — the file survives regardless
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    // truncation — the file survives regardless. Best-effort: a
+    // non-writable cwd must not fail a bench whose queries all passed.
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
+    SessionCache.clear(spark)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -1,26 +1,40 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Per-session memo for built-once persisted frames (the events base
-  * frame, the pipeline staging/star tables).
+  * frame, the shingled docs, the pipeline staging/star tables).
   *
-  * Weak-keyed by SparkSession so short-lived sessions (test suites spin
-  * up many) don't pin their cached blocks and session references for
-  * the JVM lifetime — when the session is no longer reachable the entry
-  * (and with it the only strong reference to its persisted frames) is
-  * collectable, and Spark's ContextCleaner reclaims the blocks.
+  * Retention contract: entries hold their frames (and thus the session)
+  * strongly until [[clear]] — a weak map cannot help here, because the
+  * cached DataFrames themselves reference their SparkSession, which
+  * would pin weak keys forever. The harness mains call [[clear]] before
+  * `spark.stop()` so persisted blocks are explicitly released; a
+  * process that skips clear() retains at most its own session's frames,
+  * which die with the JVM.
   */
 object SessionCache {
   private val maps =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Any]]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, scala.collection.mutable.Map[String, Any]]()
 
-  /** Build-once-per-(session, key); the build runs under the map lock,
-    * which is fine here — builders only declare plans and call persist
-    * (lazy), they don't run jobs.
+  /** Build-once-per-(session, key); builders only declare plans and call
+    * persist (lazy), so running them under computeIfAbsent is safe.
     */
-  def memo[T](s: SparkSession, key: String)(build: => T): T = maps.synchronized {
+  def memo[T](s: SparkSession, key: String)(build: => T): T = {
     val m = maps.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty[String, Any])
-    m.getOrElseUpdate(key, build).asInstanceOf[T]
+    m.synchronized { m.getOrElseUpdate(key, build).asInstanceOf[T] }
+  }
+
+  /** Unpersist every cached frame of the session (recursing into tuples
+    * and case classes like the pipeline's Staging/Star holders) and drop
+    * its entries.
+    */
+  def clear(s: SparkSession): Unit =
+    Option(maps.remove(s)).foreach(_.values.foreach(unpersistAll))
+
+  private def unpersistAll(v: Any): Unit = v match {
+    case df: DataFrame => df.unpersist(); ()
+    case p: Product => p.productIterator.foreach(unpersistAll)
+    case _ => ()
   }
 }

@@ -56,6 +56,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/_status.json"), jsonObj(status))
     val nFail = status.count(_._2 != "ok")
     println(s"[verify] DONE ok=${status.size - nFail} FAILED=$nFail")
+    SessionCache.clear(spark)
     spark.stop()
   }
 }

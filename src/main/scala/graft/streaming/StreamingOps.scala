@@ -54,17 +54,17 @@ object StreamingOps {
     * event-time range, so the state store keeps each buffered view only
     * until `watermark − 1 h` passes it — bounded state per side, the
     * requirement for an unbounded run. Inner-join matches emit as soon
-    * as both rows have arrived (append mode).
-    */
-  /** With `joinType = "leftOuter"`, purchases with NO qualifying view
-    * still emit (null view_id) — but only once the watermark has passed
-    * their join window, when the engine can PROVE no match is coming;
-    * until then they sit in state. Exercised under controlled
-    * micro-batches in StreamingSpec.
+    * as both rows have arrived (append mode). With
+    * `joinType = "leftOuter"`, purchases with NO qualifying view still
+    * emit (null view_id) — but only once the watermark has passed their
+    * join window, when the engine can PROVE no match is coming; until
+    * then they sit in state (exercised under controlled micro-batches in
+    * StreamingSpec). The output keeps the watermarked purchase time
+    * `p_t` so further stateful operators can chain on it.
     */
   def viewPurchaseAttribution(events: DataFrame, watermark: String = "1 hour",
                               joinType: String = "inner"): DataFrame = {
-    val base = withEventTime(events).withColumn("ts_us", expr("ts div 1000"))
+    val base = withEventTime(events)
     val views = base.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("t").as("v_t"))
       .withWatermark("v_t", watermark)
@@ -76,34 +76,23 @@ object StreamingOps {
         col("v_t") <= col("p_t") &&
         col("v_t") >= col("p_t") - expr("INTERVAL 1 HOUR"),
       joinType)
-      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"), col("p_t"))
   }
 
   /** Chained stateful operators: hourly counts of attributed purchases
-    * — a windowed aggregation DOWNSTREAM of the watermarked
-    * stream-stream join (purchase event time carried through the join).
-    * In append mode a window only emits once the global watermark
-    * passes its end, so the last partial hour stays in state — the
-    * batch oracle must apply the same cutoff.
+    * — a windowed aggregation DOWNSTREAM of [[viewPurchaseAttribution]]
+    * (the purchase event time carried through the join). In append mode
+    * a window only emits once the global watermark passes its end, so
+    * the last partial hour stays in state — the batch oracle must apply
+    * the same cutoff.
     */
-  def attributionHourly(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
-    val base = withEventTime(events).withColumn("ts_us", expr("ts div 1000"))
-    val views = base.filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("t").as("v_t"))
-      .withWatermark("v_t", watermark)
-    val purchases = base.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("t").as("p_t"))
-      .withWatermark("p_t", watermark)
-    purchases.join(views,
-      col("p_user") === col("v_user") &&
-        col("v_t") <= col("p_t") &&
-        col("v_t") >= col("p_t") - expr("INTERVAL 1 HOUR"))
+  def attributionHourly(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    viewPurchaseAttribution(events, watermark)
       .groupBy(window(col("p_t"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n_pairs"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
         col("n_pairs"))
-  }
 
   /** Per-user session aggregate emitted when a session closes. */
   case class SessionOut(user_id: Long, n_events: Long, start_us: Long,
