@@ -215,6 +215,23 @@ object Events {
       .orderBy(col("hour_start"))
   }
 
+  // E: weekly cohort retention — users bucketed by first-active week,
+  // counted at each week offset they return. Two hash aggregates and
+  // one equi-join on user_id; the dedup before the final count keeps a
+  // user from inflating an offset with repeat events.
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val WeekUs = 7L * 24 * 3600 * 1000 * 1000
+    val ev = eventsUs(spark, dir)
+      .select(col("user_id"), expr(s"ts_us div $WeekUs").as("week"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort"), (col("week") - col("cohort")).as("offset"))
+      .distinct()
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("offset"))
+  }
+
   // E: funnel conversion — per-user FIRST view/purchase instants in one
   // conditional aggregate (no self-join), then one global rollup:
   // how many users viewed, purchased, and converted (first purchase at
@@ -259,9 +276,17 @@ object Events {
     "e05_session_window" -> (sessionWindows _),
     "e09_stream_stream_join" -> (streamStreamAttribution _),
     "e10_attribution_hourly" -> (streamAttributionHourly _),
-    "e11_funnel_conversion" -> (funnelConversion _))
+    "e11_funnel_conversion" -> (funnelConversion _),
+    "e12_cohort_retention" -> (cohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "e12_cohort_retention" ->
+      """WITH x AS (SELECT user_id, epoch_ns(ts) // 1000 // 604800000000 AS week FROM events),
+        |f AS (SELECT user_id, MIN(week) AS cohort FROM x GROUP BY 1),
+        |d AS (SELECT DISTINCT x.user_id, f.cohort, x.week - f.cohort AS "offset"
+        |      FROM x JOIN f USING (user_id))
+        |SELECT cohort, "offset", COUNT(*) AS n_users
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e11_funnel_conversion" ->
       """WITH u AS (SELECT user_id,
         |   MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END) AS fv,

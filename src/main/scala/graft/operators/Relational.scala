@@ -180,6 +180,26 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("o_orderstatus"))
 
+  // Conditional aggregation — the FILTER-clause surface: per-nation
+  // order stats split by status/priority predicates in ONE pass over
+  // the join (no per-predicate re-scan), the idiom that replaces N
+  // separate filtered aggregations at 100 TB.
+  def conditionalAggs(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count_if(col("o_orderstatus") === "F").as("n_finished"),
+        count_if(col("o_orderpriority") === "1-URGENT").as("n_urgent"),
+        sum(when(col("o_orderstatus") === "F",
+            col("o_totalprice").cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("finished_total"))
+      .orderBy(col("c_nationkey"))
+  }
+
   // Rollup (hierarchical subtotals + grand total) — beyond the reference
   // surface, single pass via Expand.
   def rollupCounts(spark: SparkSession, dir: String): DataFrame =
@@ -614,6 +634,7 @@ object Relational {
     "a09_rollup" -> (rollupCounts _),
     "a11_cube" -> (cubeCounts _),
     "a12_grouping_sets" -> (groupingSets _),
+    "a13_conditional_aggs" -> (conditionalAggs _),
     "a10_set_ops" -> (setOpsCohorts _),
     "a07_dedup_keep_first" -> (dedupFirstOrder _),
     "w01_window_group_avg" -> (windowGroupAvg _),
@@ -743,6 +764,13 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "a13_conditional_aggs" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_finished,
+        |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS finished_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "w05_window_suite" ->
       """SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
