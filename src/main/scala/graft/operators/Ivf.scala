@@ -71,8 +71,11 @@ object Ivf {
   def annTopKIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = CosineLsh.quantized(spark, dir)
     // the trained frame feeds BOTH the index assignment and the probe
-    // ranking — persist or the whole Lloyd lineage runs twice
-    val c = centroids(emb).persist()
+    // ranking — persist (via SessionCache, so clear() can release it and
+    // repeat calls train once) or the whole Lloyd lineage runs twice
+    val c = graft.SessionCache.memo(spark, s"ivfCentroids:$dir") {
+      centroids(emb).persist()
+    }
     val index = assign(emb, c).select(col("vec_id"), col("cid"))
     val cost = LongArrayDot.dot(col("cv"), col("cv")) -
       lit(2L) * LongArrayDot.dot(col("qv"), col("cv"))

@@ -124,23 +124,28 @@ object MinHash {
     * true components (asserted against transitive closure in DedupSpec).
     */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = nearDupPairs(spark, dir).select(col("id_a"), col("id_b"))
     // persist the edge list and each round's labels: every round
     // references its inputs twice, so an unpersisted lineage re-runs the
     // whole LSH pair detection 2^rounds times — the standard iterative-
     // algorithm rule (checkpoint/cache between iterations) that GraphX
-    // bakes in
-    val edges = pairs.unionByName(
-        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .persist()
+    // bakes in. Registered through SessionCache so the frames are both
+    // built once per session and released by SessionCache.clear().
+    val edges = graft.SessionCache.memo(spark, s"d10edges:$dir") {
+      val pairs = nearDupPairs(spark, dir).select(col("id_a"), col("id_b"))
+      pairs.unionByName(
+          pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .persist()
+    }
     val verts = edges.select(col("id_a").as("v")).distinct()
     val init = verts.withColumn("label", col("v"))
-    val labels = (1 to LabelPropIters).foldLeft(init) { (l, _) =>
-      val nbr = edges.join(l.withColumnRenamed("v", "id_b"), "id_b")
-        .groupBy(col("id_a").as("v")).agg(min(col("label")).as("nl"))
-      l.join(nbr, "v")
-        .select(col("v"), least(col("label"), col("nl")).as("label"))
-        .persist()
+    val labels = (1 to LabelPropIters).foldLeft(init) { (l, i) =>
+      graft.SessionCache.memo(spark, s"d10labels$i:$dir") {
+        val nbr = edges.join(l.withColumnRenamed("v", "id_b"), "id_b")
+          .groupBy(col("id_a").as("v")).agg(min(col("label")).as("nl"))
+        l.join(nbr, "v")
+          .select(col("v"), least(col("label"), col("nl")).as("label"))
+          .persist()
+      }
     }
     labels.groupBy(col("label").as("cluster_id"))
       .agg(

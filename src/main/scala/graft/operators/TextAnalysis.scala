@@ -294,8 +294,7 @@ object TextAnalysis {
   val SimHashMaxHamming = 3
 
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.load(spark, dir, "documents")
-      .repartition(col("doc_id"))
+    val words = docs(spark, dir)
       .select(col("doc_id"), explode(array_distinct(wordsOf(col("text")))).as("word"))
     val hashed = words.select(col("doc_id"),
       conv(substring(md5(col("word")), 1, 15), 16, 10).cast(LongType).as("h"))

@@ -21,9 +21,10 @@ object PipelineQueries {
   /** Staging + star frames, built once per session and persisted — the
     * honest execution model (a real pipeline materializes staging once;
     * queries run over the materialized tables), and it keeps 13 driver
-    * queries from re-running the CSV preps 13 times. Weak-keyed via
-    * [[graft.SessionCache]] so test-suite sessions don't pin their
-    * cached blocks for the JVM lifetime.
+    * queries from re-running the CSV preps 13 times. Held in
+    * [[graft.SessionCache]] — released when the owning main calls
+    * `SessionCache.clear(session)` at shutdown (see its retention
+    * contract; the frames are NOT freed implicitly).
     */
   private def built(s: SparkSession): (Pipeline.Staging, StarSchema.Star) =
     graft.SessionCache.memo(s, "pipeline") {
