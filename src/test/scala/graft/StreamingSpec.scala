@@ -151,6 +151,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained join+window agg holds a window open until the watermark passes it") {
+    val sqlCtx = spark.sqlContext
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val events = input.toDF().toDF("event_id", "user_id", "event_type", "ts_ns")
+      .withColumn("ts", col("ts_ns"))
+      .withColumn("value", lit(0.0))
+    val q = StreamingOps.attributionHourly(events).writeStream
+      .format("memory").queryName("attr_hourly_out").outputMode("append").start()
+    try {
+      val MinNs = 60L * 1000 * 1000 * 1000
+      val B = 12000 * MinNs // hour-aligned base (12000 min = 200 h)
+      // one attributed pair inside hour [B, B+60min)
+      input.addData(
+        (10L, 1L, "view", B),
+        (20L, 1L, "purchase", B + 30 * MinNs))
+      q.processAllAvailable()
+      // watermark is still inside the window -> nothing emitted yet
+      assert(spark.table("attr_hourly_out").count() == 0,
+        "window emitted before the watermark passed it")
+      // advance BOTH sides far past the window end
+      input.addData(
+        (90L, 8L, "view", B + 5000 * MinNs),
+        (91L, 9L, "purchase", B + 5000 * MinNs))
+      q.processAllAvailable()
+      val rows = spark.table("attr_hourly_out")
+        .select("hour_start", "n_pairs").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows.exists(_._2 == 1L), s"finalized window missing: $rows")
+    } finally q.stop()
+  }
+
   test("streaming hourly counts equal the batch twin") {
     import org.apache.spark.sql.streaming.Trigger
     val path = Tables.path(sfDir, "events")
