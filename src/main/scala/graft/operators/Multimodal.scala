@@ -101,10 +101,29 @@ object Multimodal {
         md5(col("content")).as("content_md5"))
       .orderBy(col("file_name"))
 
+  /** Container-header field parse in pure SQL over the binary payload:
+    * the leading bytes read as big-endian integers via hex slicing
+    * (magic tag = bytes 1-4, second field = bytes 5-8) — the declarative
+    * complement to the mapPartitions decoders, for formats whose header
+    * fields are worth predicate-pushing on before any decode runs.
+    */
+  def headerFields(spark: SparkSession, dir: String): DataFrame = {
+    val bin = encode(col("text"), "UTF-8")
+    val hx = hex(bin)
+    Tables.load(spark, dir, "documents")
+      .filter(octet_length(encode(col("text"), "UTF-8")) >= 8)
+      .select(
+        col("doc_id"),
+        conv(substring(hx, 1, 8), 16, 10).cast("long").as("tag_be"),
+        conv(substring(hx, 9, 8), 16, 10).cast("long").as("field2_be"),
+        octet_length(bin).as("n_bytes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m02_fake_decode" -> (decodeQuery _),
     "m03_frame_sample" -> (frameQuery _),
-    "m04_binary_ingest" -> (binaryIngest _))
+    "m04_binary_ingest" -> (binaryIngest _),
+    "m05_header_fields" -> (headerFields _))
 
   val oracles: Map[String, String] = Map(
     "m02_fake_decode" ->
@@ -121,6 +140,12 @@ object Multimodal {
         |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
         |  md5(text || '#' || i) AS frame_hash
         |FROM n, unnest(range(n_frames)) AS u(i)""".stripMargin,
+    "m05_header_fields" ->
+      """SELECT doc_id,
+        | CAST(('0x' || substring(hex(encode(text)), 1, 8)) AS BIGINT) AS tag_be,
+        | CAST(('0x' || substring(hex(encode(text)), 9, 8)) AS BIGINT) AS field2_be,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        |FROM documents WHERE octet_length(encode(text)) >= 8""".stripMargin,
     // decode(), not CAST: casting a blob to VARCHAR escapes bytes
     "m04_binary_ingest" ->
       """SELECT regexp_extract(filename, '[^/]+$', 0) AS file_name,

@@ -180,6 +180,38 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("o_orderstatus"))
 
+  // Correlated EXISTS subquery (TPC-H Q4 shape): orders in a quarter
+  // with at least one line shipped >60 days after ordering, counted per
+  // priority. Catalyst decorrelates the EXISTS into a left-semi hash
+  // join — the plan to expect at scale, never a per-row subquery probe.
+  def orderPriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders_q4")
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders_q4
+        |WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem_q4
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  // String-function breadth over the customer dim — pad/translate/
+  // repeat/ascii/locate, all codegen'd built-ins with exact DuckDB
+  // equivalents.
+  def stringFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") <= 500)
+      .select(
+        col("c_custkey"),
+        lpad(col("c_mktsegment"), 12, ".").as("seg_lpad"),
+        rpad(col("c_mktsegment"), 12, "_").as("seg_rpad"),
+        translate(col("c_name"), "#0", "_O").as("name_translated"),
+        repeat(substring(col("c_mktsegment"), 1, 2), 3).as("seg_repeat"),
+        ascii(col("c_mktsegment")).as("seg_ascii"),
+        locate("E", col("c_mktsegment")).as("e_pos"))
+
   // Conditional aggregation — the FILTER-clause surface: per-nation
   // order stats split by status/priority predicates in ONE pass over
   // the join (no per-predicate re-scan), the idiom that replaces N
@@ -619,6 +651,8 @@ object Relational {
     "q03_shipping_priority" -> (shippingPriority _),
     "q05_local_supplier_volume" -> (localSupplierVolume _),
     "q06_forecast_revenue" -> (forecastRevenue _),
+    "q04_priority_check" -> (orderPriorityCheck _),
+    "x13_string_functions" -> (stringFunctions _),
     "f01_filter_project" -> (filterProject _),
     "f05_null_cleaning" -> (nullCleaning _),
     "f07_conjunctive_filter" -> (conjunctiveFilter _),
@@ -869,6 +903,23 @@ object Relational {
         | CAST(month(o_orderdate) AS INTEGER) AS o_month, COUNT(*) AS n_orders
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday
+    "q04_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "x13_string_functions" ->
+      """SELECT c_custkey,
+        |  lpad(c_mktsegment, 12, '.') AS seg_lpad,
+        |  rpad(c_mktsegment, 12, '_') AS seg_rpad,
+        |  translate(c_name, '#0', '_O') AS name_translated,
+        |  repeat(substring(c_mktsegment, 1, 2), 3) AS seg_repeat,
+        |  CAST(ascii(c_mktsegment) AS INTEGER) AS seg_ascii,
+        |  CAST(strpos(c_mktsegment, 'E') AS INTEGER) AS e_pos
+        |FROM customer WHERE c_custkey <= 500""".stripMargin,
     "x12_date_arithmetic" ->
       """SELECT o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS d,
