@@ -64,17 +64,23 @@ object Events {
     * long-lived production query with high key cardinality keeps it
     * high, a bounded replay wants it low.
     */
-  private def runAvailableNow(spark: SparkSession, out: DataFrame,
+  private def runAvailableNow(spark: SparkSession, build: SparkSession => DataFrame,
                               sinkName: String, mode: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = out.writeStream.format("memory").queryName(sinkName)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(sinkName)
+    // The override must not touch the CALLER's conf: shuffle.partitions
+    // is session-global, so setting it around the start would silently
+    // re-plan any query compiled concurrently in the same session. Plan
+    // the stream on a child session instead — shared SparkContext (and
+    // thus the same spark.sql.* builder conf: extensions, UTC timezone,
+    // nanosAsLong), isolated SQLConf, so the override cannot escape.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = build(s).writeStream.format("memory").queryName(sinkName)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the memory sink registers its view in the session that started the
+    // query; the returned frame stays valid for the caller (same context)
+    s.table(sinkName)
   }
 
   // E: tumbling-window aggregation via Spark's `window()` operator
@@ -128,12 +134,11 @@ object Events {
   // parquet, StreamingOps.hourlyCounts plan, Trigger.AvailableNow into a
   // memory sink (complete mode: no watermark eviction on replay, so the
   // result equals the batch twin and shares e01's oracle shape).
-  def streamHourly(spark: SparkSession, dir: String): DataFrame = {
-    val out = graft.streaming.StreamingOps.hourlyCounts(eventsStream(spark, dir))
-    runAvailableNow(spark, out,
+  def streamHourly(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(spark,
+        s => graft.streaming.StreamingOps.hourlyCounts(eventsStream(s, dir)),
         s"e04_mem_${Integer.toHexString(dir.hashCode)}", "complete")
       .orderBy(col("hour_start"), col("event_type"))
-  }
 
   // E: built-in session windows (gap-merged event-time sessions) — the
   // declarative alternative to e02's lag/running-sum formulation; same
@@ -172,17 +177,17 @@ object Events {
   // static customer dim (broadcast per micro-batch), aggregated per
   // segment; complete mode + AvailableNow replay makes the result equal
   // the batch join, which is what the oracle checks.
-  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.load(spark, dir, "customer")
-    val out = eventsStream(spark, dir)
-      .join(broadcast(cust), col("user_id") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
-    runAvailableNow(spark, out,
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(spark, { s =>
+        eventsStream(s, dir)
+          .join(broadcast(Tables.load(s, dir, "customer")),
+            col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      },
         s"e08_mem_${Integer.toHexString(dir.hashCode)}", "complete")
       .orderBy(col("c_mktsegment"))
-  }
 
   // E: stream-STREAM join — the events stream self-joined (views vs
   // purchases) with watermarks on both sides and a time-range predicate
@@ -191,9 +196,9 @@ object Events {
   // below is a batch query over the sink table. Oracle = the equivalent
   // batch interval join, which AvailableNow replay must reproduce.
   def streamStreamAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val joined = graft.streaming.StreamingOps
-      .viewPurchaseAttribution(eventsStream(spark, dir))
-    runAvailableNow(spark, joined,
+    runAvailableNow(spark,
+        s => graft.streaming.StreamingOps
+          .viewPurchaseAttribution(eventsStream(s, dir)),
         s"e09_mem_${Integer.toHexString(dir.hashCode)}", "append")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -207,13 +212,12 @@ object Events {
   // one query). Append mode emits a window only once the global
   // watermark (min of both sides' maxima, minus the delay) passes its
   // end, so the oracle applies the same cutoff to the batch twin.
-  def streamAttributionHourly(spark: SparkSession, dir: String): DataFrame = {
-    val out = graft.streaming.StreamingOps
-      .attributionHourly(eventsStream(spark, dir))
-    runAvailableNow(spark, out,
+  def streamAttributionHourly(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(spark,
+        s => graft.streaming.StreamingOps
+          .attributionHourly(eventsStream(s, dir)),
         s"e10_mem_${Integer.toHexString(dir.hashCode)}", "append")
       .orderBy(col("hour_start"))
-  }
 
   // E: weekly cohort retention — users bucketed by first-active week,
   // counted at each week offset they return. Two hash aggregates and

@@ -20,6 +20,14 @@ import graft.Tables
   */
 object Relational {
 
+  /** Scratch-dir tag: keyed by (input dir, JVM pid) so two concurrent
+    * harness mains (e.g. Bench and Verify over the same scale dir) can
+    * never race on overwrite-while-read of a shared tmp directory.
+    * Within one JVM the tag is stable, so re-running a query reuses its
+    * own scratch dir instead of leaking a new one per call. */
+  private def tmpTag(dir: String): String =
+    s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
   /** Exact, order-independent sum of a money-like double column. */
@@ -477,7 +485,7 @@ object Relational {
   def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     // per-input-dir unique path under the system temp dir — no repo
     // absolute path, no cross-run collision on a shared machine
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip_${Integer.toHexString(dir.hashCode)}"
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip_${tmpTag(dir)}"
     val src = Tables.load(spark, dir, "nation")
     src.write.mode("overwrite").option("header", "true").csv(tmp)
     val schema = StructType(Seq(
@@ -510,7 +518,7 @@ object Relational {
   // non-deterministic at scale), same checksum aggregate as s05 so the
   // oracle proves the format preserved the data.
   def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip_${Integer.toHexString(dir.hashCode)}"
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip_${tmpTag(dir)}"
     Tables.load(spark, dir, "nation").write.mode("overwrite").json(tmp)
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
@@ -526,7 +534,7 @@ object Relational {
   // else): write orders as ORC, read back, aggregate. ORC carries its
   // own schema and supports the same predicate pushdown tier.
   def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc_roundtrip_${Integer.toHexString(dir.hashCode)}"
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc_roundtrip_${tmpTag(dir)}"
     Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .write.mode("overwrite").orc(tmp)
@@ -554,7 +562,7 @@ object Relational {
   // query over the re-read final table.
   def catalogRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val db = "graft_wh"
-    val loc = s"${sys.props("java.io.tmpdir")}/graft_wh_${Integer.toHexString(dir.hashCode)}"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_wh_${tmpTag(dir)}"
     // the session catalog is in-memory: a fresh session won't know about
     // files a previous process left at the location — wipe them so the
     // managed-table CREATE below is reproducible
@@ -579,7 +587,7 @@ object Relational {
   // back with a partition filter — `.explain` shows PartitionFilters
   // with only the matching directory scanned.
   def partitionedScan(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_orders_byyear_${Integer.toHexString(dir.hashCode)}"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_orders_byyear_${tmpTag(dir)}"
     Tables.load(spark, dir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(path)
@@ -597,7 +605,7 @@ object Relational {
   // (PlanSpec asserts the dynamicpruning filter). THE star-schema scale
   // feature: a 100 TB fact never scans partitions the dims exclude.
   def dynamicPruning(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_orders_dpp_${Integer.toHexString(dir.hashCode)}"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_orders_dpp_${tmpTag(dir)}"
     Tables.load(spark, dir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(path)
@@ -622,7 +630,7 @@ object Relational {
   // time, every keyed agg/join after that is exchange-free.
   def bucketedAgg(spark: SparkSession, dir: String): DataFrame = {
     val db = "graft_whb"
-    val loc = s"${sys.props("java.io.tmpdir")}/graft_whb_${Integer.toHexString(dir.hashCode)}"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_whb_${tmpTag(dir)}"
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     graft.Fs.rmTree(new java.io.File(loc))
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
