@@ -347,6 +347,102 @@ object TextAnalysis {
        |FROM cand WHERE bit_count(xor(sa, sb)) <= $SimHashMaxHamming""".stripMargin
   }
 
+  // ---- T: PII redaction -----------------------------------------------
+  // Scrub emails / phone numbers / IPv4 addresses before training — a
+  // compliance pass every corpus pipeline runs. The synthetic documents
+  // carry no natural PII, so the query plants a deterministic contact
+  // line derived from doc_id (both engines build the same input — the
+  // operator under test is the redaction, not the data): the regexes
+  // stay inside RE2 ∩ java.util.regex (no backreferences, no lookaround)
+  // so Spark and DuckDB match identically. Pure per-row codegen'd
+  // string work — no shuffle, scales linearly.
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PhoneRe = """\b555-[0-9]{4}\b"""
+  private val Ipv4Re = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val synth = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast(StringType), lit("@example.com call 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"),
+      lit(" from 10."), pmod(col("doc_id"), lit(256)).cast(StringType),
+      lit(".0."), pmod(col("doc_id"), lit(100)).cast(StringType), lit(" end"))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(synth, EmailRe, "[EMAIL]"),
+          Ipv4Re, "[IP]"),
+        PhoneRe, "[PHONE]")
+    val residual = regexp_count(col("redacted"), lit(EmailRe)) +
+      regexp_count(col("redacted"), lit(PhoneRe)) +
+      regexp_count(col("redacted"), lit(Ipv4Re))
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(synth, lit(EmailRe)).cast(IntegerType).as("n_emails"),
+        regexp_count(synth, lit(PhoneRe)).cast(IntegerType).as("n_phones"),
+        regexp_count(synth, lit(Ipv4Re)).cast(IntegerType).as("n_ips"),
+        redacted.as("redacted"))
+      .withColumn("n_residual", residual.cast(IntegerType))
+  }
+
+  // ---- T: repetition-ratio quality signal -----------------------------
+  // Gopher-style repetitiousness: the fraction of duplicate words and
+  // duplicate word-3-grams per document (1 − distinct/total). Boilerplate
+  // and degenerate generations score high and get dropped before
+  // training. Per-row array arithmetic only — the ratios are quotients
+  // of integers both engines compute bit-identically.
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val w = wordsOf(col("text"))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(w).as("n_words"),
+        size(array_distinct(w)).as("n_distinct_words"),
+        size(shingles3(col("text"))).as("n_distinct_grams"))
+      .filter(col("n_words") >= 3)
+      .withColumn("n_grams", col("n_words") - 2)
+      .select(
+        col("doc_id"), col("n_words"), col("n_distinct_words"),
+        col("n_grams"), col("n_distinct_grams"),
+        (lit(1.0) - col("n_distinct_words").cast(DoubleType) / col("n_words"))
+          .as("dup_word_ratio"),
+        (lit(1.0) - col("n_distinct_grams").cast(DoubleType) / col("n_grams"))
+          .as("dup_gram_ratio"))
+  }
+
+  // ---- D: benchmark-contamination scan --------------------------------
+  // Decontamination: flag training documents whose 3-gram shingles
+  // overlap a held-out benchmark set (here the deterministic 5% slice
+  // doc_id % 20 == 0 stands in for an eval suite). The benchmark's
+  // distinct-shingle table is tiny relative to the corpus — broadcast
+  // it; the corpus side explodes its postings once, inner-joins the
+  // broadcast (no shuffle of corpus rows), and aggregates hit counts
+  // per doc. The join back onto the shingled base is co-partitioned on
+  // doc_id. At 100 TB the corpus never shuffles: only per-doc hit
+  // counts do.
+  val ContaminationBenchMod = 20
+  val ContaminationFlagRatio = 0.5
+
+  def contaminationScan(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = shingledDocs(spark, dir)
+    val isBench = pmod(col("doc_id"), lit(ContaminationBenchMod)) === 0
+    val benchShingles = shingled.filter(isBench)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val hits = shingled.filter(!isBench)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_hit"))
+    shingled.filter(!isBench)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0)).as("n_hit"))
+      .withColumn("contamination", col("n_hit").cast(DoubleType) / col("n_sh"))
+      .withColumn("is_contaminated", col("contamination") >= ContaminationFlagRatio)
+  }
+
   // S: multimodal binary-column plumbing — text bytes as an opaque
   // binary payload with typed metadata (byte length, content hash,
   // magic-prefix). The per-partition decode/feature step is
@@ -368,6 +464,9 @@ object TextAnalysis {
     "t05_quality_filter" -> (qualityFilter _),
     "t06_top_terms" -> (topTerms _),
     "t07_stratified_sample" -> (stratifiedSample _),
+    "t08_pii_redact" -> (piiRedact _),
+    "t09_repetition_ratio" -> (repetitionRatio _),
+    "d11_contamination" -> (contaminationScan _),
     "x11_array_ops" -> (arrayOps _),
     "d01_dedup_exact" -> (dedupExact _),
     "d02_ngram_jaccard" -> (ngramJaccard _),
@@ -488,6 +587,59 @@ object TextAnalysis {
          |SELECT id_a, id_b, n_inter, na + nb - n_inter AS n_union,
          |  CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
          |FROM j WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.05""".stripMargin,
+    "t08_pii_redact" ->
+      s"""WITH s AS (SELECT doc_id,
+         |   text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com call 555-' ||
+         |   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |   ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         |   CAST(doc_id % 100 AS VARCHAR) || ' end' AS synth
+         | FROM documents),
+         |r AS (SELECT doc_id, synth,
+         |   regexp_replace(regexp_replace(regexp_replace(synth,
+         |     '$EmailRe', '[EMAIL]', 'g'),
+         |     '$Ipv4Re', '[IP]', 'g'),
+         |     '$PhoneRe', '[PHONE]', 'g') AS redacted
+         | FROM s)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(synth, '$EmailRe')) AS INTEGER) AS n_emails,
+         | CAST(len(regexp_extract_all(synth, '$PhoneRe')) AS INTEGER) AS n_phones,
+         | CAST(len(regexp_extract_all(synth, '$Ipv4Re')) AS INTEGER) AS n_ips,
+         | redacted,
+         | CAST(len(regexp_extract_all(redacted, '$EmailRe'))
+         |   + len(regexp_extract_all(redacted, '$PhoneRe'))
+         |   + len(regexp_extract_all(redacted, '$Ipv4Re')) AS INTEGER) AS n_residual
+         |FROM r""".stripMargin,
+    "t09_repetition_ratio" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |g AS (SELECT doc_id, len(words) AS n_words,
+        |   len(list_distinct(words)) AS n_distinct_words,
+        |   len(list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+        |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS n_distinct_grams
+        | FROM w)
+        |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+        | CAST(n_distinct_words AS INTEGER) AS n_distinct_words,
+        | CAST(n_words - 2 AS INTEGER) AS n_grams,
+        | CAST(n_distinct_grams AS INTEGER) AS n_distinct_grams,
+        | 1.0 - CAST(n_distinct_words AS DOUBLE) / n_words AS dup_word_ratio,
+        | 1.0 - CAST(n_distinct_grams AS DOUBLE) / (n_words - 2) AS dup_gram_ratio
+        |FROM g WHERE n_words >= 3""".stripMargin,
+    "d11_contamination" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+         |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+         | FROM w WHERE len(words) >= 3),
+         |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s
+         |          WHERE doc_id % $ContaminationBenchMod = 0),
+         |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s
+         |      WHERE doc_id % $ContaminationBenchMod <> 0),
+         |h AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_hit
+         |      FROM p JOIN bench USING (shingle) GROUP BY 1)
+         |SELECT s.doc_id, CAST(len(s.sh) AS INTEGER) AS n_sh,
+         | COALESCE(h.n_hit, 0) AS n_hit,
+         | CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(s.sh) AS contamination,
+         | CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(s.sh) >= $ContaminationFlagRatio AS is_contaminated
+         |FROM s LEFT JOIN h ON s.doc_id = h.doc_id
+         |WHERE s.doc_id % $ContaminationBenchMod <> 0""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

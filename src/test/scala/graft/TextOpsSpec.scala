@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Semantics tests for the round-4 text/dedup additions: PII redaction
+  * (t08), repetition ratio (t09), contamination scan (d11). The oracle
+  * gate proves cross-engine equality; these pin the operator semantics
+  * themselves (redaction completeness, hand-computed ratios, hit-count
+  * bounds) independent of DuckDB.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  test("t08 redaction scrubs every planted PII token") {
+    val out = TextAnalysis.piiRedact(spark, sfDir).cache()
+    val n = out.count()
+    assert(n > 0)
+    // every row planted exactly one email, one phone, one IPv4 …
+    assert(out.filter(col("n_emails") === 1 && col("n_phones") === 1 &&
+      col("n_ips") === 1).count() == n)
+    // … and the redacted text carries none of the three patterns
+    assert(out.filter(col("n_residual") =!= 0).count() == 0)
+    val sample = out.orderBy(col("doc_id")).select(col("redacted")).head().getString(0)
+    assert(sample.contains("[EMAIL]") && sample.contains("[PHONE]") && sample.contains("[IP]"))
+    assert(!sample.contains("@example.com"))
+    out.unpersist()
+  }
+
+  test("t09 repetition ratios match a hand computation") {
+    val out = TextAnalysis.repetitionRatio(spark, sfDir).cache()
+    // bounds: ratios live in [0, 1)
+    assert(out.filter(col("dup_word_ratio") < 0 || col("dup_word_ratio") >= 1).count() == 0)
+    assert(out.filter(col("dup_gram_ratio") < 0 || col("dup_gram_ratio") >= 1).count() == 0)
+    // spot-check the smallest doc_id against plain Scala collections
+    val row = out.orderBy(col("doc_id")).head()
+    val docId = row.getLong(0)
+    val text = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") === docId).select(col("text")).head().getString(0)
+    val words = text.trim.split("\\s+").toSeq
+    val grams = words.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+    assert(row.getAs[Int]("n_words") == words.size)
+    assert(row.getAs[Int]("n_distinct_words") == words.distinct.size)
+    assert(row.getAs[Int]("n_grams") == grams.size)
+    assert(row.getAs[Int]("n_distinct_grams") == grams.distinct.size)
+    assert(row.getAs[Double]("dup_word_ratio") ==
+      1.0 - words.distinct.size.toDouble / words.size)
+    out.unpersist()
+  }
+
+  test("d11 contamination: bench docs excluded, hit counts bounded and exact") {
+    val out = TextAnalysis.contaminationScan(spark, sfDir).cache()
+    assert(out.count() > 0)
+    // the benchmark slice itself never appears in the output
+    assert(out.filter(pmod(col("doc_id"), lit(TextAnalysis.ContaminationBenchMod)) === 0)
+      .count() == 0)
+    // hits can never exceed the doc's own shingle count
+    assert(out.filter(col("n_hit") > col("n_sh")).count() == 0)
+    // recompute one doc's hit count via array_intersect against the
+    // collected benchmark set (test-only collect; independent path)
+    val shingled = TextAnalysis.shingledDocs(spark, sfDir)
+    val bench = shingled
+      .filter(pmod(col("doc_id"), lit(TextAnalysis.ContaminationBenchMod)) === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val probe = out.orderBy(col("contamination").desc, col("doc_id")).head()
+    val probeSh = shingled.filter(col("doc_id") === probe.getLong(0))
+      .select(col("sh")).head().getSeq[String](0)
+    assert(probe.getAs[Int]("n_hit") == probeSh.count(bench.contains))
+    out.unpersist()
+  }
+}
