@@ -219,6 +219,91 @@ object Events {
         s"e10_mem_${Integer.toHexString(dir.hashCode)}", "append")
       .orderBy(col("hour_start"))
 
+  // E: foreachBatch incremental upsert — the streaming SINK-maintenance
+  // pattern: each micro-batch folds into a persistent per-user summary
+  // table (latest event + running totals) instead of a memory sink.
+  // State lives as versioned parquet (write-new-then-swap — a batch must
+  // never overwrite the directory it is reading), and the merge is a
+  // pure aggregate both directions: per-batch rows and the previous
+  // state round-trip through the SAME [[upsertMerge]], so associativity
+  // is by construction and the final table equals the one-shot batch
+  // aggregate (the oracle). At scale the same loop writes a keyed Delta/
+  // Iceberg MERGE; parquet versions keep it dependency-free here.
+
+  /** Merge rows of shape (user_id, n_events, total_dec, last_ts_us,
+    * last_event_id, last_event_type) — single rows and prior summaries
+    * alike: counts add, exact DECIMAL totals add, and the latest event
+    * wins by (ts_us, event_id), which is a strict total order because
+    * event ids are unique.
+    */
+  private[graft] def upsertMerge(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        sum(col("total_dec")).cast(DecimalType(18, 2)).as("total_dec"),
+        max_by(
+          struct(col("last_ts_us"), col("last_event_id"), col("last_event_type")),
+          struct(col("last_ts_us"), col("last_event_id"))).as("last"))
+      .select(col("user_id"), col("n_events"), col("total_dec"),
+        col("last.last_ts_us").as("last_ts_us"),
+        col("last.last_event_id").as("last_event_id"),
+        col("last.last_event_type").as("last_event_type"))
+
+  /** Raw events → the upsertMerge row shape (one summary row per event). */
+  private[graft] def upsertRows(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id"),
+      lit(1L).as("n_events"),
+      col("value").cast(DecimalType(18, 2)).as("total_dec"),
+      expr("ts div 1000").as("last_ts_us"),
+      col("event_id").as("last_event_id"),
+      col("event_type").as("last_event_type"))
+
+  /** Drive a streaming events frame through foreachBatch upsert
+    * maintenance; returns the final state table (versioned under
+    * stateBase). Runs on a child session so the low shuffle-partition
+    * override stays scoped (same contract as runAvailableNow).
+    */
+  private[graft] def runIncrementalUpsert(stream: DataFrame, stateBase: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.Fs.rmTree(new java.io.File(stateBase))
+    @volatile var current: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = upsertMerge(upsertRows(batch))
+        val merged = current match {
+          case None => delta
+          case Some(prev) =>
+            upsertMerge(batch.sparkSession.read.parquet(prev).unionByName(delta))
+        }
+        val out = s"$stateBase/v$batchId"
+        merged.write.mode("overwrite").parquet(out)
+        current = Some(out)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sess = stream.sparkSession
+    current match {
+      case Some(p) => sess.read.parquet(p)
+      case None => upsertMerge(upsertRows(
+        sess.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          stream.schema)))
+    }
+  }
+
+  def incrementalUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val stateBase = s"${sys.props("java.io.tmpdir")}/graft_e13_state_" +
+      s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    runIncrementalUpsert(eventsStream(s, dir), stateBase)
+      .select(
+        col("user_id"), col("n_events"),
+        col("total_dec").cast(DoubleType).as("total_value"),
+        col("last_ts_us"), col("last_event_id"), col("last_event_type"))
+      .orderBy(col("user_id"))
+  }
+
   // E: weekly cohort retention — users bucketed by first-active week,
   // counted at each week offset they return. Two hash aggregates and
   // one equi-join on user_id; the dedup before the final count keeps a
@@ -281,9 +366,25 @@ object Events {
     "e09_stream_stream_join" -> (streamStreamAttribution _),
     "e10_attribution_hourly" -> (streamAttributionHourly _),
     "e11_funnel_conversion" -> (funnelConversion _),
-    "e12_cohort_retention" -> (cohortRetention _))
+    "e12_cohort_retention" -> (cohortRetention _),
+    "e13_incremental_upsert" -> (incrementalUpsert _))
 
   val oracles: Map[String, String] = Map(
+    // the one-shot batch aggregate the incremental foreachBatch
+    // maintenance must converge to
+    "e13_incremental_upsert" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |agg AS (SELECT user_id, COUNT(*) AS n_events,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |  FROM e GROUP BY 1),
+        |l AS (SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+        |    event_type AS last_event_type
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
+        |  WHERE rn = 1)
+        |SELECT agg.user_id, n_events, total_value, last_ts_us, last_event_id, last_event_type
+        |FROM agg JOIN l ON agg.user_id = l.user_id ORDER BY agg.user_id""".stripMargin,
     "e12_cohort_retention" ->
       """WITH x AS (SELECT user_id, epoch_ns(ts) // 1000 // 604800000000 AS week FROM events),
         |f AS (SELECT user_id, MIN(week) AS cohort FROM x GROUP BY 1),
