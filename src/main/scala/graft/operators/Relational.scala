@@ -99,6 +99,78 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  // TPC-H Q7 analogue: bilateral shipping volume between two nations by
+  // ship year. Two broadcast copies of the nation dim (supplier side /
+  // customer side) with the pair filter pushed into each copy, so the
+  // big three-way fact join never carries rows outside the two nations.
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_18", "NATION_19")
+    val nation = Tables.load(spark, dir, "nation")
+      .filter(col("n_name").isin(pair: _*))
+    val suppNation = nation.select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val custNation = nation.select(
+      col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  // TPC-H Q10 analogue: top customers by revenue lost to returned items.
+  // The returnflag filter reaches the lineitem scan; the nation dim is
+  // broadcast; the top-20 is a bounded sort after a per-customer
+  // aggregate whose key count is already small.
+  def returnedItems(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  // Moment statistics from exact sums: mean / variance / stddev derived
+  // from DECIMAL Σx and Σx² (both exact), divided as doubles — the only
+  // cross-engine-deterministic way to publish second moments (built-in
+  // stddev/var aggregate in non-deterministic float order would not
+  // hash-match any oracle). One pass, map-side combine.
+  def momentStats(spark: SparkSession, dir: String): DataFrame = {
+    val n = count(lit(1))
+    val sumDec = sum(dec(col("o_totalprice")))
+    val sumSq = sum(dec(col("o_totalprice")) * dec(col("o_totalprice")))
+    val mean = sumDec.cast(DoubleType) / n
+    val variance = sumSq.cast(DoubleType) / n - mean * mean
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        n.as("n_orders"),
+        sumDec.cast(DoubleType).as("total"),
+        mean.as("mean_price"),
+        // Σx² grows past 2^53, and the engines' wide-DECIMAL→double
+        // conversions round that last ulp differently; publishing the
+        // moments rounded far above ulp scale (0.01 ≫ one ulp of 1e10)
+        // restores bit equality without losing statistical meaning
+        round(variance, 2).as("var_price"),
+        round(sqrt(variance), 4).as("stddev_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // A6-shaped scalar aggregate (TPC-H Q6 analogue) — single-row result.
   def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
@@ -660,6 +732,9 @@ object Relational {
     "q05_local_supplier_volume" -> (localSupplierVolume _),
     "q06_forecast_revenue" -> (forecastRevenue _),
     "q04_priority_check" -> (orderPriorityCheck _),
+    "q07_volume_shipping" -> (volumeShipping _),
+    "q10_returned_items" -> (returnedItems _),
+    "x14_moment_stats" -> (momentStats _),
     "x13_string_functions" -> (stringFunctions _),
     "f01_filter_project" -> (filterProject _),
     "f05_null_cleaning" -> (nullCleaning _),
@@ -738,6 +813,46 @@ object Relational {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q07_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM (SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |        CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |        l_extendedprice, l_discount
+        |      FROM lineitem
+        |        JOIN orders ON l_orderkey = o_orderkey
+        |        JOIN customer ON o_custkey = c_custkey
+        |        JOIN supplier ON l_suppkey = s_suppkey
+        |        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |      WHERE ns.n_name IN ('NATION_18','NATION_19')
+        |        AND nc.n_name IN ('NATION_18','NATION_19')
+        |        AND ns.n_name <> nc.n_name) t
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "x14_moment_stats" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_price,
+        | round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |   - (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        |     * (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)), 2) AS var_price,
+        | round(sqrt(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |   - (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        |     * (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))), 4) AS stddev_price,
+        | min(o_totalprice) AS min_price,
+        | max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q06_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem

@@ -74,13 +74,52 @@ object VectorSearch {
       .filter(col("sim") >= 0.4)
   }
 
+  /** v05: per-label centroid of the quantized embeddings — the group
+    * aggregation primitive behind IVF coarse-quantizer training (v04
+    * iterates exactly this) and class prototypes. posexplode fans each
+    * vector into (label, dim, value) rows; ONE hash aggregate with
+    * map-side combine reduces them, so the shuffle carries labels ×
+    * dims rows, never vectors × dims. The centroid is re-assembled in
+    * dim order; sums stay exact integers (published as a joined string
+    * — nested arrays don't hash-compare portably), and the only double
+    * published is dim 0's mean, an identical division in both engines.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.load(spark, dir, "embeddings")
+      .select(col("label"), posexplode(quantize(col("embedding"))))
+      .withColumnRenamed("col", "v")
+    dims.groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("n")).as("n_vecs"), // every dim sees all of the label's vectors
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+            e => e.getField("s").cast(StringType)), ",").as("centroid_sums"),
+        max(when(col("pos") === 0, col("s"))).as("dim0_sum"))
+      .withColumn("dim0_mean", col("dim0_sum").cast(DoubleType) / col("n_vecs"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_ann_bruteforce_topk" -> (annBruteForce _),
+    "v05_label_centroids" -> (labelCentroids _),
     "d03_dedup_embedding" -> (dedupEmbedding _))
 
   private val qexpr = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4096) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    "v05_label_centroids" ->
+      s"""WITH e AS (SELECT label, $qexpr AS qv FROM embeddings),
+         |d AS (SELECT label, i-1 AS pos, qv[i] AS v
+         |      FROM e, unnest(range(1, len(qv)+1)) AS u(i)),
+         |g AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS n
+         |      FROM d GROUP BY 1, 2)
+         |SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+         | string_agg(CAST(s AS VARCHAR), ',' ORDER BY pos) AS centroid_sums,
+         | CAST(MAX(CASE WHEN pos = 0 THEN s END) AS BIGINT) AS dim0_sum,
+         | CAST(MAX(CASE WHEN pos = 0 THEN s END) AS DOUBLE) / MAX(n) AS dim0_mean
+         |FROM g GROUP BY label ORDER BY label""".stripMargin,
     "v01_ann_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
          |n AS (SELECT vec_id, qv,
