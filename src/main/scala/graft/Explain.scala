@@ -16,7 +16,10 @@ object Explain {
     "d08_ngram_jaccard_capped", "d09_simhash_text", "d10_neardup_clusters",
     "v02_ann_lsh_topk", "v03_ann_multiprobe_topk", "v04_ann_ivf_topk",
     "a11_cube", "w05_window_suite", "e06_json_props",
-    "p11_q1", "p13_q3", "e02_sessionize")
+    "p11_q1", "p13_q3", "e02_sessionize",
+    "q07_volume_shipping", "q10_returned_items", "j15_aqe_skew_join",
+    "s16_bloom_filter_join", "d11_contamination", "v05_label_centroids",
+    "t09_repetition_ratio")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -695,6 +695,27 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  // Runtime Bloom-filter join pruning: the selective dim-side filter is
+  // turned into a bloom_filter_might_contain predicate INJECTED on the
+  // fact side before its shuffle (InjectRuntimeFilter), so rows that
+  // cannot join are dropped at the scan instead of being shuffled —
+  // the row-level sibling of s15's dynamic PARTITION pruning, and the
+  // second runtime-filtering pillar for a 100 TB fact table. The MERGE
+  // hint keeps the join sort-merge (a broadcast join needs no bloom);
+  // injection fires when the application side clears the size
+  // threshold — production-sized on the driver's session, scaled down
+  // in PlanSpec, identical results either way (oracle = plain join).
+  def bloomFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    Tables.load(spark, dir, "lineitem")
+      .join(urgent.hint("MERGE"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast(LongType).as("total_qty"))
+      .orderBy(col("l_linestatus"))
+  }
+
   // Bucketed table + shuffle-free aggregation: orders written bucketed
   // by o_custkey, so the per-customer aggregate runs with ZERO exchanges
   // (the bucketing satisfies the required hash distribution). This is
@@ -773,6 +794,7 @@ object Relational {
     "s10_static_values_join" -> (staticValuesJoin _),
     "s11_partitioned_scan" -> (partitionedScan _),
     "s12_bucketed_agg" -> (bucketedAgg _),
+    "s16_bloom_filter_join" -> (bloomFilterJoin _),
     "s15_dynamic_pruning" -> (dynamicPruning _),
     "u02_scd2_history" -> (scd2CustomerStatus _))
 
@@ -1093,6 +1115,12 @@ object Relational {
       """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
         |WHERE year(o_orderdate) = 1995
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "s16_bloom_filter_join" ->
+      """SELECT l_linestatus, COUNT(*) AS n_items,
+        | CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "s12_bucketed_agg" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

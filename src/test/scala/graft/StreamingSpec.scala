@@ -197,4 +197,47 @@ class StreamingSpec extends SparkSpec {
     val batch = graft.operators.Events.tumblingHourly(spark, sfDir)
     assertSameRows(spark.table("hourly_out"), batch)
   }
+
+  test("full-outer stream-stream join null-extends BOTH sides past the watermark") {
+    val sqlCtx = spark.sqlContext
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val events = input.toDF().toDF("event_id", "user_id", "event_type", "ts_ns")
+      .withColumn("ts", col("ts_ns"))
+      .withColumn("value", lit(0.0))
+    val q = StreamingOps.viewPurchaseAttribution(events, joinType = "fullOuter")
+      .writeStream.format("memory").queryName("ssj_full_out")
+      .outputMode("append").start()
+    try {
+      val MinNs = 60L * 1000 * 1000 * 1000
+      val B = 20000 * MinNs
+      def rows() = spark.table("ssj_full_out")
+        .select("purchase_id", "view_id").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // V10 matches P20; V11 (user 3) and P21 (user 2) have no partner
+      input.addData(
+        (10L, 1L, "view", B),
+        (11L, 3L, "view", B),
+        (20L, 1L, "purchase", B + 30 * MinNs),
+        (21L, 2L, "purchase", B))
+      q.processAllAvailable()
+      assert(rows() == Set((20L, 10L)), s"after batch 1: ${rows()}")
+      // push both watermarks far past the join window, then one more
+      // batch so eviction surfaces the null-extended rows of BOTH sides
+      input.addData(
+        (90L, 8L, "view", B + 5000 * MinNs),
+        (91L, 9L, "purchase", B + 5000 * MinNs))
+      q.processAllAvailable()
+      input.addData(
+        (92L, 8L, "view", B + 10000 * MinNs),
+        (93L, 9L, "purchase", B + 10000 * MinNs))
+      q.processAllAvailable()
+      assert(rows().contains((21L, -1L)),
+        s"unmatched purchase not null-extended: ${rows()}")
+      assert(rows().contains((-1L, 11L)),
+        s"unmatched view not null-extended: ${rows()}")
+    } finally q.stop()
+  }
 }
