@@ -331,6 +331,26 @@ object Relational {
       .cube(col("o_orderstatus"), col("o_orderpriority"), col("o_year"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
 
+  // RANGE-framed window: per-customer trailing-30-day order totals —
+  // the event-time sliding aggregate expressed as a window frame over
+  // an integer day key (w05's frames are ROWS; RANGE differs exactly
+  // when peers tie on the order key, which this data has). One
+  // exchange + sort per (partition, order) spec, frame evaluation is
+  // streaming within the sort — scale cost identical to any analytic
+  // window. DECIMAL running sums keep the doubles bit-identical.
+  def rangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-29, 0)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), to_date(lit("1990-01-01"))).as("day"),
+        dec(col("o_totalprice")).as("p"))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        sum(col("p")).over(w).cast(DoubleType).as("sum_30d"),
+        count(lit(1)).over(w).as("n_30d"))
+  }
+
   // Full analytic-window surface over one shuffle: lag/lead, rank/
   // dense_rank, ntile, and a running sum share the SAME (partition,
   // order) spec, so Catalyst evaluates all six in a single Window
@@ -780,6 +800,7 @@ object Relational {
     "w03_surrogate_keys" -> (surrogateKeys _),
     "w04_unpivot_priority" -> (unpivotPriority _),
     "w05_window_suite" -> (windowSuite _),
+    "w06_range_window" -> (rangeWindow _),
     "x01_string_ops" -> (stringOps _),
     "x02_hemisphere_format" -> (hemisphereFormat _),
     "x03_sas_date_decode" -> (sasDateDecode _),
@@ -950,6 +971,16 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS finished_total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "w06_range_window" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey,
+        |   CAST(datediff('day', DATE '1990-01-01', o_orderdate) AS INTEGER) AS day,
+        |   CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
+        |SELECT o_orderkey, o_custkey, day,
+        | CAST(SUM(p) OVER (PARTITION BY o_custkey ORDER BY day
+        |   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d,
+        | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day
+        |   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS n_30d
+        |FROM t""".stripMargin,
     "w05_window_suite" ->
       """SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,

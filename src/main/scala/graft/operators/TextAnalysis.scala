@@ -410,6 +410,32 @@ object TextAnalysis {
           .as("dup_gram_ratio"))
   }
 
+  // ---- T: bigram vocabulary induction ---------------------------------
+  // Corpus-wide adjacent-token-pair counts, top-50 — the counting core
+  // of one BPE merge round (tokenizer training: the highest-count pair
+  // is the next merge). Bigrams keep EVERY occurrence (no distinct —
+  // frequency is the signal); zip_with over shifted slices evaluates
+  // the split once per row (the interpreted-lambda trap notes on
+  // shingles3 apply). One explode + one map-side-combined hash
+  // aggregate; the top-k is a bounded sort over the merged counts.
+  def bigramVocab(spark: SparkSession, dir: String): DataFrame = {
+    val w = wordsOf(lower(col("text")))
+    val n = size(w)
+    val bigrams = zip_with(
+      slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
+      (a, b) => concat_ws(" ", a, b))
+    docs(spark, dir)
+      .filter(n >= 2)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("bigram"))
+      .limit(50)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occ").desc, col("bigram"))))
+  }
+
   // ---- D: benchmark-contamination scan --------------------------------
   // Decontamination: flag training documents whose 3-gram shingles
   // overlap a held-out benchmark set (here the deterministic 5% slice
@@ -466,6 +492,7 @@ object TextAnalysis {
     "t07_stratified_sample" -> (stratifiedSample _),
     "t08_pii_redact" -> (piiRedact _),
     "t09_repetition_ratio" -> (repetitionRatio _),
+    "t10_bigram_vocab" -> (bigramVocab _),
     "d11_contamination" -> (contaminationScan _),
     "x11_array_ops" -> (arrayOps _),
     "d01_dedup_exact" -> (dedupExact _),
@@ -623,6 +650,16 @@ object TextAnalysis {
         | 1.0 - CAST(n_distinct_words AS DOUBLE) / n_words AS dup_word_ratio,
         | 1.0 - CAST(n_distinct_grams AS DOUBLE) / (n_words - 2) AS dup_gram_ratio
         |FROM g WHERE n_words >= 3""".stripMargin,
+    "t10_bigram_vocab" ->
+      """WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS words
+        |  FROM documents WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        |b AS (SELECT unnest(list_transform(range(1, len(words)),
+        |   i -> words[i] || ' ' || words[i+1])) AS bigram FROM w),
+        |c AS (SELECT bigram, COUNT(*) AS n_occ FROM b GROUP BY 1
+        |      ORDER BY n_occ DESC, bigram LIMIT 50)
+        |SELECT bigram, n_occ,
+        | CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, bigram) AS INTEGER) AS rk
+        |FROM c""".stripMargin,
     "d11_contamination" ->
       s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
          |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
