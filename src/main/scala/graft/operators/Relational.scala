@@ -419,7 +419,9 @@ object Relational {
   // over (key, change time): effective_to = next change's date (null =
   // current), is_current flags the open version. Single shuffle on the
   // key; at 100 TB this is exactly the incremental-dim rebuild shape.
-  def scd2CustomerStatus(spark: SparkSession, dir: String): DataFrame = {
+  /** SCD2 version intervals with native timestamps — shared by the
+    * history dump (u02) and the point-in-time lookup (u03). */
+  private def scd2Versions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.load(spark, dir, "orders")
@@ -428,12 +430,41 @@ object Relational {
         col("o_orderdate"), col("o_orderstatus"))
       .withColumn("version", row_number().over(w))
       .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+  }
+
+  def scd2CustomerStatus(spark: SparkSession, dir: String): DataFrame =
+    scd2Versions(spark, dir)
       .select(
         col("o_custkey"), col("version"),
         col("o_orderstatus").as("status"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("effective_from"),
         date_format(col("next_date"), "yyyy-MM-dd").as("effective_to"),
         col("next_date").isNull.as("is_current"))
+
+  // SCD2 point-in-time lookup: each line-item shipment resolves the
+  // customer-status version effective ON ITS SHIP DATE — the standard
+  // dimensional-warehouse probe against a versioned dim. Equi-join on
+  // the customer key carries the validity-range predicate as a cheap
+  // post-join filter; version fan-out per key is bounded (a customer's
+  // version count), so the join stays a plain hash/sort-merge equi-join
+  // at any scale — no interval machinery needed when the dim's history
+  // per key is small, which is what SCD2 guarantees.
+  def scd2PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Versions(spark, dir).select(
+      col("o_custkey").as("v_custkey"), col("version"),
+      col("o_orderstatus").as("status"),
+      col("o_orderdate").as("from_d"), col("next_date").as("to_d"))
+    val probes = Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") <= 300)
+      .join(Tables.load(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    probes.join(dim,
+        col("o_custkey") === col("v_custkey") &&
+          col("l_shipdate") >= col("from_d") &&
+          (col("to_d").isNull || col("l_shipdate") < col("to_d")))
+      .select(col("o_custkey"), col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        col("version"), col("status"))
   }
 
   // Set operations (INTERSECT / EXCEPT, set semantics with dedup) —
@@ -817,7 +848,8 @@ object Relational {
     "s12_bucketed_agg" -> (bucketedAgg _),
     "s16_bloom_filter_join" -> (bloomFilterJoin _),
     "s15_dynamic_pruning" -> (dynamicPruning _),
-    "u02_scd2_history" -> (scd2CustomerStatus _))
+    "u02_scd2_history" -> (scd2CustomerStatus _),
+    "u03_scd2_point_in_time" -> (scd2PointInTime _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1125,6 +1157,19 @@ object Relational {
       """SELECT 'target' AS d_label, o_orderpriority, COUNT(*) AS n_orders
         |FROM orders WHERE year(o_orderdate) = 1995
         |GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin,
+    "u03_scd2_point_in_time" ->
+      """WITH v AS (SELECT o_custkey, CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+        |    o_orderstatus AS status, o_orderdate AS from_d,
+        |    lead(o_orderdate, 1) OVER w AS to_d
+        |  FROM orders WHERE o_custkey <= 300
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |p AS (SELECT o_custkey, l_orderkey, l_linenumber, l_shipdate
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey <= 300)
+        |SELECT p.o_custkey, l_orderkey, l_linenumber,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date, version, status
+        |FROM p JOIN v ON p.o_custkey = v.o_custkey
+        |  AND l_shipdate >= from_d AND (to_d IS NULL OR l_shipdate < to_d)""".stripMargin,
     "u02_scd2_history" ->
       """SELECT o_custkey,
         |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
