@@ -19,7 +19,8 @@ object Explain {
     "p11_q1", "p13_q3", "e02_sessionize",
     "q07_volume_shipping", "q10_returned_items", "j15_aqe_skew_join",
     "s16_bloom_filter_join", "d11_contamination", "v05_label_centroids",
-    "t09_repetition_ratio")
+    "t09_repetition_ratio", "t10_bigram_vocab", "w06_range_window",
+    "u03_scd2_point_in_time")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

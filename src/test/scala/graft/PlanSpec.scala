@@ -122,4 +122,27 @@ class PlanSpec extends SparkSpec {
     // id=2: [2,3]·[4,3] = 17
     assert(df.filter(col("d") === 17L).count() == 1)
   }
+
+  test("q10 pushes the returnflag filter to the scan and broadcasts dims") {
+    val df = Relational.returnedItems(spark, sfDir)
+    val lineitemScan = allScans(df.queryExecution.executedPlan)
+      .find(_.metadata("Location").contains("lineitem")).get
+    assert(lineitemScan.metadata("PushedFilters").contains("EqualTo(l_returnflag,R)"),
+      lineitemScan.metadata("PushedFilters"))
+    assert(df.queryExecution.executedPlan.toString().contains("BroadcastHashJoin"))
+  }
+
+  test("d11 contamination joins via broadcast, never a cartesian product") {
+    val plan = graft.operators.TextAnalysis.contaminationScan(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("w06 range window costs exactly one exchange") {
+    val plan = Relational.rangeWindow(spark, sfDir).queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size +
+      "Exchange rangepartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"$exchanges exchanges in:\n$plan")
+  }
 }
