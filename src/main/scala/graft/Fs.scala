@@ -13,4 +13,13 @@ object Fs {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete(); ()
   }
+
+  /** Scratch-dir tag keyed by (input dir, JVM pid): two concurrent
+    * harness mains (e.g. Bench and Verify over the same scale dir) can
+    * never race on overwrite-while-read of a shared tmp directory, while
+    * within one JVM the tag is stable so a re-run reuses its own scratch
+    * dir instead of leaking a new one per call.
+    */
+  def tmpTag(dir: String): String =
+    s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
 }

@@ -18,6 +18,12 @@ object Verify {
       case Array(s, o)    => (s, o, Option.empty[Set[String]])
       case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
     }
+    // a typo'd subset name must not produce an empty "ok=0 FAILED=0"
+    // run that reads like a pass
+    only.map(_ -- SparkEntry.queries.keySet).filter(_.nonEmpty).foreach { unknown =>
+      System.err.println(s"[verify] unknown query names: ${unknown.toSeq.sorted.mkString(",")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -292,8 +292,8 @@ object Events {
   }
 
   def incrementalUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val stateBase = s"${sys.props("java.io.tmpdir")}/graft_e13_state_" +
-      s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+    val stateBase =
+      s"${sys.props("java.io.tmpdir")}/graft_e13_state_${graft.Fs.tmpTag(dir)}"
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "4")
     runIncrementalUpsert(eventsStream(s, dir), stateBase)

@@ -20,13 +20,7 @@ import graft.Tables
   */
 object Relational {
 
-  /** Scratch-dir tag: keyed by (input dir, JVM pid) so two concurrent
-    * harness mains (e.g. Bench and Verify over the same scale dir) can
-    * never race on overwrite-while-read of a shared tmp directory.
-    * Within one JVM the tag is stable, so re-running a query reuses its
-    * own scratch dir instead of leaking a new one per call. */
-  private def tmpTag(dir: String): String =
-    s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+  private def tmpTag(dir: String): String = graft.Fs.tmpTag(dir)
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
@@ -153,19 +147,28 @@ object Relational {
     val sumDec = sum(dec(col("o_totalprice")))
     val sumSq = sum(dec(col("o_totalprice")) * dec(col("o_totalprice")))
     val mean = sumDec.cast(DoubleType) / n
-    val variance = sumSq.cast(DoubleType) / n - mean * mean
+    // clamp: catastrophic cancellation can push a (near-)constant
+    // group's variance to a tiny negative, where DuckDB's sqrt ERRORS
+    // (killing the whole oracle query) while Spark returns NaN
+    val variance = greatest(
+      sumSq.cast(DoubleType) / n - mean * mean, lit(0.0))
+    // Σx² grows past 2^53, and the engines' wide-DECIMAL→double
+    // conversions round that last ulp differently, so the published
+    // moments are quantized far above ulp scale. floor(x·s + 0.5)/s,
+    // NOT round(): Spark's round() re-rounds via the decimal STRING
+    // (HALF_UP on the shortest representation) while DuckDB rounds the
+    // binary value — they disagree on half-boundary doubles. The
+    // floor form is pure double arithmetic, bit-identical everywhere.
+    def halfUp(c: Column, scale: Double): Column =
+      floor(c * scale + 0.5) / scale
     Tables.load(spark, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(
         n.as("n_orders"),
         sumDec.cast(DoubleType).as("total"),
         mean.as("mean_price"),
-        // Σx² grows past 2^53, and the engines' wide-DECIMAL→double
-        // conversions round that last ulp differently; publishing the
-        // moments rounded far above ulp scale (0.01 ≫ one ulp of 1e10)
-        // restores bit equality without losing statistical meaning
-        round(variance, 2).as("var_price"),
-        round(sqrt(variance), 4).as("stddev_price"),
+        halfUp(variance, 100.0).as("var_price"),
+        halfUp(sqrt(variance), 10000.0).as("stddev_price"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"))
       .orderBy(col("o_orderpriority"))
@@ -919,12 +922,12 @@ object Relational {
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_price,
-        | round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        | floor(greatest(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |   - (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
-        |     * (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)), 2) AS var_price,
-        | round(sqrt(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |     * (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)), 0.0) * 100.0 + 0.5) / 100.0 AS var_price,
+        | floor(sqrt(greatest(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |   - (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
-        |     * (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))), 4) AS stddev_price,
+        |     * (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)), 0.0)) * 10000.0 + 0.5) / 10000.0 AS stddev_price,
         | min(o_totalprice) AS min_price,
         | max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

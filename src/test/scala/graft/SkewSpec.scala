@@ -26,7 +26,7 @@ class SkewSpec extends SparkSpec {
     // before skew detection sees them
     s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 
-    val skewDir = "/root/testdata/sf0.01"
+    val skewDir = sf01Dir
     val df = Skew.aqeSkewJoin(s, skewDir)
     df.collect() // execute so the adaptive plan is final
     val plan = df.queryExecution.executedPlan.toString()

@@ -14,6 +14,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** sf0.001 testdata dir — the smoke-scale fixtures. */
   val sfDir = "/root/testdata/sf0.001"
 
+  /** sf0.01 dir — for the few tests whose behavior under test (e.g. AQE
+    * skew detection on shuffle bytes) needs more data than the smoke
+    * fixtures carry. Kept here so the fixture root lives in one file. */
+  val sf01Dir = "/root/testdata/sf0.01"
+
   /** Multiset row comparison, order-free. */
   def assertSameRows(got: DataFrame, exp: DataFrame): Unit = {
     assert(got.columns.sorted.sameElements(exp.columns.sorted),

@@ -13,7 +13,7 @@ import graft.operators.Events
 class UpsertSpec extends SparkSpec {
 
   test("e13 two-batch incremental upsert equals the one-shot merge") {
-    val base = s"${sys.props("java.io.tmpdir")}/graft_e13_test_p${ProcessHandle.current().pid()}"
+    val base = s"${sys.props("java.io.tmpdir")}/graft_e13_test_${Fs.tmpTag(sfDir)}"
     val inDir = s"$base/in"
     Fs.rmTree(new java.io.File(base))
     val events = Tables.load(spark, sfDir, "events")
