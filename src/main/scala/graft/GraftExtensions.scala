@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(functions.LongArrayDot.functionDescriptor)
     ext.injectFunction(functions.KmvDistinct.functionDescriptor)
+    ext.injectFunction(functions.CountMin.functionDescriptor)
     ext.injectFunction(functions.WordShingles.functionDescriptor)
   }
 }

@@ -26,6 +26,7 @@ object SparkEntry {
       (Ivf.queries, Ivf.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (Skew.queries, Skew.oracles),
+      (Cdc.queries, Cdc.oracles),
       (AsOf.queries, AsOf.oracles),
       (Sketches.queries, Sketches.oracles),
       (Events.queries, Events.oracles),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.KmvDistinct
+import graft.functions.{CountMin, KmvDistinct}
 
 /** Sketch aggregates. [[graft.functions.KmvDistinct]] is deliberately
   * built on an engine-reproducible hash (`pmod(a·x+b, 2³¹−1)` integer
@@ -32,8 +32,40 @@ object Sketches {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** d12: count-min frequency estimates next to the exact counts.
+    * ONE pass over events builds the sketch (a single 4×256 counter
+    * grid shipped through partial aggregation); the probe side reads
+    * `min_j sk[j·W + h_j(k)]` out of the broadcast single-row sketch.
+    * The oracle recomputes every probed counter as the sum of the true
+    * counts of all colliding keys — verifying the estimates exactly,
+    * collisions included, not just "close to exact".
+    */
+  def cmsEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    CountMin.register(spark)
+    val events = Tables.load(spark, dir, "events")
+    val sk = events.agg(call_function("count_min_agg", col("user_id")).as("sk"))
+    val probes = spark.range(1, 11).select(col("id").as("user_id"))
+    val est = (0 until CountMin.Depth).map { j =>
+      val h = pmod(lit(CountMin.a(j)) * col("user_id") + lit(CountMin.b(j)),
+        lit(CountMin.P))
+      element_at(col("sk"),
+        (pmod(h, lit(CountMin.Width.toLong)) + lit(j * CountMin.Width) + 1)
+          .cast("int"))
+    }
+    val exact = events.filter(col("user_id").between(1, 10))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_count"))
+    probes.crossJoin(broadcast(sk))
+      .select(col("user_id"), least(est: _*).as("cms_estimate"))
+      .join(exact, Seq("user_id"), "left")
+      .select(col("user_id"), col("cms_estimate"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d06_kmv_distinct" -> (kmvDistinctCustomers _))
+    "d06_kmv_distinct" -> (kmvDistinctCustomers _),
+    "d12_count_min" -> (cmsEventCounts _))
 
   val oracles: Map[String, String] = Map(
     "d06_kmv_distinct" ->
@@ -51,5 +83,26 @@ object Sketches {
          |ex AS (SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_distinct
          |       FROM orders GROUP BY 1)
          |SELECT km.o_orderstatus, kmv_estimate, exact_distinct
-         |FROM km JOIN ex USING (o_orderstatus) ORDER BY 1""".stripMargin)
+         |FROM km JOIN ex USING (o_orderstatus) ORDER BY 1""".stripMargin,
+    "d12_count_min" -> {
+      import graft.functions.CountMin.{Depth, Width}
+      val CP = graft.functions.CountMin.P
+      s"""WITH par AS (SELECT j, 2654435761 + j*40503 AS a, 104729 + j*7919 AS b
+         |             FROM (SELECT unnest(range(0, $Depth)) AS j)),
+         |c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+         |cells AS (SELECT par.j, ((par.a * c.user_id + par.b) % $CP) % $Width AS cell,
+         |                 CAST(SUM(c.cnt) AS BIGINT) AS cellsum
+         |          FROM c CROSS JOIN par GROUP BY 1, 2),
+         |pr AS (SELECT pb.user_id, par.j,
+         |              ((par.a * pb.user_id + par.b) % $CP) % $Width AS cell
+         |       FROM (SELECT unnest(range(1, 11)) AS user_id) pb CROSS JOIN par),
+         |est AS (SELECT pr.user_id,
+         |               MIN(COALESCE(cells.cellsum, 0)) AS cms_estimate
+         |        FROM pr LEFT JOIN cells USING (j, cell) GROUP BY 1),
+         |ex AS (SELECT user_id, COUNT(*) AS exact_count FROM events
+         |       WHERE user_id BETWEEN 1 AND 10 GROUP BY 1)
+         |SELECT est.user_id, cms_estimate,
+         |       COALESCE(ex.exact_count, 0) AS exact_count
+         |FROM est LEFT JOIN ex USING (user_id) ORDER BY 1""".stripMargin
+    })
 }

@@ -39,6 +39,36 @@ class SketchSpec extends SparkSpec {
           .filter(_._1 == g).map(_._2).distinct.size.toDouble }))
   }
 
+  test("CountMin never underestimates and row sums equal input size") {
+    val sk = graft.operators.Sketches.cmsEventCounts(spark, sfDir).collect()
+    assert(sk.nonEmpty)
+    sk.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS underestimated: est=$est exact=$exact")
+    }
+    // every sketch row is a partition of the input: its counters sum to n
+    graft.functions.CountMin.register(spark)
+    val events = Tables.load(spark, sfDir, "events")
+    val n = events.count()
+    val arr = events.agg(expr("count_min_agg(user_id)")).head()
+      .getSeq[Long](0)
+    import graft.functions.CountMin.{Depth, Width}
+    assert(arr.length == Depth * Width)
+    (0 until Depth).foreach { j =>
+      val rowSum = arr.slice(j * Width, (j + 1) * Width).sum
+      assert(rowSum == n, s"row $j sums to $rowSum, want $n")
+    }
+  }
+
+  test("CountMin merge is order-independent (additive counters)") {
+    import spark.implicits._
+    graft.functions.CountMin.register(spark)
+    val df = Seq.tabulate(1000)(i => (i % 7).toLong).toDF("k")
+    val one = df.coalesce(1).agg(expr("count_min_agg(k)")).head().getSeq[Long](0)
+    val many = df.repartition(13).agg(expr("count_min_agg(k)")).head().getSeq[Long](0)
+    assert(one == many)
+  }
+
   test("approx_percentile brackets the exact median") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val approxMedian = li.select(

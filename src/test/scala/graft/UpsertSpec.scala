@@ -39,4 +39,22 @@ class UpsertSpec extends SparkSpec {
     assertSameRows(got, expected)
     Fs.rmTree(new java.io.File(base))
   }
+
+  test("u04 CDC fold: delete wins unless re-inserted; latest op sets state") {
+    val got = operators.Cdc.cdcApply(spark, sfDir)
+    val keys = Tables.load(spark, sfDir, "orders").select(col("o_orderkey"))
+    val n = keys.count()
+    // deleted and not re-inserted (%13 but not %39) keys are gone
+    val tombstoned = keys
+      .filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 39 =!= 0)
+      .count()
+    assert(got.count() == n - tombstoned)
+    assert(got.filter(col("o_orderkey") % 13 === 0 &&
+      col("o_orderkey") % 39 =!= 0).count() == 0)
+    // re-inserted keys carry the seq-3 state, updated keys the seq-1 state
+    assert(got.filter(col("o_orderkey") % 39 === 0)
+      .filter(col("o_orderstatus") =!= "R").count() == 0)
+    assert(got.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+      .filter(col("o_orderstatus") =!= "U1").count() == 0)
+  }
 }
