@@ -119,13 +119,61 @@ object Multimodal {
         octet_length(bin).as("n_bytes"))
   }
 
+  /** One scored item out of a fixed-size model batch. */
+  case class BatchScored(doc_id: Long, batch_id: Long, batch_size: Int,
+                         slot: Int, item_hash: String)
+
+  /** m06: BATCHED decode/inference — the GPU-model shape the per-row
+    * decoders above can't express: accelerators want fixed-size input
+    * batches, so items are grouped into deterministic micro-batches
+    * (`batch_id = doc_id div 32`), each batch materialized in memory,
+    * "scored" in one call, and emitted item-by-item with its batch
+    * coordinates. `groupByKey.flatMapGroups` is the idiomatic typed
+    * carrier: ONE shuffle on batch_id co-locates each batch, group size
+    * is bounded by construction (≤32 — never a whole partition in
+    * memory), and a real build swaps the hash for the model call while
+    * the partition/batch plumbing stays identical. Deterministic batch
+    * membership (id-derived, not arrival-derived) is also what makes
+    * resumable/retryable inference possible at 100 TB — and what lets
+    * the oracle replay batch_size/slot/hash exactly.
+    */
+  def batchedScore(docs: DataFrame): Dataset[BatchScored] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey { case (id, _) => id / 32 }
+      .flatMapGroups { (batchId: Long, it: Iterator[(Long, String)]) =>
+        val items = it.toArray.sortBy(_._1) // ≤32 rows by construction
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(s: String): String = {
+          md.reset()
+          md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        }
+        items.iterator.zipWithIndex.map { case ((id, text), slot) =>
+          BatchScored(id, batchId, items.length, slot, hex(s"$text:$batchId"))
+        }
+      }
+  }
+
+  def batchQuery(spark: SparkSession, dir: String): DataFrame =
+    batchedScore(Tables.load(spark, dir, "documents")).toDF()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m02_fake_decode" -> (decodeQuery _),
+    "m06_batched_decode" -> (batchQuery _),
     "m03_frame_sample" -> (frameQuery _),
     "m04_binary_ingest" -> (binaryIngest _),
     "m05_header_fields" -> (headerFields _))
 
   val oracles: Map[String, String] = Map(
+    "m06_batched_decode" ->
+      """WITH b AS (SELECT doc_id, text, doc_id // 32 AS batch_id FROM documents),
+        |r AS (SELECT doc_id, batch_id, text,
+        |   CAST(COUNT(*) OVER (PARTITION BY batch_id) AS INTEGER) AS batch_size,
+        |   CAST(ROW_NUMBER() OVER (PARTITION BY batch_id ORDER BY doc_id) - 1 AS INTEGER) AS slot
+        | FROM b)
+        |SELECT doc_id, batch_id, batch_size, slot,
+        |  md5(text || ':' || batch_id) AS item_hash FROM r""".stripMargin,
     "m02_fake_decode" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

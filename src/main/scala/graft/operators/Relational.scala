@@ -624,6 +624,40 @@ object Relational {
       .orderBy(col("n_regionkey"))
   }
 
+  // S-tier fault tolerance: PERMISSIVE CSV scan over a file with
+  // malformed rows — bad casts, extra tokens, short rows. Real 100 TB
+  // ingests are never clean; FAILFAST aborts the job on row one and
+  // DROPMALFORMED silently loses data, so the production posture is
+  // PERMISSIVE + `_corrupt_record` quarantine (parse what parses,
+  // null-fill the rest, keep the raw line for a dead-letter sink).
+  // The malformed lines are derived deterministically from `nation`
+  // (every 5th key: non-numeric field; every 7th: extra token; every
+  // 11th: missing token), so the oracle rebuilds the same lines and
+  // replays Spark's documented PERMISSIVE semantics token by token.
+  def csvPermissive(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_permissive_${tmpTag(dir)}"
+    val k = col("n_nationkey")
+    Tables.load(spark, dir, "nation")
+      .select(
+        when(k % 5 === 0,
+          concat_ws(",", k, col("n_name"), concat(lit("x"), col("n_regionkey"))))
+        .when(k % 7 === 0,
+          concat_ws(",", k, col("n_name"), col("n_regionkey"), lit("extra")))
+        .when(k % 11 === 0, concat_ws(",", k, col("n_name")))
+        .otherwise(concat_ws(",", k, col("n_name"), col("n_regionkey")))
+        .as("value"))
+      .coalesce(1).write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("rk", LongType), StructField("_corrupt_record", StringType)))
+    spark.read.option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema).csv(tmp)
+      .select(col("id"), col("name"), col("rk"),
+        col("_corrupt_record").isNotNull.as("is_corrupt"),
+        col("_corrupt_record").as("corrupt_raw"))
+  }
+
   // Datetime-arithmetic surface: add_months / last_day / date_trunc /
   // datediff / day-of-week over order dates — all codegen'd built-ins,
   // emitted as formatted strings / integers for cross-engine compare.
@@ -850,6 +884,7 @@ object Relational {
     "s11_partitioned_scan" -> (partitionedScan _),
     "s12_bucketed_agg" -> (bucketedAgg _),
     "s16_bloom_filter_join" -> (bloomFilterJoin _),
+    "s17_csv_permissive" -> (csvPermissive _),
     "s15_dynamic_pruning" -> (dynamicPruning _),
     "u02_scd2_history" -> (scd2CustomerStatus _),
     "u03_scd2_point_in_time" -> (scd2PointInTime _))
@@ -1208,5 +1243,24 @@ object Relational {
       """SELECT r_regionkey, r_name, zone_name
         |FROM region JOIN (VALUES (0,'ZONE-A'),(1,'ZONE-B'),(2,'ZONE-C'),(3,'ZONE-D'),(4,'ZONE-E'))
         |  AS z(zone_key, zone_name) ON r_regionkey = zone_key
-        |ORDER BY r_regionkey""".stripMargin)
+        |ORDER BY r_regionkey""".stripMargin,
+    // rebuilds the malformed lines from nation and replays PERMISSIVE
+    // parse semantics: positional tokens, TRY_CAST per typed field,
+    // corrupt = wrong token count OR any failed cast (raw line kept)
+    "s17_csv_permissive" ->
+      """WITH lines AS (SELECT CASE
+        |    WHEN n_nationkey % 5 = 0 THEN n_nationkey || ',' || n_name || ',x' || n_regionkey
+        |    WHEN n_nationkey % 7 = 0 THEN n_nationkey || ',' || n_name || ',' || n_regionkey || ',extra'
+        |    WHEN n_nationkey % 11 = 0 THEN n_nationkey || ',' || n_name
+        |    ELSE n_nationkey || ',' || n_name || ',' || n_regionkey END AS line
+        |  FROM nation),
+        |t AS (SELECT line, str_split(line, ',') AS toks FROM lines),
+        |p AS (SELECT line,
+        |    TRY_CAST(toks[1] AS BIGINT) AS id,
+        |    CASE WHEN len(toks) >= 2 THEN toks[2] END AS name,
+        |    CASE WHEN len(toks) >= 3 THEN TRY_CAST(toks[3] AS BIGINT) END AS rk,
+        |    (len(toks) <> 3 OR TRY_CAST(toks[3] AS BIGINT) IS NULL) AS is_corrupt
+        |  FROM t)
+        |SELECT id, name, rk, is_corrupt,
+        |  CASE WHEN is_corrupt THEN line END AS corrupt_raw FROM p""".stripMargin)
 }
