@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -32,6 +32,10 @@ object Ivf {
   val NumCentroids = 16
   val KMeansIters = 2
   val NumProbes = 2
+  /** v06 probes more cells: a sample-trained quantizer is coarser, so
+    * probe breadth buys back the recall sampling costs — the standard
+    * IVF nprobe knob. */
+  val SampledProbes = 6
 
   /** (vec_id, qv, cid): each vector labeled with its nearest centroid.
     * Rank key is cv·cv − 2·(qv·cv) — the squared distance minus the
@@ -58,12 +62,18 @@ object Ivf {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("cv"))
 
-  /** Final trained centroids after [[KMeansIters]] Lloyd iterations. */
-  private[operators] def centroids(emb: DataFrame): DataFrame = {
-    val init = emb.filter(col("vec_id") < NumCentroids)
+  /** Final trained centroids after [[KMeansIters]] Lloyd iterations over
+    * `train`; `initPred` selects the seed rows (must lie inside the
+    * training set).
+    */
+  private[operators] def centroidsOn(train: DataFrame, initPred: Column): DataFrame = {
+    val init = train.filter(initPred)
       .select(col("vec_id").cast(IntegerType).as("cid"), col("qv").as("cv"))
-    (1 to KMeansIters).foldLeft(init)((c, _) => update(assign(emb, c)))
+    (1 to KMeansIters).foldLeft(init)((c, _) => update(assign(train, c)))
   }
+
+  private[operators] def centroids(emb: DataFrame): DataFrame =
+    centroidsOn(emb, col("vec_id") < NumCentroids)
 
   /** v04: queries (vec_id < 10) probe their [[NumProbes]] nearest cells,
     * exact cosine + top-5 within the probed cells' members only.
@@ -76,6 +86,33 @@ object Ivf {
     val c = graft.SessionCache.memo(spark, s"ivfCentroids:$dir") {
       centroids(emb).persist()
     }
+    probeAndRank(emb, c)
+  }
+
+  /** v06: the 100 TB training recipe v04's scaladoc promises — k-means
+    * runs on a deterministic 1-in-4 SAMPLE (`vec_id % 4 = 0`; id-hash
+    * derived, so any engine/partitioning draws the same sample), then
+    * the FULL corpus is assigned and probed against the sampled
+    * centroids. Lloyd cost drops 4× (in production, orders of
+    * magnitude: a fixed-size sample) while assignment stays one
+    * broadcast-join pass over everything — quantizer quality, not
+    * coverage, is what sampling trades away, and the recall floor in
+    * VectorSpec measures exactly that trade.
+    */
+  def annTopKIvfSampled(spark: SparkSession, dir: String): DataFrame = {
+    val emb = CosineLsh.quantized(spark, dir)
+    val c = graft.SessionCache.memo(spark, s"ivfSampleCentroids:$dir") {
+      centroidsOn(emb.filter(col("vec_id") % 4 === 0),
+        col("vec_id") < 4 * NumCentroids).persist()
+    }
+    probeAndRank(emb, c, SampledProbes)
+  }
+
+  /** Index the corpus under trained centroids `c`, probe each query's
+    * `nProbes` nearest cells, exact-rank within probed members.
+    */
+  private def probeAndRank(emb: DataFrame, c: DataFrame,
+                           nProbes: Int = NumProbes): DataFrame = {
     val index = assign(emb, c).select(col("vec_id"), col("cid"))
     val cost = LongArrayDot.dot(col("cv"), col("cv")) -
       lit(2L) * LongArrayDot.dot(col("qv"), col("cv"))
@@ -84,7 +121,7 @@ object Ivf {
       .crossJoin(broadcast(c))
       .select(col("vec_id").as("query_id"), col("cid"), cost.as("cost"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= NumProbes)
+      .filter(col("rn") <= nProbes)
       .select(col("query_id"), col("cid"))
     val cand = probes.join(index, "cid")
       .filter(col("vec_id") =!= col("query_id"))
@@ -94,7 +131,8 @@ object Ivf {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "v04_ann_ivf_topk" -> (annTopKIvf _))
+    "v04_ann_ivf_topk" -> (annTopKIvf _),
+    "v06_ann_ivf_sampled" -> (annTopKIvfSampled _))
 
   // ---- DuckDB oracle: full k-means replay, iteration by iteration ----
 
@@ -104,24 +142,29 @@ object Ivf {
   private def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) AS BIGINT)"
 
-  /** a{i} = assignment of n under c{i-1}; c{i} = integer-mean update. */
-  private def iterSql(i: Int): String =
+  /** a{i} = assignment of `src` under c{i-1}; c{i} = integer-mean update. */
+  private def iterSql(i: Int, src: String): String =
     s"""a$i AS (SELECT vec_id, qv, cid FROM (
-       |  SELECT n.vec_id, n.qv, c.cid,
-       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-       |      ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")}, c.cid) AS rn
-       |  FROM n, c${i - 1} c) WHERE rn = 1),
+       |  SELECT $src.vec_id, $src.qv, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY $src.vec_id ORDER BY
+       |      ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql(s"$src.qv", "c.cv")}, c.cid) AS rn
+       |  FROM $src, c${i - 1} c) WHERE rn = 1),
        |c$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
        |  SELECT cid, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS m FROM (
        |    SELECT cid, i AS pos, qv[i] AS v FROM a$i, unnest(range(1, len(qv)+1)) AS u(i))
        |  GROUP BY cid, pos) GROUP BY cid)""".stripMargin
 
-  private val oracleSql: String = {
-    val iters = (1 to KMeansIters).map(iterSql).mkString(",\n")
+  /** Full replay: train on `trainWhere`-filtered vectors (seeds below
+    * `initMax`), index/probe the full set — shared by v04 and v06.
+    */
+  private def ivfOracle(trainSrc: String, initWhere: String,
+                        nProbes: Int = NumProbes): String = {
+    val iters = (1 to KMeansIters).map(iterSql(_, trainSrc)).mkString(",\n")
     val cFinal = s"c$KMeansIters"
     s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
        |n AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS n2 FROM e),
-       |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cv FROM e WHERE vec_id < $NumCentroids),
+       |ns AS (SELECT * FROM n WHERE vec_id % 4 = 0),
+       |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cv FROM $trainSrc WHERE $initWhere),
        |$iters,
        |idx AS (SELECT vec_id, cid FROM (
        |  SELECT n.vec_id, c.cid,
@@ -132,7 +175,7 @@ object Ivf {
        |  SELECT n.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
        |      ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")}, c.cid) AS rn
-       |  FROM n, $cFinal c WHERE n.vec_id < 10) WHERE rn <= $NumProbes),
+       |  FROM n, $cFinal c WHERE n.vec_id < 10) WHERE rn <= $nProbes),
        |cand AS (SELECT DISTINCT pr.query_id, idx.vec_id AS neighbor_id
        |         FROM pr JOIN idx USING (cid) WHERE idx.vec_id <> pr.query_id),
        |p AS (SELECT cand.query_id, cand.neighbor_id,
@@ -144,5 +187,7 @@ object Ivf {
   }
 
   val oracles: Map[String, String] = Map(
-    "v04_ann_ivf_topk" -> oracleSql)
+    "v04_ann_ivf_topk" -> ivfOracle("n", s"vec_id < $NumCentroids"),
+    "v06_ann_ivf_sampled" -> ivfOracle("ns",
+      s"vec_id < ${4 * NumCentroids}", SampledProbes))
 }

