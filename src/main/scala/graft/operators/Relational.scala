@@ -119,6 +119,37 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  // TPC-H Q8 analogue: one nation's share of a region's market per
+  // order-year. Both nation copies and the region dim broadcast; the
+  // conditional (CASE) aggregate computes numerator and denominator in
+  // ONE pass over the joined fact — no second scan, no self-join. The
+  // share divides the two EXACT decimal sums as doubles (IEEE division
+  // is engine-deterministic; decimal division scale rules are not).
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val custNation = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val suppNation = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val america = Tables.load(spark, dir, "region")
+      .filter(col("r_name") === "AMERICA")
+    val rev = dec(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))
+    Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(america), col("cn_region") === col("r_regionkey"))
+      .join(Tables.load(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        coalesce(sum(when(col("supp_nation") === "NATION_18", rev)),
+          lit(0).cast(DecimalType(18, 2))).cast(DoubleType).as("nation_rev"),
+        sum(rev).cast(DoubleType).as("total_rev"))
+      .withColumn("mkt_share", col("nation_rev") / col("total_rev"))
+      .orderBy(col("o_year"))
+  }
+
   // TPC-H Q10 analogue: top customers by revenue lost to returned items.
   // The returnflag filter reaches the lineitem scan; the nation dim is
   // broadcast; the top-20 is a bounded sort after a per-customer
@@ -135,6 +166,29 @@ object Relational {
         .cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
+  }
+
+  // X15: MapType surface — per-priority status→count map built with
+  // map_from_entries over SORTED entries (collect_list order is
+  // partition-dependent; sorting the entry array before map
+  // construction is what makes a map deterministic at all), then
+  // consumed via element_at / map_keys / size. Published as scalars:
+  // map columns don't hash-compare across engines, scalar lookups do.
+  def mapOps(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("o_orderstatus"), col("n"))))).as("m"))
+      .select(
+        col("o_orderpriority"),
+        size(col("m")).as("n_statuses"),
+        element_at(col("m"), "F").as("n_f"),
+        element_at(col("m"), "O").as("n_o"),
+        element_at(col("m"), "P").as("n_p"),
+        array_join(map_keys(col("m")), ",").as("statuses"))
+      .orderBy(col("o_orderpriority"))
   }
 
   // Moment statistics from exact sums: mean / variance / stddev derived
@@ -842,8 +896,10 @@ object Relational {
     "q06_forecast_revenue" -> (forecastRevenue _),
     "q04_priority_check" -> (orderPriorityCheck _),
     "q07_volume_shipping" -> (volumeShipping _),
+    "q08_market_share" -> (marketShare _),
     "q10_returned_items" -> (returnedItems _),
     "x14_moment_stats" -> (momentStats _),
+    "x15_map_ops" -> (mapOps _),
     "x13_string_functions" -> (stringFunctions _),
     "f01_filter_project" -> (filterProject _),
     "f05_null_cleaning" -> (nullCleaning _),
@@ -943,6 +999,33 @@ object Relational {
         |        AND ns.n_name <> nc.n_name) t
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q08_market_share" ->
+      """WITH rev AS (
+        |  SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS r
+        |  FROM lineitem
+        |   JOIN orders ON l_orderkey = o_orderkey
+        |   JOIN customer ON o_custkey = c_custkey
+        |   JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |   JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |   JOIN supplier ON l_suppkey = s_suppkey
+        |   JOIN nation sn ON s_nationkey = sn.n_nationkey)
+        |SELECT o_year,
+        |  CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_18' THEN r END), 0) AS DOUBLE) AS nation_rev,
+        |  CAST(SUM(r) AS DOUBLE) AS total_rev,
+        |  CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_18' THEN r END), 0) AS DOUBLE)
+        |    / CAST(SUM(r) AS DOUBLE) AS mkt_share
+        |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "x15_map_ops" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS INTEGER) AS n_statuses,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN n END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN n END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN n END) AS BIGINT) AS n_p,
+        |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        |FROM (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        |      FROM orders GROUP BY 1, 2)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

@@ -198,6 +198,28 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(spark.table("hourly_out"), batch)
   }
 
+  test("stateful agg under the RocksDB state store matches the batch twin") {
+    // same pipeline as the in-memory-provider test above, but with
+    // state in RocksDB — the provider that keeps streaming viable when
+    // aggregate state outgrows executor memory (100 TB keyspaces).
+    // Results must be provider-independent; this pins that.
+    import org.apache.spark.sql.streaming.Trigger
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val path = Tables.path(sfDir, "events")
+    val schema = s.read.parquet(path).schema
+    val stream = s.readStream.schema(schema)
+      .option("basePath", sfDir).parquet(s"$path*")
+    val q = StreamingOps.hourlyCounts(stream).writeStream
+      .format("memory").queryName("hourly_rocks")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batch = graft.operators.Events.tumblingHourly(spark, sfDir)
+    assertSameRows(s.table("hourly_rocks"), batch)
+  }
+
   test("full-outer stream-stream join null-extends BOTH sides past the watermark") {
     val sqlCtx = spark.sqlContext
     implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
