@@ -40,13 +40,13 @@ object Events {
 
   /** events with `ts_us`: exact integer microseconds (SQL `div`, not
     * `/` — double division corrupts 1.7e18-scale nanos). */
-  private def eventsUs(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def eventsUs(spark: SparkSession, dir: String): DataFrame =
     eventsBase(spark, dir).withColumn("ts_us", expr("ts div 1000"))
 
   /** The events table as a file-based stream (the file source wants a
     * directory basePath; the testdata table is a single parquet file, so
     * glob it under its parent dir). */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val path = Tables.path(dir, "events")
     val schema = spark.read.parquet(path).schema
     spark.readStream.schema(schema).option("basePath", dir).parquet(s"$path*")
@@ -64,7 +64,7 @@ object Events {
     * long-lived production query with high key cardinality keeps it
     * high, a bounded replay wants it low.
     */
-  private def runAvailableNow(spark: SparkSession, build: SparkSession => DataFrame,
+  private[operators] def runAvailableNow(spark: SparkSession, build: SparkSession => DataFrame,
                               sinkName: String, mode: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     // The override must not touch the CALLER's conf: shuffle.partitions
@@ -339,6 +339,33 @@ object Events {
         .as("n_converted"))
   }
 
+  // E15: time-series gap fill / resample — the missing-bucket repair
+  // every downstream forecaster needs: a sparse per-(hour, type) count
+  // series (events sparsified to ~1% so gaps actually exist) is joined
+  // against the full hour×type grid, absent buckets emitted as 0. The
+  // grid is generated from the SCALAR min/max bounds (sequence +
+  // explode + a broadcast cross join with the tiny type dim), so grid
+  // cost is O(hours × types) — independent of event count — and the
+  // only shuffle over real data is the pre-aggregated counts join.
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600L * 1000 * 1000
+    val sparse = eventsUs(spark, dir)
+      .filter(col("event_id") % 97 === 0)
+      .withColumn("hour_us", expr(s"ts_us div $HourUs") * HourUs)
+    val counts = sparse.groupBy(col("hour_us"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val bounds = sparse.agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+    val grid = bounds
+      .select(explode(sequence(col("lo"), col("hi"), lit(HourUs))).as("hour_us"))
+      .crossJoin(broadcast(sparse.select(col("event_type")).distinct()))
+    grid.join(counts, Seq("hour_us", "event_type"), "left")
+      .select(
+        date_format(timestamp_micros(col("hour_us")), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   // E: semi-structured props — JSON string column parsed with schema'd
   // from_json (single-field schema prunes the parse to just `k`), over
   // the shared repartitioned frame so the parse runs on all cores.
@@ -367,7 +394,8 @@ object Events {
     "e10_attribution_hourly" -> (streamAttributionHourly _),
     "e11_funnel_conversion" -> (funnelConversion _),
     "e12_cohort_retention" -> (cohortRetention _),
-    "e13_incremental_upsert" -> (incrementalUpsert _))
+    "e13_incremental_upsert" -> (incrementalUpsert _),
+    "e15_gap_fill" -> (gapFill _))
 
   val oracles: Map[String, String] = Map(
     // the one-shot batch aggregate the incremental foreachBatch
@@ -450,6 +478,18 @@ object Events {
         |FROM (SELECT event_type,
         |        CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e15_gap_fill" ->
+      """WITH sparse AS (SELECT date_trunc('hour', ts) AS h, event_type
+        |  FROM events WHERE event_id % 97 = 0),
+        |counts AS (SELECT h, event_type, COUNT(*) AS n FROM sparse GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM sparse),
+        |grid AS (SELECT g.h, t.event_type FROM bounds,
+        |  unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 HOUR)) AS g(h),
+        |  (SELECT DISTINCT event_type FROM sparse) t)
+        |SELECT strftime(grid.h, '%Y-%m-%d %H:%M') AS hour_start, grid.event_type,
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+        |FROM grid LEFT JOIN counts ON grid.h = counts.h AND grid.event_type = counts.event_type
+        |ORDER BY 1, 2""".stripMargin,
     "e01_tumbling_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
         | event_type, COUNT(*) AS n_events,

@@ -758,6 +758,29 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  // S18: dynamic partition OVERWRITE — the lakehouse backfill primitive.
+  // A full partitioned write, then a patch batch containing ONLY one
+  // year rewrites JUST that partition (partitionOverwriteMode=dynamic;
+  // static mode would truncate the whole table to the patch). At 100 TB
+  // this is how a bad day/hour is recomputed without touching the other
+  // partitions, and the readback aggregate proves the untouched
+  // partitions survived byte-for-byte.
+  def dynamicPartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_dyn_overwrite_${tmpTag(dir)}"
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("o_year"))
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(tmp)
+    orders.filter(col("o_year") === 1995)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .write.partitionBy("o_year").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(tmp)
+    spark.read.parquet(tmp)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_year"))
+  }
+
   // S7: staging temp views + SQL entry point (reference COPY→staging +
   // ad-hoc SQL tier): every table registered in the catalog, the query
   // itself expressed in SQL text against the views.
@@ -941,6 +964,7 @@ object Relational {
     "s12_bucketed_agg" -> (bucketedAgg _),
     "s16_bloom_filter_join" -> (bloomFilterJoin _),
     "s17_csv_permissive" -> (csvPermissive _),
+    "s18_dynamic_overwrite" -> (dynamicPartitionOverwrite _),
     "s15_dynamic_pruning" -> (dynamicPruning _),
     "u02_scd2_history" -> (scd2CustomerStatus _),
     "u03_scd2_point_in_time" -> (scd2PointInTime _))
@@ -1327,6 +1351,13 @@ object Relational {
         |FROM region JOIN (VALUES (0,'ZONE-A'),(1,'ZONE-B'),(2,'ZONE-C'),(3,'ZONE-D'),(4,'ZONE-E'))
         |  AS z(zone_key, zone_name) ON r_regionkey = zone_key
         |ORDER BY r_regionkey""".stripMargin,
+    // the dynamic overwrite leaves every non-1995 partition intact and
+    // doubles 1995 — equivalent to patching in place
+    "s18_dynamic_overwrite" ->
+      """SELECT year(o_orderdate) AS o_year, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(CASE WHEN year(o_orderdate) = 1995
+        |   THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // rebuilds the malformed lines from nation and replays PERMISSIVE
     // parse semantics: positional tokens, TRY_CAST per typed field,
     // corrupt = wrong token count OR any failed cast (raw line kept)

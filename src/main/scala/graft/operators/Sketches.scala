@@ -43,7 +43,34 @@ object Sketches {
   def cmsEventCounts(spark: SparkSession, dir: String): DataFrame = {
     CountMin.register(spark)
     val events = Tables.load(spark, dir, "events")
-    val sk = events.agg(call_function("count_min_agg", col("user_id")).as("sk"))
+    probeCms(spark, events,
+      events.agg(call_function("count_min_agg", col("user_id")).as("sk")))
+  }
+
+  /** e14: the SAME sketch built incrementally by a streaming query —
+    * count-min's additive counters are exactly the shape streaming
+    * state wants (bounded size, merge-order-free), so a complete-mode
+    * global aggregate over the event stream converges to bit-identical
+    * counters as d12's batch pass, and the two queries share ONE oracle
+    * text. This is the end-to-end proof of the sketch's mergeable-state
+    * claim, not a separate operator.
+    */
+  def cmsEventCountsStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val sk = Events.runAvailableNow(spark, { s =>
+      CountMin.register(s)
+      Events.eventsStream(s, dir)
+        .groupBy()
+        .agg(call_function("count_min_agg", col("user_id")).as("sk"))
+    }, "e14_cms_sink", "complete")
+    probeCms(spark, Tables.load(spark, dir, "events"), sk)
+  }
+
+  /** Probe users 1-10 against the single-row sketch frame `sk`:
+    * estimate = min over rows of the addressed counter, next to the
+    * exact count from `events`.
+    */
+  private def probeCms(spark: SparkSession, events: DataFrame,
+                       sk: DataFrame): DataFrame = {
     val probes = spark.range(1, 11).select(col("id").as("user_id"))
     val est = (0 until CountMin.Depth).map { j =>
       val h = pmod(lit(CountMin.a(j)) * col("user_id") + lit(CountMin.b(j)),
@@ -65,9 +92,10 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d06_kmv_distinct" -> (kmvDistinctCustomers _),
-    "d12_count_min" -> (cmsEventCounts _))
+    "d12_count_min" -> (cmsEventCounts _),
+    "e14_stream_count_min" -> (cmsEventCountsStreaming _))
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "d06_kmv_distinct" ->
       s"""WITH h AS (SELECT o_orderstatus, o_custkey,
          |        ($A * o_custkey + $B) % $P AS hv FROM orders),
@@ -105,4 +133,8 @@ object Sketches {
          |       COALESCE(ex.exact_count, 0) AS exact_count
          |FROM est LEFT JOIN ex USING (user_id) ORDER BY 1""".stripMargin
     })
+
+  // the stream converges to the identical sketch -> identical oracle
+  val oracles: Map[String, String] =
+    oraclesBase + ("e14_stream_count_min" -> oraclesBase("d12_count_min"))
 }
