@@ -145,4 +145,18 @@ class PlanSpec extends SparkSpec {
       "Exchange rangepartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"$exchanges exchanges in:\n$plan")
   }
+
+  test("q08 broadcasts all three dims; facts join without cartesian") {
+    val plan = Relational.marketShare(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("u04 CDC fold costs exactly one hash exchange for any log depth") {
+    val plan = graft.operators.Cdc.cdcApply(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"$exchanges exchanges in:\n$plan")
+  }
 }
