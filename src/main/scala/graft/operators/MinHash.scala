@@ -50,16 +50,21 @@ object MinHash {
     posts.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Distinct candidate (id_a < id_b) pairs sharing at least one LSH
-    * band: explode per-doc band keys, equi-join on the banded signature.
-    */
-  def candidatePairs(docs: DataFrame): DataFrame = {
+  /** (doc_id, band) — one row per LSH band key per doc. */
+  private def bandedKeys(docs: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { bi =>
       struct(lit(bi).as("bi"),
         col(s"h${BandRows * bi}").as("k0"), col(s"h${BandRows * bi + 1}").as("k1"))
     }
-    val banded = signatures(docs)
+    signatures(docs)
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+  }
+
+  /** Distinct candidate (id_a < id_b) pairs sharing at least one LSH
+    * band: explode per-doc band keys, equi-join on the banded signature.
+    */
+  def candidatePairs(docs: DataFrame): DataFrame = {
+    val banded = bandedKeys(docs)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -105,6 +110,38 @@ object MinHash {
       .join(docs.select(col("doc_id").as("id_b"), col("prefix").as("pb")), "id_b")
       .select(col("id_a"), col("id_b"), col("jaccard"),
         levenshtein(col("pa"), col("pb")).as("prefix_edit_dist"))
+  }
+
+  /** Corpus/batch split point for the incremental variant (d13). */
+  val IncrementalSplit = 400L
+
+  /** d13: INCREMENTAL near-dup — the daily-ingest shape at 100 TB. A
+    * new batch (doc_id ≥ [[IncrementalSplit]]) is checked against the
+    * EXISTING corpus only: the band equi-join is batch×corpus, so cost
+    * is O(batch bands + matched buckets) — corpus×corpus pairs are
+    * never generated, which is what keeps re-deduping a petabyte corpus
+    * against each day's arrivals tractable (in production the corpus
+    * side of this join is the precomputed, stored signature table; here
+    * both sides come off one signature pass over the same table).
+    */
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = TextAnalysis.shingledDocs(spark, dir)
+      .select(col("doc_id"), col("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val banded = bandedKeys(docs)
+    val cand = banded.filter(col("doc_id") < IncrementalSplit).as("c")
+      .join(banded.filter(col("doc_id") >= IncrementalSplit).as("n"),
+        col("c.band") === col("n.band"))
+      .select(col("n.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val c = docs.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"), col("n_sh").as("nc"))
+    val n = docs.select(col("doc_id").as("batch_id"), col("sh").as("sh_n"), col("n_sh").as("nn"))
+    val inter = size(array_intersect(col("sh_c"), col("sh_n")))
+    cand.join(c, "corpus_id").join(n, "batch_id")
+      .select(col("batch_id"), col("corpus_id"), inter.as("n_inter"),
+        (col("nc") + col("nn") - inter).as("n_union"))
+      .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union"))
+      .filter(col("jaccard") >= 0.5)
   }
 
   val LabelPropIters = 3
@@ -159,7 +196,8 @@ object MinHash {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d04_minhash_lsh" -> (nearDupPairs _),
     "d07_editdist_verify" -> (editDistanceVerify _),
-    "d10_neardup_clusters" -> (nearDupClusters _))
+    "d10_neardup_clusters" -> (nearDupClusters _),
+    "d13_incremental_neardup" -> (incrementalNearDup _))
 
   // Oracle = brute force: the gate checks LSH candidate RECALL at the
   // 0.5 threshold, not only the Jaccard arithmetic.
@@ -194,7 +232,21 @@ object MinHash {
         |  CAST(levenshtein(na.prefix, nb.prefix) AS INTEGER) AS prefix_edit_dist
         |FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
         |WHERE p.jaccard >= 0.5""".stripMargin,
-    "d10_neardup_clusters" -> d10OracleSql)
+    "d10_neardup_clusters" -> d10OracleSql,
+    // brute-force batch×corpus — verifies incremental candidate recall
+    "d13_incremental_neardup" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |s AS (SELECT doc_id,
+         |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+         |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+         |p AS (SELECT n.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |   CAST(len(list_intersect(c.sh, n.sh)) AS INTEGER) AS n_inter,
+         |   CAST(len(c.sh) + len(n.sh) - len(list_intersect(c.sh, n.sh)) AS INTEGER) AS n_union
+         | FROM s c JOIN s n ON c.doc_id < $IncrementalSplit AND n.doc_id >= $IncrementalSplit
+         | WHERE len(c.sh) > 0 AND len(n.sh) > 0)
+         |SELECT batch_id, corpus_id, n_inter, n_union,
+         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
+         |FROM p WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin)
 
   /** Brute-force 0.5-threshold pair graph, then the SAME fixed
     * [[LabelPropIters]] min-label rounds the Spark side runs.

@@ -781,6 +781,26 @@ object Relational {
       .orderBy(col("o_year"))
   }
 
+  // S19: schema evolution on read — batches written before a column
+  // existed coexist with batches written after (mergeSchema=true unions
+  // the file footers; old rows surface NULL for the new column). At
+  // 100 TB nobody rewrites history for an added column — the READER
+  // absorbs the evolution; this pins that old batches stay readable
+  // and the new column is null exactly where it predates the schema.
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_schema_evo_${tmpTag(dir)}"
+    val nation = Tables.load(spark, dir, "nation")
+    nation.select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(s"$tmp/batch=1")
+    nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$tmp/batch=2")
+    spark.read.option("mergeSchema", "true").option("basePath", tmp)
+      .parquet(tmp)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col("batch").cast(IntegerType).as("batch"))
+      .orderBy(col("batch"), col("n_nationkey"))
+  }
+
   // S7: staging temp views + SQL entry point (reference COPY→staging +
   // ad-hoc SQL tier): every table registered in the catalog, the query
   // itself expressed in SQL text against the views.
@@ -965,6 +985,7 @@ object Relational {
     "s16_bloom_filter_join" -> (bloomFilterJoin _),
     "s17_csv_permissive" -> (csvPermissive _),
     "s18_dynamic_overwrite" -> (dynamicPartitionOverwrite _),
+    "s19_schema_evolution" -> (schemaEvolution _),
     "s15_dynamic_pruning" -> (dynamicPruning _),
     "u02_scd2_history" -> (scd2CustomerStatus _),
     "u03_scd2_point_in_time" -> (scd2PointInTime _))
@@ -1351,6 +1372,12 @@ object Relational {
         |FROM region JOIN (VALUES (0,'ZONE-A'),(1,'ZONE-B'),(2,'ZONE-C'),(3,'ZONE-D'),(4,'ZONE-E'))
         |  AS z(zone_key, zone_name) ON r_regionkey = zone_key
         |ORDER BY r_regionkey""".stripMargin,
+    // batch 1 predates the n_regionkey column -> NULL there, data in 2
+    "s19_schema_evolution" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey, 1 AS batch FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 2 AS batch FROM nation
+        |ORDER BY batch, n_nationkey""".stripMargin,
     // the dynamic overwrite leaves every non-1995 partition intact and
     // doubles 1995 — equivalent to patching in place
     "s18_dynamic_overwrite" ->

@@ -44,6 +44,18 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b", "n_inter", "n_union", "jaccard"))
   }
 
+  test("d13 incremental near-dup equals d04 restricted to cross-split pairs") {
+    import org.apache.spark.sql.functions._
+    val split = MinHash.IncrementalSplit
+    val expected = MinHash.nearDupPairs(spark, sfDir)
+      .filter(col("id_a") < split && col("id_b") >= split)
+      .select(col("id_b").as("batch_id"), col("id_a").as("corpus_id"),
+        col("n_inter"), col("n_union"), col("jaccard"))
+    val got = MinHash.incrementalNearDup(spark, sfDir)
+    assert(got.count() > 0, "vacuous: no cross-split near-dups in fixture")
+    assertSameRows(got, expected)
+  }
+
   test("d08 df cap drops hot-shingle pairs and bounds the candidate join") {
     import spark.implicits._
     // 40 docs that ALL share one boilerplate sentence (the hot shingles)
