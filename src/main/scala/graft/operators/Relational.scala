@@ -168,6 +168,25 @@ object Relational {
       .limit(20)
   }
 
+  // A14: HAVING-above-average — groups kept only if their total beats
+  // the mean group total. The threshold comes from EXACT quantities
+  // (one decimal grand total / a group count), broadcast to the group
+  // rows — not a double re-aggregation whose sum order could differ
+  // between engines.
+  def aboveAvgGroups(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+    val threshold = Tables.load(spark, dir, "orders")
+      .agg((dsum(col("o_totalprice")) /
+        countDistinct(col("o_orderpriority"))).as("avg_group_total"))
+    groups.crossJoin(broadcast(threshold))
+      .filter(col("total") > col("avg_group_total"))
+      .select(col("o_orderpriority"), col("n_orders"), col("total"),
+        col("avg_group_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // X15: MapType surface — per-priority status→count map built with
   // map_from_entries over SORTED entries (collect_list order is
   // partition-dependent; sorting the entry array before map
@@ -476,18 +495,26 @@ object Relational {
   // over (key, change time): effective_to = next change's date (null =
   // current), is_current flags the open version. Single shuffle on the
   // key; at 100 TB this is exactly the incremental-dim rebuild shape.
-  /** SCD2 version intervals with native timestamps — shared by the
-    * history dump (u02) and the point-in-time lookup (u03). */
-  private def scd2Versions(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
+  /** The (key, change, date, status) source rows the SCD2 dim is built
+    * from — orders of the first 300 customers. */
+  private def scd2Source(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders")
       .filter(col("o_custkey") <= 300)
       .select(col("o_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_orderstatus"))
+
+  private def scd2VersionsOf(src: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    src
       .withColumn("version", row_number().over(w))
       .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
   }
+
+  /** SCD2 version intervals with native timestamps — shared by the
+    * history dump (u02) and the point-in-time lookup (u03). */
+  private def scd2Versions(spark: SparkSession, dir: String): DataFrame =
+    scd2VersionsOf(scd2Source(spark, dir))
 
   def scd2CustomerStatus(spark: SparkSession, dir: String): DataFrame =
     scd2Versions(spark, dir)
@@ -522,6 +549,43 @@ object Relational {
       .select(col("o_custkey"), col("l_orderkey"), col("l_linenumber"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
         col("version"), col("status"))
+  }
+
+  // U5: SCD2 INCREMENTAL merge — the nightly-dim-build contract: an
+  // existing versioned dim plus a change batch must equal the full
+  // rebuild, WITHOUT re-windowing history. The merge touches only (a)
+  // each changed key's open row (closed at the key's first batch date)
+  // and (b) the batch rows (version numbers continue from the key's
+  // stored max; one window over the BATCH only). Unchanged keys pass
+  // through untouched — at 100 TB the work is O(batch + touched keys),
+  // not O(history), and emitting the same output as u02's rebuild is
+  // exactly what the shared oracle verifies.
+  def scd2IncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_date(lit("1996-01-01"))
+    val src = scd2Source(spark, dir)
+    val dim = scd2VersionsOf(src.filter(col("o_orderdate") < cutoff))
+    val batch = src.filter(col("o_orderdate") >= cutoff)
+    val stats = dim.groupBy(col("o_custkey")).agg(max(col("version")).as("maxv"))
+    val firstBatch = batch.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("first_new"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val newVers = batch
+      .join(stats, Seq("o_custkey"), "left")
+      .withColumn("version", row_number().over(w) + coalesce(col("maxv"), lit(0)))
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+      .drop("maxv")
+    val patched = dim.join(firstBatch, Seq("o_custkey"), "left")
+      .withColumn("next_date",
+        when(col("next_date").isNull, col("first_new")).otherwise(col("next_date")))
+      .drop("first_new")
+    patched.unionByName(newVers)
+      .select(
+        col("o_custkey"), col("version"),
+        col("o_orderstatus").as("status"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("effective_from"),
+        date_format(col("next_date"), "yyyy-MM-dd").as("effective_to"),
+        col("next_date").isNull.as("is_current"))
   }
 
   // Set operations (INTERSECT / EXCEPT, set semantics with dedup) —
@@ -988,9 +1052,11 @@ object Relational {
     "s19_schema_evolution" -> (schemaEvolution _),
     "s15_dynamic_pruning" -> (dynamicPruning _),
     "u02_scd2_history" -> (scd2CustomerStatus _),
+    "u05_scd2_incremental" -> (scd2IncrementalMerge _),
+    "a14_above_avg_groups" -> (aboveAvgGroups _),
     "u03_scd2_point_in_time" -> (scd2PointInTime _))
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
@@ -1372,6 +1438,14 @@ object Relational {
         |FROM region JOIN (VALUES (0,'ZONE-A'),(1,'ZONE-B'),(2,'ZONE-C'),(3,'ZONE-D'),(4,'ZONE-E'))
         |  AS z(zone_key, zone_name) ON r_regionkey = zone_key
         |ORDER BY r_regionkey""".stripMargin,
+    "a14_above_avg_groups" ->
+      """WITH g AS (SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(DISTINCT o_orderpriority) AS avg_group_total FROM orders)
+        |SELECT o_orderpriority, n_orders, total, avg_group_total
+        |FROM g, t WHERE total > avg_group_total ORDER BY o_orderpriority""".stripMargin,
     // batch 1 predates the n_regionkey column -> NULL there, data in 2
     "s19_schema_evolution" ->
       """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey, 1 AS batch FROM nation
@@ -1404,4 +1478,8 @@ object Relational {
         |  FROM t)
         |SELECT id, name, rk, is_corrupt,
         |  CASE WHEN is_corrupt THEN line END AS corrupt_raw FROM p""".stripMargin)
+
+  // u05's contract IS "equals the u02 full rebuild" -> shared oracle
+  val oracles: Map[String, String] =
+    oraclesBase + ("u05_scd2_incremental" -> oraclesBase("u02_scd2_history"))
 }

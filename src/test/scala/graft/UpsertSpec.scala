@@ -40,6 +40,12 @@ class UpsertSpec extends SparkSpec {
     Fs.rmTree(new java.io.File(base))
   }
 
+  test("u05 incremental SCD2 merge equals the full rebuild") {
+    assertSameRows(
+      operators.Relational.scd2IncrementalMerge(spark, sfDir),
+      operators.Relational.scd2CustomerStatus(spark, sfDir))
+  }
+
   test("u04 CDC fold: delete wins unless re-inserted; latest op sets state") {
     val got = operators.Cdc.cdcApply(spark, sfDir)
     val keys = Tables.load(spark, sfDir, "orders").select(col("o_orderkey"))
