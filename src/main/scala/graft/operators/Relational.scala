@@ -168,6 +168,154 @@ object Relational {
       .limit(20)
   }
 
+  // TPC-H Q9 analogue (product-type profit): name-substring part filter,
+  // 5-way join, profit = revenue − cost proxy (this schema has no
+  // partsupp, so p_retailprice×quantity stands in for supplycost — see
+  // reference README.md:169-214 for the workload tier this extends).
+  // All money math in exact DECIMAL; one hash-agg on (nation, year).
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.load(spark, dir, "part")
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(
+        dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))
+          - dec(col("p_retailprice")) * dec(col("l_quantity")))
+        .cast(DoubleType).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  // TPC-H Q12 analogue (shipping lateness vs priority): derived
+  // CASE-class grouping column + conditional counts in one pass. The
+  // synthetic schema has no l_shipmode, so the class is ship delay.
+  def lateShipments(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ship_class",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) > 60, "LATE")
+          .otherwise("ONTIME"))
+      .groupBy(col("ship_class"))
+      .agg(
+        count(when(high, 1)).as("high_line_count"),
+        count(when(!high, 1)).as("low_line_count"))
+      .orderBy(col("ship_class"))
+  }
+
+  // TPC-H Q13 analogue (customer order-count distribution): LEFT OUTER
+  // join so zero-order customers survive with c_count=0, then a second
+  // aggregation over the first's result — a two-level agg no single
+  // GROUP BY can express.
+  def orderCountDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.load(spark, dir, "customer")
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  // TPC-H Q14 analogue (promo revenue share): month-bounded scan,
+  // broadcast part join, conditional numerator over the same rows as
+  // the denominator — exact DECIMAL sums so the ratio is bit-stable.
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-10-01").cast(TimestampType))
+      .join(broadcast(Tables.load(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)).cast(DoubleType).as("promo_rev"),
+        sum(rev).cast(DoubleType).as("total_rev"))
+      .select(col("promo_rev"), col("total_rev"),
+        (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_pct"))
+  }
+
+  // TPC-H Q17 analogue (small-quantity revenue): the correlated
+  // per-part AVG subquery decorrelates to ONE window over the already
+  // part-filtered lines — no second lineitem scan, no re-join. The
+  // threshold avg is exact in IEEE double (integral quantities sum
+  // exactly; one division), so the filter boundary is engine-stable.
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.load(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
+      .select(col("p_partkey"))
+    val byPart = Window.partitionBy(col("l_partkey"))
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .withColumn("avg_qty",
+        sum(col("l_quantity")).over(byPart) / count(lit(1)).over(byPart))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast(DoubleType) / lit(7.0)).as("avg_yearly"))
+  }
+
+  // TPC-H Q18 analogue (large-volume orders): HAVING on a grouped sum,
+  // then the qualifying keys rejoin the fact — the aggregate acts as a
+  // semi-join filter. Quantities are integral doubles: exact sums.
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast(LongType).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    Tables.load(spark, dir, "orders")
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.load(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  // TPC-H Q19 analogue (disjunctive predicate revenue): OR-of-ANDs over
+  // both join sides. The equi-key (partkey) still drives a hash join;
+  // the disjunction stays a residual filter — never a cartesian.
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) && col("l_quantity").between(20, 40))
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(Tables.load(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  // TPC-H Q22 analogue (global sales opportunity): derived "country
+  // code" from the customer name tail, scalar-subquery threshold on
+  // positive balances, NOT EXISTS recent orders as a left-anti join.
+  def globalSalesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    val codes = Seq("00", "11", "22", "33", "44", "55", "66")
+    val cust = Tables.load(spark, dir, "customer")
+      .withColumn("cntrycode", substring(col("c_name"), -2, 2))
+      .filter(col("cntrycode").isin(codes: _*))
+    // exact decimal sum / count, not avg(double): the threshold must be
+    // bit-identical across engines or a boundary customer could flip
+    val threshold = cust.filter(col("c_acctbal") > 0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    val recentOrders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast(TimestampType))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(threshold))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recentOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
   // A14: HAVING-above-average — groups kept only if their total beats
   // the mean group total. The threshold comes from EXACT quantities
   // (one decimal grand total / a group count), broadcast to the group
@@ -1005,6 +1153,14 @@ object Relational {
     "q07_volume_shipping" -> (volumeShipping _),
     "q08_market_share" -> (marketShare _),
     "q10_returned_items" -> (returnedItems _),
+    "q09_product_profit" -> (productProfit _),
+    "q12_late_shipments" -> (lateShipments _),
+    "q13_order_distribution" -> (orderCountDistribution _),
+    "q14_promo_revenue" -> (promoRevenue _),
+    "q17_small_qty_revenue" -> (smallQtyRevenue _),
+    "q18_large_orders" -> (largeOrders _),
+    "q19_disjunctive_revenue" -> (disjunctiveRevenue _),
+    "q22_sales_opportunity" -> (globalSalesOpportunity _),
     "x14_moment_stats" -> (momentStats _),
     "x15_map_ops" -> (mapOps _),
     "x13_string_functions" -> (stringFunctions _),
@@ -1127,6 +1283,79 @@ object Relational {
         |  CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_18' THEN r END), 0) AS DOUBLE)
         |    / CAST(SUM(r) AS DOUBLE) AS mkt_share
         |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q09_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |   - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q12_late_shipments" ->
+      """SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+        |   THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+        | COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+        | COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN
+        |  (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderpriority <> '5-LOW') o
+        |  ON c_custkey = o_custkey
+        | GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT promo_rev, total_rev, 100.0 * promo_rev / total_rev AS promo_pct FROM (
+        | SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE) AS promo_rev,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |   AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00') t""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly FROM (
+        | SELECT l_extendedprice, l_quantity,
+        |  SUM(l_quantity) OVER (PARTITION BY l_partkey) / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+        | FROM lineitem
+        | WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3' AND p_type = 'SMALL')) t
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        | o_totalprice, sum_qty
+        |FROM orders
+        | JOIN (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |       FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) b
+        |   ON o_orderkey = l_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q22_sales_opportunity" ->
+      """WITH cust AS (
+        | SELECT c_custkey, c_acctbal, substring(c_name, length(c_name)-1, 2) AS cntrycode
+        | FROM customer
+        | WHERE substring(c_name, length(c_name)-1, 2) IN ('00','11','22','33','44','55','66'))
+        |SELECT cntrycode, COUNT(*) AS numcust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM cust
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |                   FROM cust WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
     "x15_map_ops" ->
       """SELECT o_orderpriority,
         |  CAST(COUNT(*) AS INTEGER) AS n_statuses,
