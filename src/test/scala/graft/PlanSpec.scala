@@ -153,6 +153,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q09 profit star broadcasts part/supplier/nation; orders joins hash") {
+    val plan = Relational.productProfit(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q19 disjunctive predicate stays a hash equi-join with residual filter") {
+    val plan = Relational.disjunctiveRevenue(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q17 correlated-avg rewrite scans lineitem exactly once") {
+    val df = Relational.smallQtyRevenue(spark, sfDir)
+    val lineitemScans = allScans(df.queryExecution.executedPlan)
+      .count(_.metadata.getOrElse("Location", "").contains("lineitem"))
+    assert(lineitemScans == 1, s"$lineitemScans lineitem scans")
+  }
+
+  test("q22 anti join plans as BroadcastHashJoin/SortMergeJoin LeftAnti, no NL") {
+    val plan = Relational.globalSalesOpportunity(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") || plan.contains("LeftAnti"), plan)
+  }
+
   test("u04 CDC fold costs exactly one hash exchange for any log depth") {
     val plan = graft.operators.Cdc.cdcApply(spark, sfDir)
       .queryExecution.executedPlan.toString()
