@@ -46,4 +46,40 @@ object Keys {
       .withColumn(idName, (col("__offset") + col("__rn")).cast(LongType))
       .drop("__pid", "__rn", "__offset")
   }
+
+  /** Exclusive prefix sum of `value` in the total order `order` — each
+    * row gets the running total BEFORE it — with the same
+    * partition-offset plan shape as [[scalableSurrogate]]: range
+    * partitions carry disjoint ordered key ranges, the running sum is
+    * windowed per partition (balanced), and only the numPartitions-row
+    * per-partition totals pass through a global window before being
+    * broadcast back. Equals `SUM(value) OVER (ORDER BY order ROWS
+    * UNBOUNDED PRECEDING AND 1 PRECEDING)` for any boundary placement.
+    */
+  def scalablePrefixSum(df: DataFrame, order: Seq[Column], value: Column,
+                        sumName: String, numPartitions: Int = 0): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value.cast(LongType))
+    val local = ranged.withColumn("__cum",
+      coalesce(
+        sum(col("__v")).over(
+          Window.partitionBy(col("__pid")).orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val offsets = local.groupBy(col("__pid")).agg(sum(col("__v")).as("__tot"))
+      .withColumn("__offset",
+        coalesce(
+          sum(col("__tot")).over(
+            Window.orderBy(col("__pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(sumName, col("__offset") + col("__cum"))
+      .drop("__pid", "__v", "__cum", "__offset")
+  }
 }

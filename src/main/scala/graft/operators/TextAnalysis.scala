@@ -482,7 +482,67 @@ object TextAnalysis {
       substring(hex(bin), 1, 8).as("magic_hex")) // first-4-bytes magic; hex-then-slice (DuckDB blob substring unsupported)
   }
 
+  /** Tokens per training bin (k01). */
+  private val PackBudget = 2048L
+  /** Chunk window / stride in tokens (t11): 25% overlap. */
+  private val ChunkW = 64
+  private val ChunkS = 48
+
+  // K: token-budget sequence packing — documents are concatenated in
+  // doc_id order and cut into fixed token-budget training bins; a doc
+  // belongs to the bin where it starts. The global running total is the
+  // scalable partition-offset prefix sum ([[Keys.scalablePrefixSum]]),
+  // NOT a single-partition `Window.orderBy` — the only global window in
+  // the plan runs over numPartitions rows.
+  def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
+    val counted = docs(spark, dir)
+      .select(col("doc_id"), size(wordsOf(col("text"))).cast(LongType).as("n_tokens"))
+    Keys.scalablePrefixSum(counted, Seq(col("doc_id")), col("n_tokens"), "cum_before")
+      .withColumn("bin_id", expr(s"cum_before div $PackBudget"))
+      .groupBy(col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bin_id"))
+  }
+
+  // T: overlapping token-window chunking — each document fans out to
+  // ceil(n/stride) chunks of ≤ W tokens with W−S overlap (RAG/context
+  // windows). One split per row, starts via `sequence`, slices bound to
+  // the materialized token array — no per-element re-splitting. Chunks
+  // are published as md5 digests: the compare stays compact while still
+  // pinning the exact chunk text.
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), wordsOf(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("n"), col("toks"),
+        explode(sequence(lit(0), col("n") - 1, lit(ChunkS))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / ChunkS).cast(IntegerType).as("chunk_id"),
+        col("start"),
+        least(lit(ChunkW), col("n") - col("start")).as("chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(ChunkW)))).as("chunk_md5"))
+
+  // X16: regexp surface — extract / extract_all-count / global replace /
+  // match flag, constrained to the RE2∩Java regex subset (t08's rule) so
+  // both engines compile the same automaton semantics.
+  def regexpSuite(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      regexp_extract(col("text"), "([0-9]+)", 1).as("first_num"),
+      size(regexp_extract_all(col("text"), lit("[aeiou]"), lit(0))).as("n_vowels"),
+      substring(regexp_replace(col("text"), "[0-9]", "#"), 1, 40).as("masked_prefix"),
+      col("text").rlike("(19|20)[0-9]{2}").as("has_year"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k01_token_packing" -> (tokenPacking _),
+    "t11_chunk_overlap" -> (chunkOverlap _),
+    "x16_regexp_suite" -> (regexpSuite _),
     "t01_token_count" -> (tokenCount _),
     "t02_quality_score" -> (qualityScore _),
     "t03_lang_id" -> (langId _),
@@ -502,6 +562,36 @@ object TextAnalysis {
     "m01_binary_meta" -> (binaryMeta _))
 
   val oracles: Map[String, String] = Map(
+    "k01_token_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |   COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        | FROM t)
+        |SELECT CAST(cum_before // 2048 AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t11_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id,
+        |   string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n FROM d
+        |      WHERE len(toks) >= 1)
+        |SELECT doc_id,
+        | CAST(s.start // 48 AS INTEGER) AS chunk_id,
+        | CAST(s.start AS INTEGER) AS start,
+        | CAST(least(64, n - s.start) AS INTEGER) AS chunk_tokens,
+        | md5(array_to_string(toks[CAST(s.start + 1 AS INTEGER):CAST(least(s.start + 64, n) AS INTEGER)], ' ')) AS chunk_md5
+        |FROM n, UNNEST(range(0, CAST(n AS BIGINT), 48)) AS s(start)""".stripMargin,
+    "x16_regexp_suite" ->
+      """SELECT doc_id,
+        | regexp_extract(text, '([0-9]+)', 1) AS first_num,
+        | CAST(len(regexp_extract_all(text, '[aeiou]')) AS INTEGER) AS n_vowels,
+        | substring(regexp_replace(text, '[0-9]', '#', 'g'), 1, 40) AS masked_prefix,
+        | regexp_matches(text, '(19|20)[0-9]{2}') AS has_year
+        |FROM documents""".stripMargin,
     "t01_token_count" ->
       s"""SELECT doc_id,
          | CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,

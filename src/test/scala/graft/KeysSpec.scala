@@ -26,6 +26,22 @@ class KeysSpec extends SparkSpec {
     }
   }
 
+  test("scalablePrefixSum equals a global exclusive running-sum window") {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    for (parts <- Seq(1, 3, 16)) {
+      val scalable = Keys.scalablePrefixSum(
+        orders, Seq(col("o_orderkey")), col("o_custkey"), "cum", numPartitions = parts)
+      val global = orders.withColumn("cum",
+        coalesce(
+          sum(col("o_custkey")).over(
+            Window.orderBy(col("o_orderkey"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      assertSameRows(scalable, global)
+    }
+  }
+
   test("the data-bearing window is partitioned (no global funnel)") {
     val cust = Tables.load(spark, sfDir, "customer").select("c_custkey", "c_name")
     val plan = Keys.scalableSurrogate(cust, Seq(col("c_custkey")), "id")
