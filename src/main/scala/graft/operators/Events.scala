@@ -291,6 +291,36 @@ object Events {
     }
   }
 
+  // E: streaming PARQUET FILE SINK — the production persistence path
+  // (exactly-once appends via checkpoint + _spark_metadata commit log),
+  // where every other e-query sinks to memory or foreachBatch. The
+  // stream filters/projects purchases into a fresh directory; the
+  // result then re-reads the COMMITTED files and aggregates per user,
+  // so the compare pins the sink contents, not just the plan.
+  def streamFileSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = s"${sys.props("java.io.tmpdir")}/graft_e16_${graft.Fs.tmpTag(dir)}"
+    graft.Fs.rmTree(new java.io.File(base))
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$base/data")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"),
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"))
+      .orderBy(col("user_id"))
+  }
+
   def incrementalUpsert(spark: SparkSession, dir: String): DataFrame = {
     val stateBase =
       s"${sys.props("java.io.tmpdir")}/graft_e13_state_${graft.Fs.tmpTag(dir)}"
@@ -395,9 +425,18 @@ object Events {
     "e11_funnel_conversion" -> (funnelConversion _),
     "e12_cohort_retention" -> (cohortRetention _),
     "e13_incremental_upsert" -> (incrementalUpsert _),
-    "e15_gap_fill" -> (gapFill _))
+    "e15_gap_fill" -> (gapFill _),
+    "e16_stream_file_sink" -> (streamFileSink _))
 
   val oracles: Map[String, String] = Map(
+    // what the committed sink files must aggregate to: the batch twin
+    // of the streamed filter/projection
+    "e16_stream_file_sink" ->
+      """SELECT user_id, COUNT(*) AS n_purchases,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value,
+        | MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the one-shot batch aggregate the incremental foreachBatch
     // maintenance must converge to
     "e13_incremental_upsert" ->

@@ -924,6 +924,37 @@ object Relational {
         col("_corrupt_record").as("corrupt_raw"))
   }
 
+  // S20: globally-sorted shard output — the 100 TB "write a sorted
+  // dataset" pattern: repartitionByRange gives disjoint ordered key
+  // ranges across tasks, sortWithinPartitions orders each shard, and
+  // together the files form one global order with NO single-task global
+  // sort. The query re-reads the written files and proves the invariant
+  // from their contents: per-file (lo, hi) key ranges must be pairwise
+  // disjoint. Range boundaries come from sampling, so per-shard counts
+  // are not deterministic — the published row is the invariant, which is.
+  def sortedShards(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_sorted_shards_${tmpTag(dir)}"
+    val key = Seq(col("o_totalprice"), col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .repartitionByRange(8, key: _*)
+      .sortWithinPartitions(key: _*)
+      .write.mode("overwrite").parquet(path)
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(
+        min(struct(col("o_totalprice"), col("o_orderkey"))).as("lo"),
+        max(struct(col("o_totalprice"), col("o_orderkey"))).as("hi"),
+        count(lit(1)).as("n"))
+    // 8 rows: the window is over the per-shard digest, not the data
+    val w = Window.orderBy(col("lo"))
+    perFile
+      .withColumn("prev_hi", lag(col("hi"), 1).over(w))
+      .agg(
+        count(lit(1)).as("n_shards"),
+        sum(col("n")).as("n_rows"),
+        min(col("prev_hi").isNull || col("prev_hi") < col("lo")).as("shards_disjoint"))
+  }
+
   // Datetime-arithmetic surface: add_months / last_day / date_trunc /
   // datediff / day-of-week over order dates — all codegen'd built-ins,
   // emitted as formatted strings / integers for cross-engine compare.
@@ -1207,6 +1238,7 @@ object Relational {
     "s18_dynamic_overwrite" -> (dynamicPartitionOverwrite _),
     "s19_schema_evolution" -> (schemaEvolution _),
     "s15_dynamic_pruning" -> (dynamicPruning _),
+    "s20_sorted_shards" -> (sortedShards _),
     "u02_scd2_history" -> (scd2CustomerStatus _),
     "u05_scd2_incremental" -> (scd2IncrementalMerge _),
     "a14_above_avg_groups" -> (aboveAvgGroups _),
@@ -1283,6 +1315,12 @@ object Relational {
         |  CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_18' THEN r END), 0) AS DOUBLE)
         |    / CAST(SUM(r) AS DOUBLE) AS mkt_share
         |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // the invariant the sorted shards must satisfy, plus the row
+    // conservation check — boundaries themselves are sample-dependent
+    "s20_sorted_shards" ->
+      """SELECT CAST(8 AS BIGINT) AS n_shards,
+        | (SELECT COUNT(*) FROM orders) AS n_rows,
+        | true AS shards_disjoint""".stripMargin,
     "q09_product_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))

@@ -24,6 +24,28 @@ class IngestSpec extends SparkSpec {
     corrupt.unpersist()
   }
 
+  test("s20 shards are internally sorted and globally ordered") {
+    // the query publishes disjointness; this pins the within-file order
+    // and that concatenating shards by range yields the full global sort
+    Relational.sortedShards(spark, sfDir).collect() // force the write
+    val path = s"${sys.props("java.io.tmpdir")}/graft_sorted_shards_" +
+      graft.Fs.tmpTag(sfDir)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 8, files.length)
+    val perFile = files.map { f =>
+      spark.read.parquet(f)
+        .select(col("o_totalprice"), col("o_orderkey"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    }
+    perFile.foreach(rows => assert(rows.sameElements(rows.sorted), "shard not sorted"))
+    val concatenated = perFile.sortBy(_.head).flatten
+    val expected = Tables.load(spark, sfDir, "orders")
+      .select(col("o_totalprice"), col("o_orderkey"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sorted
+    assert(concatenated.sameElements(expected), "shard concatenation != global sort")
+  }
+
   test("m06 batches are bounded, deterministic, and cover every doc") {
     val docs = Tables.load(spark, sfDir, "documents")
     val got = Multimodal.batchedScore(docs).cache()
