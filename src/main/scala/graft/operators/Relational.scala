@@ -316,6 +316,108 @@ object Relational {
       .orderBy(col("cntrycode"))
   }
 
+  // TPC-H Q15 analogue (top supplier): quarter revenue per supplier,
+  // then keep the max via a broadcast scalar — an agg OF an agg.
+  // Equality on the revenue is safe: both sides derive the double from
+  // the same exact DECIMAL sum.
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast(DoubleType).as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("mr"))
+      .join(broadcast(Tables.load(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  // TPC-H Q16 analogue (part/supplier relationship counts): DISTINCT
+  // pair extraction from the fact stands in for partsupp; negative-
+  // balance suppliers are excluded NOT-IN-style via a left-anti join
+  // (null-safe by construction), then COUNT(DISTINCT) per part group.
+  def partSupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val excluded = Tables.load(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    pairs
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.load(spark, dir, "part")
+          .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 14, 23, 45))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  // TPC-H Q21 analogue (suppliers who kept orders waiting): the
+  // EXISTS / NOT-EXISTS pair over other lineitems of the same order
+  // decorrelates into ONE grouped pass over the order — count suppliers
+  // and late suppliers per order, then a supplier is "waiting" on a
+  // multi-supplier order where he is the ONLY late one. No receiptdate
+  // in this schema: late = shipped > 90 days after the order date.
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) > 90).as("late"))
+    val perSupp = lines.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("supp_late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supps"),
+        count(when(col("supp_late"), 1)).as("n_late_supps"))
+    perSupp.filter(col("supp_late"))
+      .join(perOrder.filter(col("n_supps") > 1 && col("n_late_supps") === 1), "l_orderkey")
+      .join(broadcast(Tables.load(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  // DQ: expectations-style data-quality report — null rate, domain
+  // violations, duplicate keys, and FK orphans, each a (check, count)
+  // row. The FK checks are anti-join counts; everything else folds into
+  // single aggregates so the whole report is a handful of passes that
+  // each scan one table once.
+  def qualityReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val orders = Tables.load(spark, dir, "orders")
+    def checkRow(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("check"), col("violations").cast(LongType),
+        col("checked").cast(LongType))
+    val scalarChecks = li.agg(
+      count(when(col("l_quantity").isNull, 1)).as("null_qty"),
+      count(when(!col("l_discount").between(0.0, 1.0), 1)).as("bad_discount"),
+      count(when(col("l_shipdate").isNull, 1)).as("null_shipdate"),
+      count(lit(1)).as("checked"))
+    val dupKeys = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(when(col("n") > 1, 1)).as("violations"), count(lit(1)).as("checked"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .crossJoin(li.agg(count(lit(1)).as("checked")))
+    checkRow("null_quantity", scalarChecks
+        .select(col("null_qty").as("violations"), col("checked")))
+      .unionAll(checkRow("discount_in_unit_range", scalarChecks
+        .select(col("bad_discount").as("violations"), col("checked"))))
+      .unionAll(checkRow("null_shipdate", scalarChecks
+        .select(col("null_shipdate").as("violations"), col("checked"))))
+      .unionAll(checkRow("unique_line_key", dupKeys))
+      .unionAll(checkRow("orderkey_fk", orphans))
+      .orderBy(col("check"))
+  }
+
   // A14: HAVING-above-average — groups kept only if their total beats
   // the mean group total. The threshold comes from EXACT quantities
   // (one decimal grand total / a group count), broadcast to the group
@@ -789,6 +891,24 @@ object Relational {
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
   }
 
+  // W: the distribution-analytic window functions w05 doesn't cover —
+  // percent_rank / cume_dist / first_value / last_value / nth_value —
+  // one window spec, one shuffle, same partition bounds as w05.
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") <= 300)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first_value(col("o_orderkey")).over(full).as("first_key"),
+        last_value(col("o_orderkey")).over(full).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_key"))
+  }
+
   // W3: surrogate keys (reference IDENTITY(1,1)) via the partition-offset
   // path in [[Keys.scalableSurrogate]] — same ids as a global
   // row_number() window, with no single-partition stage in the plan.
@@ -1192,6 +1312,11 @@ object Relational {
     "q18_large_orders" -> (largeOrders _),
     "q19_disjunctive_revenue" -> (disjunctiveRevenue _),
     "q22_sales_opportunity" -> (globalSalesOpportunity _),
+    "q15_top_supplier" -> (topSupplier _),
+    "q16_part_supplier_counts" -> (partSupplierCounts _),
+    "q21_waiting_suppliers" -> (waitingSuppliers _),
+    "dq01_quality_report" -> (qualityReport _),
+    "w07_window_analytics" -> (windowAnalytics _),
     "x14_moment_stats" -> (momentStats _),
     "x15_map_ops" -> (mapOps _),
     "x13_string_functions" -> (stringFunctions _),
@@ -1315,6 +1440,76 @@ object Relational {
         |  CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_18' THEN r END), 0) AS DOUBLE)
         |    / CAST(SUM(r) AS DOUBLE) AS mkt_share
         |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_part_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        | JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' AND p_size IN (1, 14, 23, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH lines AS (
+        | SELECT l_orderkey, l_suppkey,
+        |   date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90 AS late
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderstatus = 'F'),
+        |per_supp AS (SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+        | FROM lines GROUP BY 1, 2),
+        |per_order AS (SELECT l_orderkey, COUNT(*) AS n_supps,
+        |  COUNT(CASE WHEN supp_late THEN 1 END) AS n_late_supps
+        | FROM per_supp GROUP BY 1)
+        |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM per_supp
+        | JOIN per_order USING (l_orderkey)
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE supp_late AND n_supps > 1 AND n_late_supps = 1
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "dq01_quality_report" ->
+      """SELECT * FROM (
+        | SELECT 'null_quantity' AS check,
+        |   COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS violations,
+        |   COUNT(*) AS checked FROM lineitem
+        | UNION ALL
+        | SELECT 'discount_in_unit_range',
+        |   COUNT(CASE WHEN l_discount NOT BETWEEN 0.0 AND 1.0 THEN 1 END),
+        |   COUNT(*) FROM lineitem
+        | UNION ALL
+        | SELECT 'null_shipdate',
+        |   COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END), COUNT(*) FROM lineitem
+        | UNION ALL
+        | SELECT 'unique_line_key',
+        |   COUNT(CASE WHEN n > 1 THEN 1 END), COUNT(*)
+        | FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber) g
+        | UNION ALL
+        | SELECT 'orderkey_fk',
+        |   (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |   COUNT(*) FROM lineitem
+        |) t ORDER BY "check"""".stripMargin,
+    "w07_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume,
+        | first_value(o_orderkey) OVER wf AS first_key,
+        | last_value(o_orderkey) OVER wf AS last_key,
+        | nth_value(o_orderkey, 2) OVER wf AS second_key
+        |FROM orders WHERE o_custkey <= 300
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        | wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     // the invariant the sorted shards must satisfy, plus the row
     // conservation check — boundaries themselves are sample-dependent
     "s20_sorted_shards" ->
