@@ -69,27 +69,33 @@ object Bench {
     }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jsonLine(num: Double => String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+    def jsonLine(num: Double => String, key: String => String): String = {
+      val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + num(v) }
         .mkString("{", ",", "}")
       val total = results.map(_._2).sum
-      val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val warmedJson = warmed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val failedJson = failed.sorted.map("\"" + key(_) + "\"").mkString("[", ",", "]")
+      val warmedJson = warmed.map("\"" + key(_) + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"warmed":$warmedJson,"warmup_sec":${num(warmupSec)},"sf":"$sfDir"}"""
     }
-    // stdout gets millisecond-rounded timings: the driver captures only
-    // the LAST 4 KB of output, and full-precision doubles pushed the
-    // 101-query line past that in round 3 (the driver recorded
-    // parsed:null). ~3.2 KB rounded fits with room for sbt's epilogue.
-    println(jsonLine(fmt))
+    // stdout gets millisecond-rounded timings keyed by the unique id
+    // prefix (q01, d02, …): the driver captures only the LAST 4 KB of
+    // output, and at 141 queries even rounded full names hit 3.9 KB —
+    // one more round of queries would truncate the line again. Short
+    // keys hold ~1.7 KB; full names live in target/bench.json.
+    // guard: if two names ever collide on the prefix, fall back to full
+    // names rather than silently dropping a timing in the JSON map
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    val shortKey: String => String =
+      if (prefixes.distinct.size == prefixes.size) _.takeWhile(_ != '_') else identity
+    println(jsonLine(fmt, shortKey))
     // the file keeps full precision and survives any log truncation.
     // Best-effort: a non-writable cwd must not fail a bench whose
     // queries all passed.
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"),
-        jsonLine(_.toString) + "\n")
+        jsonLine(_.toString, identity) + "\n")
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }
