@@ -383,6 +383,34 @@ object Relational {
       .limit(20)
   }
 
+  // J16: null-safe equality join (`<=>`): NULL keys match each other —
+  // Spark's EqualNullSafe is still a hash-join key (no null-filter, no
+  // nested loop), the semantic SQL can't express with plain `=`.
+  // Nullable keys are derived: nation residue 0 → NULL on both sides.
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    def keyed(df: DataFrame, src: Column, name: String): DataFrame =
+      df.select(when(src % 5 === 0, lit(null).cast(IntegerType))
+        .otherwise(src % 5).as(name))
+    val cust = keyed(Tables.load(spark, dir, "customer"), col("c_nationkey"), "ck")
+    val supp = keyed(Tables.load(spark, dir, "supplier"), col("s_nationkey"), "sk")
+    cust.join(supp, col("ck") <=> col("sk"))
+      .groupBy(col("ck"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("ck"))
+  }
+
+  // J17: join-strategy hint — forces SHUFFLE_HASH where the optimizer
+  // would pick broadcast/sort-merge; the per-partition hash table skips
+  // both the broadcast and the sort at equal shuffle cost. PlanSpec
+  // asserts the ShuffledHashJoin actually materializes.
+  def hintedShuffleHashJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer").hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("c_mktsegment"))
+
   // DQ: expectations-style data-quality report — null rate, domain
   // violations, duplicate keys, and FK orphans, each a (check, count)
   // row. The FK checks are anti-join counts; everything else folds into
@@ -1317,6 +1345,8 @@ object Relational {
     "q21_waiting_suppliers" -> (waitingSuppliers _),
     "dq01_quality_report" -> (qualityReport _),
     "w07_window_analytics" -> (windowAnalytics _),
+    "j16_nullsafe_join" -> (nullSafeJoin _),
+    "j17_shuffle_hash_hint" -> (hintedShuffleHashJoin _),
     "x14_moment_stats" -> (momentStats _),
     "x15_map_ops" -> (mapOps _),
     "x13_string_functions" -> (stringFunctions _),
@@ -1440,6 +1470,19 @@ object Relational {
         |  CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_18' THEN r END), 0) AS DOUBLE)
         |    / CAST(SUM(r) AS DOUBLE) AS mkt_share
         |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "j16_nullsafe_join" ->
+      """WITH c AS (SELECT CASE WHEN c_nationkey % 5 = 0 THEN NULL
+        |   ELSE c_nationkey % 5 END AS ck FROM customer),
+        |s AS (SELECT CASE WHEN s_nationkey % 5 = 0 THEN NULL
+        |   ELSE s_nationkey % 5 END AS sk FROM supplier)
+        |SELECT ck, COUNT(*) AS n_pairs
+        |FROM c JOIN s ON ck IS NOT DISTINCT FROM sk
+        |GROUP BY ck ORDER BY ck""".stripMargin,
+    "j17_shuffle_hash_hint" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q15_top_supplier" ->
       """WITH rev AS (
         | SELECT l_suppkey,

@@ -181,6 +181,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") || plan.contains("LeftAnti"), plan)
   }
 
+  test("j16 null-safe equality still plans as a hash equi-join") {
+    val plan = Relational.nullSafeJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("HashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("j17 shuffle_hash hint materializes a ShuffledHashJoin") {
+    val plan = Relational.hintedShuffleHashJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("u04 CDC fold costs exactly one hash exchange for any log depth") {
     val plan = graft.operators.Cdc.cdcApply(spark, sfDir)
       .queryExecution.executedPlan.toString()
