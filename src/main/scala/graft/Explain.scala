@@ -20,7 +20,10 @@ object Explain {
     "q07_volume_shipping", "q10_returned_items", "j15_aqe_skew_join",
     "s16_bloom_filter_join", "d11_contamination", "v05_label_centroids",
     "t09_repetition_ratio", "t10_bigram_vocab", "w06_range_window",
-    "u03_scd2_point_in_time")
+    "u03_scd2_point_in_time",
+    "q09_product_profit", "q17_small_qty_revenue", "q19_disjunctive_revenue",
+    "q21_waiting_suppliers", "q22_sales_opportunity", "k01_token_packing",
+    "j16_nullsafe_join", "j17_shuffle_hash_hint", "s20_sorted_shards")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1072,6 +1072,24 @@ object Relational {
         col("_corrupt_record").as("corrupt_raw"))
   }
 
+  // X17: null-handling / conditional scalar surface — nullif, nvl(2),
+  // coalesce chains, greatest/least (null-skipping), CASE precedence —
+  // all codegen'd built-ins, exercised over derived nullable columns.
+  def nullConditionals(spark: SparkSession, dir: String): DataFrame = {
+    val bal = col("c_acctbal")
+    Tables.load(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        nullif(col("c_nationkey") % 5, lit(0)).as("res5"),
+        nvl(nullif(col("c_nationkey") % 5, lit(0)), lit(-1)).as("res5_filled"),
+        nvl2(nullif(col("c_nationkey") % 5, lit(0)), lit("some"), lit("none")).as("res5_tag"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+          nullif(col("c_mktsegment"), lit("AUTOMOBILE")), lit("other")).as("seg_pref"),
+        greatest(bal, lit(0.0)).as("bal_floor"),
+        least(bal, lit(5000.0)).as("bal_cap"),
+        when(bal < 0, "overdrawn").when(bal < 1000, "low").otherwise("high").as("bal_band"))
+  }
+
   // S20: globally-sorted shard output — the 100 TB "write a sorted
   // dataset" pattern: repartitionByRange gives disjoint ordered key
   // ranges across tasks, sortWithinPartitions orders each shard, and
@@ -1347,6 +1365,7 @@ object Relational {
     "w07_window_analytics" -> (windowAnalytics _),
     "j16_nullsafe_join" -> (nullSafeJoin _),
     "j17_shuffle_hash_hint" -> (hintedShuffleHashJoin _),
+    "x17_null_conditionals" -> (nullConditionals _),
     "x14_moment_stats" -> (momentStats _),
     "x15_map_ops" -> (mapOps _),
     "x13_string_functions" -> (stringFunctions _),
@@ -1470,6 +1489,17 @@ object Relational {
         |  CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_18' THEN r END), 0) AS DOUBLE)
         |    / CAST(SUM(r) AS DOUBLE) AS mkt_share
         |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "x17_null_conditionals" ->
+      """SELECT c_custkey,
+        | nullif(c_nationkey % 5, 0) AS res5,
+        | COALESCE(nullif(c_nationkey % 5, 0), -1) AS res5_filled,
+        | CASE WHEN nullif(c_nationkey % 5, 0) IS NOT NULL THEN 'some' ELSE 'none' END AS res5_tag,
+        | COALESCE(nullif(c_mktsegment, 'BUILDING'), nullif(c_mktsegment, 'AUTOMOBILE'), 'other') AS seg_pref,
+        | greatest(c_acctbal, 0.0) AS bal_floor,
+        | least(c_acctbal, 5000.0) AS bal_cap,
+        | CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |      WHEN c_acctbal < 1000 THEN 'low' ELSE 'high' END AS bal_band
+        |FROM customer""".stripMargin,
     "j16_nullsafe_join" ->
       """WITH c AS (SELECT CASE WHEN c_nationkey % 5 = 0 THEN NULL
         |   ELSE c_nationkey % 5 END AS ck FROM customer),

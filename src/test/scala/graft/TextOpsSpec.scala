@@ -68,4 +68,48 @@ class TextOpsSpec extends SparkSpec {
     assert(probe.getAs[Int]("n_hit") == probeSh.count(bench.contains))
     out.unpersist()
   }
+
+  test("k01 packing conserves docs/tokens and bins are contiguous id ranges") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nDocs = docs.count()
+    val totalTokens = docs
+      .select(sum(size(graft.operators.TextAnalysis.wordsOf(col("text")))).cast("long"))
+      .head().getLong(0)
+    val bins = graft.operators.TextAnalysis.tokenPacking(spark, sfDir)
+      .orderBy(col("bin_id")).collect()
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(bins.map(_.getAs[Long]("total_tokens")).sum == totalTokens)
+    // bins partition the doc_id order: ranges are adjacent and disjoint
+    bins.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+      case _ =>
+    }
+    // every bin except possibly the last holds at least a full budget
+    // across its docs plus the one that straddles its end
+    assert(bins.forall(r => r.getAs[Long]("n_docs") > 0))
+  }
+
+  test("t11 chunks tile each document with stride-48 starts and W-bounded sizes") {
+    import org.apache.spark.sql.functions._
+    val chunks = graft.operators.TextAnalysis.chunkOverlap(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        max(col("start") + col("chunk_tokens")).cast("long").as("covered_to"),
+        min(col("start")).cast("long").as("first_start"),
+        max(col("chunk_tokens")).cast("int").as("max_chunk"))
+      .collect()
+    val nTokens = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(graft.operators.TextAnalysis.wordsOf(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    chunks.foreach { r =>
+      val n = nTokens(r.getLong(0))
+      assert(r.getAs[Long]("first_start") == 0L)
+      assert(r.getAs[Long]("covered_to") >= n, s"doc ${r.getLong(0)} uncovered tail")
+      assert(r.getAs[Int]("max_chunk") <= 64)
+      assert(r.getAs[Long]("n_chunks") == (n + 47) / 48)
+    }
+  }
 }
