@@ -140,6 +140,16 @@ object Events {
         s"e04_mem_${Integer.toHexString(dir.hashCode)}", "complete")
       .orderBy(col("hour_start"), col("event_type"))
 
+  // E: native session_window as a STREAM — StreamingOps.sessionCounts
+  // over the events file source, AvailableNow into a memory sink
+  // (complete mode: no watermark eviction on replay), held to the same
+  // oracle as the batch twin e05.
+  def streamSessionWindows(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(spark,
+        s => graft.streaming.StreamingOps.sessionCounts(eventsStream(s, dir)),
+        s"e17_mem_${Integer.toHexString(dir.hashCode)}", "complete")
+      .orderBy(col("user_id"), col("session_start"))
+
   // E: built-in session windows (gap-merged event-time sessions) — the
   // declarative alternative to e02's lag/running-sum formulation; same
   // boundary as e02 (session_window MERGES events exactly 30 min apart;
@@ -426,7 +436,8 @@ object Events {
     "e12_cohort_retention" -> (cohortRetention _),
     "e13_incremental_upsert" -> (incrementalUpsert _),
     "e15_gap_fill" -> (gapFill _),
-    "e16_stream_file_sink" -> (streamFileSink _))
+    "e16_stream_file_sink" -> (streamFileSink _),
+    "e17_stream_session" -> (streamSessionWindows _))
 
   val oracles: Map[String, String] = Map(
     // what the committed sink files must aggregate to: the batch twin
@@ -560,6 +571,21 @@ object Events {
     // session_window boundary: same as e02 (NEW session only when
     // gap > 30 min — exact-boundary events merge); end = last + gap
     "e05_session_window" ->
+      """WITH x AS (SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events),
+        |y AS (SELECT *, CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+        |         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new FROM x),
+        |z AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS sid FROM y)
+        |SELECT user_id,
+        | strftime(make_timestamp(MIN(tus)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | strftime(make_timestamp(MAX(tus) + 1800000000), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM z GROUP BY user_id, sid""".stripMargin,
+    // the streaming session_window run is held to the batch-e05 result:
+    // same gap-merge boundary, same window-end = last event + gap
+    "e17_stream_session" ->
       """WITH x AS (SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events),
         |y AS (SELECT *, CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
         |         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000

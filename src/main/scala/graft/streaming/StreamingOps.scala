@@ -38,6 +38,27 @@ object StreamingOps {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Gap-merged session aggregation with the NATIVE `session_window`
+    * operator — the streaming twin of e05_session_window (which is the
+    * declarative twin of e02's lag/running-sum sessionizer). Spark
+    * merges the per-key open windows on arrival, so state is one merged
+    * window per (user, open session) — bounded by active users, not by
+    * event count. Run in complete mode on a bounded replay the result
+    * equals the batch twin; a production append-mode run adds a
+    * watermark so each session emits once its close passes it.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    withEventTime(events)
+      .groupBy(col("user_id"), session_window(col("t"), gap).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Streaming dedup: drop repeated event_ids while their first sighting
     * is still within the watermark — bounded state (one key per id per
     * watermark window), the streaming twin of d01's exact dedup.

@@ -198,6 +198,20 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(spark.table("hourly_out"), batch)
   }
 
+  test("native session_window stream equals the batch twin") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = Tables.path(sfDir, "events")
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("basePath", sfDir).parquet(s"$path*")
+    val q = StreamingOps.sessionCounts(stream).writeStream
+      .format("memory").queryName("sessw_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batch = graft.operators.Events.sessionWindows(spark, sfDir)
+    assertSameRows(spark.table("sessw_out"), batch)
+  }
+
   test("stateful agg under the RocksDB state store matches the batch twin") {
     // same pipeline as the in-memory-provider test above, but with
     // state in RocksDB — the provider that keeps streaming viable when
