@@ -116,6 +116,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("word"), col("tf"), col("df"), col("rk"))
   }
 
+  // T: classic ln-damped TF-IDF per term, the float companion to t06's
+  // integer-only ranking. Ranking stays on exact integers (tf desc, df
+  // asc, word) so top-k MEMBERSHIP is engine-stable; the float score is
+  // a reported value only, quantized with the x14 halfUp trick
+  // (floor(x·s+0.5)/s — pure double arithmetic, bit-identical across
+  // engines; round() is not, it re-rounds via the decimal string) far
+  // above the ulp scale where the engines' ln() may differ. The corpus
+  // size N enters as a 1-row cross join (j10's scalar-subquery shape),
+  // so the plan is two hash aggregates + broadcast joins — no collect.
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs(spark, dir)
+      .select(col("doc_id"), explode(wordsOf(lower(col("text")))).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).cast(IntegerType).as("tf"))
+    val df = tf.groupBy(col("word"))
+      .agg(count(lit(1)).cast(IntegerType).as("df"))
+    val n = Tables.load(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("word"))
+    val score = col("tf") * log(col("n_docs").cast(DoubleType) / col("df")) * lit(1e6)
+    tf.join(df, "word").crossJoin(n)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        (floor(score + lit(0.5)) / lit(1e6)).as("tfidf"), col("rk"))
+  }
+
   // T: deterministic stratified sampling — the training-data selection
   // primitive: per-language rates (en 10%, others 50%) via an
   // md5-derived hash bucket of the doc id, so the SAME sample comes out
@@ -549,6 +577,7 @@ object TextAnalysis {
     "t04_fingerprint" -> (fingerprint _),
     "t05_quality_filter" -> (qualityFilter _),
     "t06_top_terms" -> (topTerms _),
+    "t12_tfidf" -> (tfidf _),
     "t07_stratified_sample" -> (stratifiedSample _),
     "t08_pii_redact" -> (piiRedact _),
     "t09_repetition_ratio" -> (repetitionRatio _),
@@ -647,6 +676,20 @@ object TextAnalysis {
         |     ORDER BY tf.tf DESC, df.df ASC, tf.word) AS INTEGER) AS rk
         | FROM tf JOIN df USING (word))
         |SELECT doc_id, word, tf, df, rk FROM r WHERE rk <= 3""".stripMargin,
+    // same integer ranking as t06; the float score uses the identical
+    // halfUp quantization (floor form) as the Spark side
+    "t12_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS INTEGER) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, CAST(COUNT(*) AS INTEGER) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |r AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |   floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1e6 + 0.5) / 1e6 AS tfidf,
+        |   CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |     ORDER BY tf.tf DESC, df.df ASC, tf.word) AS INTEGER) AS rk
+        | FROM tf JOIN df USING (word) CROSS JOIN n)
+        |SELECT doc_id, word, tf, df, tfidf, rk FROM r WHERE rk <= 5""".stripMargin,
     "t07_stratified_sample" ->
       """SELECT doc_id, lang,
         |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket

@@ -112,4 +112,21 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_chunks") == (n + 47) / 48)
     }
   }
+
+  test("t12 tf-idf: dense rank 1..5 per doc, scores consistent with tf·ln(N/df)") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.TextAnalysis.tfidf(spark, sfDir).collect()
+    val n = Tables.load(spark, sfDir, "documents").count().toDouble
+    val perDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { case (id, rows) =>
+      assert(rows.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rows.length), s"doc $id ranks")
+      assert(rows.length <= 5)
+    }
+    out.foreach { r =>
+      val expect = math.floor(
+        r.getAs[Int]("tf") * math.log(n / r.getAs[Int]("df")) * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("tfidf") == expect, s"score mismatch at $r")
+    }
+  }
 }
