@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
-import graft.Tables
+import graft.{SessionCache, Tables}
 
 /** Core relational operator inventory (SURVEY.md §2) re-expressed over the
   * driver's synthetic star schema. Each query has a DuckDB oracle in
@@ -1121,6 +1121,139 @@ object Relational {
         min(col("prev_hi").isNull || col("prev_hi") < col("lo")).as("shards_disjoint"))
   }
 
+  // S: data-skipping scan via a per-file min/max manifest — the pattern
+  // behind every lakehouse file-pruning feature (Delta/Iceberg stats,
+  // parquet row-group min/max): write range-clustered shards, derive a
+  // (file → lo, hi) manifest of the clustering key, prune the MANIFEST
+  // against the predicate, and scan only the surviving files. The
+  // manifest prune is a driver-side collect, but over per-FILE metadata
+  // (one row per shard — thousands of rows at 100 TB, same order as the
+  // file listing Spark already collects), not data. Here the manifest is
+  // derived by one extra pass at write time; a production table keeps it
+  // in the commit log, amortized over every later query. The published
+  // row is the box aggregate, which is file-layout-independent; the
+  // PRUNING is asserted in LayoutSpec (surviving files < total shards).
+  private val s21Box = (150000.0, 250000.0)
+
+  /** Range-clustered shard layout + per-file (lo, hi) manifest of the
+    * clustering key, built once per (session, dir).
+    */
+  private def statsManifest(spark: SparkSession, dir: String): Array[(String, Double, Double)] =
+    SessionCache.memo(spark, s"s21_manifest_$dir") {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_stats_prune_${tmpTag(dir)}"
+      Tables.load(spark, dir, "orders")
+        .repartitionByRange(8, col("o_totalprice"), col("o_orderkey"))
+        .write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    }
+
+  /** Files whose [lo, hi] stats intersect the predicate range. */
+  def statsSurvivors(spark: SparkSession, dir: String): (Array[String], Int) = {
+    val m = statsManifest(spark, dir)
+    val (loP, hiP) = s21Box
+    (m.collect { case (f, lo, hi) if hi >= loP && lo <= hiP => f }, m.length)
+  }
+
+  def statsPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val (survivors, _) = statsSurvivors(spark, dir)
+    val (loP, hiP) = s21Box
+    spark.read.parquet(survivors: _*)
+      .filter(col("o_totalprice") >= loP && col("o_totalprice") <= hiP)
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"))
+  }
+
+  // S: Z-order (Morton) clustering — the multi-dimensional companion to
+  // s21's one-key layout. Both dims are normalized to 16-bit ints from
+  // their global min/max (scalar-subquery cross join, integer floor
+  // division — exact in both engines), bit-interleaved into a 32-bit
+  // z-value, and sharded by the z-value's top 6 bits. The published row
+  // compares file-skipping effectiveness for a 2-dim box predicate:
+  // shards whose (min,max) stats intersect the box under Z-ORDER
+  // sharding vs under single-dim (linear) sharding — z-order prunes on
+  // BOTH dims, linear only on one, which is the entire reason lakehouse
+  // tables z-order multi-predicate columns. Every number is a
+  // deterministic function of the data (shard id is computed per row,
+  // not sampled), so the whole comparison is oracle-checkable; the
+  // physical write of a z-ordered layout is s20/s21's repartition+write
+  // on the z-value and is omitted here to keep the query side-effect
+  // free. LayoutSpec asserts the skipping inequality on hit fractions.
+  private def interleave16(shl: (String, Int) => String, shr: (String, Int) => String,
+                           ua: String, ub: String): String =
+    (0 until 16).flatMap(i => Seq(
+      shl(s"(${shr(ua, i)} & 1)", 2 * i),
+      shl(s"(${shr(ub, i)} & 1)", 2 * i + 1))).mkString(" + ")
+
+  private val zInterleaveSpark: String =
+    interleave16((e, k) => s"shiftleft($e, $k)", (e, k) => s"shiftright($e, $k)", "ua", "ub")
+
+  private val zInterleaveDuck: String =
+    interleave16((e, k) => s"($e << $k)", (e, k) => s"($e >> $k)", "ua", "ub")
+
+  private val zorderOracleSql: String =
+    s"""WITH base AS (SELECT CAST(o_custkey AS BIGINT) AS a,
+       |   CAST(date_diff('day', DATE '1990-01-01', o_orderdate) AS BIGINT) AS b,
+       |   o_totalprice FROM orders),
+       |bounds AS (SELECT MIN(a) AS amin, MAX(a) AS amax, MIN(b) AS bmin, MAX(b) AS bmax FROM base),
+       |u AS (SELECT o_totalprice,
+       |   ((a - amin) * 65535) // (amax - amin) AS ua,
+       |   ((b - bmin) * 65535) // (bmax - bmin) AS ub FROM base CROSS JOIN bounds),
+       |z AS (SELECT o_totalprice, ua, ub, ($zInterleaveDuck) AS zv FROM u),
+       |t AS (SELECT o_totalprice, ua, ub, (zv >> 26) AS sz, (ua >> 10) AS sl,
+       |   ua BETWEEN 28672 AND 36863 AND ub BETWEEN 28672 AND 36863 AS in_box FROM z),
+       |zs AS (SELECT sz, MIN(ua) AS mna, MAX(ua) AS mxa, MIN(ub) AS mnb, MAX(ub) AS mxb
+       |  FROM t GROUP BY 1),
+       |ls AS (SELECT sl, MIN(ua) AS mna, MAX(ua) AS mxa, MIN(ub) AS mnb, MAX(ub) AS mxb
+       |  FROM t GROUP BY 1)
+       |SELECT
+       | (SELECT COUNT(*) FROM zs) AS n_shards_z,
+       | (SELECT CAST(SUM(CASE WHEN mxa >= 28672 AND mna <= 36863
+       |     AND mxb >= 28672 AND mnb <= 36863 THEN 1 ELSE 0 END) AS BIGINT) FROM zs) AS n_hit_z,
+       | (SELECT COUNT(*) FROM ls) AS n_shards_lin,
+       | (SELECT CAST(SUM(CASE WHEN mxa >= 28672 AND mna <= 36863
+       |     AND mxb >= 28672 AND mnb <= 36863 THEN 1 ELSE 0 END) AS BIGINT) FROM ls) AS n_hit_lin,
+       | (SELECT COUNT(*) FROM t WHERE in_box) AS rows_in_box,
+       | (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM t WHERE in_box)
+       |   AS total_in_box""".stripMargin
+
+  def zorderClustering(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "orders").select(
+      col("o_custkey").cast(LongType).as("a"),
+      datediff(col("o_orderdate"), to_date(lit("1990-01-01"))).cast(LongType).as("b"),
+      col("o_totalprice"))
+    val bounds = base.agg(
+      min(col("a")).as("amin"), max(col("a")).as("amax"),
+      min(col("b")).as("bmin"), max(col("b")).as("bmax"))
+    val tagged = base.crossJoin(bounds)
+      .selectExpr("o_totalprice",
+        "((a - amin) * 65535) div (amax - amin) AS ua",
+        "((b - bmin) * 65535) div (bmax - bmin) AS ub")
+      .selectExpr("o_totalprice", "ua", "ub", s"($zInterleaveSpark) AS zv")
+      .selectExpr("o_totalprice", "ua", "ub",
+        "shiftright(zv, 26) AS sz", "shiftright(ua, 10) AS sl",
+        "ua BETWEEN 28672 AND 36863 AND ub BETWEEN 28672 AND 36863 AS in_box")
+    def hits(shard: String): DataFrame =
+      tagged.groupBy(col(shard))
+        .agg(min(col("ua")).as("mna"), max(col("ua")).as("mxa"),
+          min(col("ub")).as("mnb"), max(col("ub")).as("mxb"))
+        .agg(count(lit(1)).as(s"n_shards_$shard"),
+          sum((col("mxa") >= 28672 && col("mna") <= 36863 &&
+            col("mxb") >= 28672 && col("mnb") <= 36863).cast(LongType)).as(s"n_hit_$shard"))
+    val box = tagged.filter(col("in_box"))
+      .agg(count(lit(1)).as("rows_in_box"), dsum(col("o_totalprice")).as("total_in_box"))
+    hits("sz").crossJoin(hits("sl")).crossJoin(box)
+      .select(
+        col("n_shards_sz").as("n_shards_z"), col("n_hit_sz").as("n_hit_z"),
+        col("n_shards_sl").as("n_shards_lin"), col("n_hit_sl").as("n_hit_lin"),
+        col("rows_in_box"), col("total_in_box"))
+  }
+
   // Datetime-arithmetic surface: add_months / last_day / date_trunc /
   // datediff / day-of-week over order dates — all codegen'd built-ins,
   // emitted as formatted strings / integers for cross-engine compare.
@@ -1413,6 +1546,8 @@ object Relational {
     "s19_schema_evolution" -> (schemaEvolution _),
     "s15_dynamic_pruning" -> (dynamicPruning _),
     "s20_sorted_shards" -> (sortedShards _),
+    "s21_stats_pruned_scan" -> (statsPrunedScan _),
+    "s22_zorder_clustering" -> (zorderClustering _),
     "u02_scd2_history" -> (scd2CustomerStatus _),
     "u05_scd2_incremental" -> (scd2IncrementalMerge _),
     "a14_above_avg_groups" -> (aboveAvgGroups _),
@@ -1589,6 +1724,19 @@ object Relational {
       """SELECT CAST(8 AS BIGINT) AS n_shards,
         | (SELECT COUNT(*) FROM orders) AS n_rows,
         | true AS shards_disjoint""".stripMargin,
+    // replicates the ENTIRE z-order pipeline (normalization, bit
+    // interleave, shard stats, box hits) from the same generated
+    // interleave terms the Spark side uses, rendered in DuckDB's
+    // shift-operator dialect
+    "s22_zorder_clustering" -> zorderOracleSql,
+    // the box aggregate is file-layout-independent, so the oracle is the
+    // plain filtered scan — equality proves the manifest prune lost no rows
+    "s21_stats_pruned_scan" ->
+      """SELECT COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+        |FROM orders
+        |WHERE o_totalprice >= 150000.0 AND o_totalprice <= 250000.0""".stripMargin,
     "q09_product_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
