@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DateType
 import graft.Tables
 
 /** As-of join — for each left row, the single right row with the
@@ -105,9 +106,46 @@ object AsOf {
       .orderBy(col("user_id"))
   }
 
+  /** Interval-OVERLAP join via banding — same-supplier shipment-window
+    * pairs that overlap in time. Each lineitem carries a derived
+    * delivery window [shipdate, shipdate + 1 + 3·linenumber days]
+    * (deterministic, ≤ 22 days), so window spans are bounded by one
+    * month and j14's banding generalizes from points to intervals: band
+    * by the START month, explode one side to its adjacent months
+    * (overlap ⇒ starts differ by under a month ⇒ each pair meets in
+    * exactly one band), and the precise overlap predicate filters
+    * band-mates. Pure equi-join on (supplier, band) — no nested loop;
+    * the oracle is the naive inequality join, proving banding changes
+    * the plan, not the result. At scale the band width is chosen ≥ the
+    * max interval duration, exactly like j14's band ≥ the range radius.
+    */
+  def overlappingShipmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.load(spark, dir, "lineitem")
+      .select(
+        col("l_suppkey").as("k"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("uid"),
+        col("l_shipdate").cast(DateType).as("s"),
+        (lit(1) + col("l_linenumber") * 3).as("dur"))
+      .withColumn("e", date_add(col("s"), col("dur")))
+      .withColumn("bucket", year(col("s")) * 12 + month(col("s")))
+    val a = iv.select(col("k"), col("uid").as("uid_a"), col("s").as("s_a"),
+      col("e").as("e_a"), col("bucket"))
+    val b = iv.select(col("k"), col("uid").as("uid_b"), col("s").as("s_b"),
+      col("e").as("e_b"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    a.join(b, Seq("k", "bucket"))
+      .filter(col("uid_a") < col("uid_b") &&
+        col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("k").as("l_suppkey"), col("n_pairs"))
+      .orderBy(col("l_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j13_asof_join" -> (eventsAsOfOrders _),
-    "j14_range_join" -> (eventPairsWithinMinute _))
+    "j14_range_join" -> (eventPairsWithinMinute _),
+    "j18_interval_overlap_join" -> (overlappingShipmentPairs _))
 
   // DuckDB has a NATIVE ASOF JOIN — the composed Spark plan is checked
   // against the engine-native operator semantics.
@@ -127,5 +165,15 @@ object AsOf {
         |FROM e a JOIN e b ON a.user_id = b.user_id
         |  AND a.event_id < b.event_id
         |  AND abs(b.t_us - a.t_us) <= 60000000
-        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin)
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    // naive interval-overlap inequality join — same result, different plan
+    "j18_interval_overlap_join" ->
+      """WITH iv AS (SELECT l_suppkey AS k, l_orderkey * 10 + l_linenumber AS uid,
+        |   CAST(l_shipdate AS DATE) AS s,
+        |   CAST(l_shipdate AS DATE) + (1 + l_linenumber * 3) AS e
+        | FROM lineitem)
+        |SELECT a.k AS l_suppkey, COUNT(*) AS n_pairs
+        |FROM iv a JOIN iv b ON a.k = b.k AND a.uid < b.uid
+        |  AND a.s <= b.e AND b.s <= a.e
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -194,6 +194,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("j18 interval-overlap banding stays a hash equi-join (no NL)") {
+    val plan = graft.operators.AsOf.overlappingShipmentPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("u04 CDC fold costs exactly one hash exchange for any log depth") {
     val plan = graft.operators.Cdc.cdcApply(spark, sfDir)
       .queryExecution.executedPlan.toString()
