@@ -465,6 +465,49 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  // W: ntile bucketing — the remaining rank-family window function
+  // (w05 covers lag/lead/rank/dense_rank, w07 percent_rank/cume_dist).
+  // Quartiles of order value within each priority, published as
+  // per-bucket digests; the ORDER BY carries the orderkey tiebreak so
+  // bucket membership is total-ordered and engine-stable.
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"))
+      .orderBy(col("o_orderpriority"), col("quartile"))
+  }
+
+  // Q20-analogue (no partsupp table in the testdata): a supplier
+  // DOMINATES a part when their shipped quantity exceeds 15% of that
+  // part's total shipped across all suppliers. Two-level exact-DECIMAL
+  // aggregation, the share test as cross-multiplied integers-in-decimal
+  // (qty·20 > total·3 — no float division anywhere), then a broadcast
+  // join to supplier names. The nested-subquery shape of TPC-H Q20
+  // (EXISTS over a correlated aggregate) becomes two hash aggregates +
+  // one join — the Spark-first rewrite of a correlated quantifier.
+  def dominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val byPs = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty_ps"))
+    val byP = byPs.groupBy(col("l_partkey"))
+      .agg(sum(col("qty_ps")).as("qty_p"))
+    val dominant = byPs.join(byP, "l_partkey")
+      .filter(col("qty_ps") * 20 > col("qty_p") * 3)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominant_parts"))
+    dominant.join(broadcast(Tables.load(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_dominant_parts"))
+      .orderBy(col("s_suppkey"))
+  }
+
   // X15: MapType surface — per-priority status→count map built with
   // map_from_entries over SORTED entries (collect_list order is
   // partition-dependent; sorting the entry array before map
@@ -1548,6 +1591,8 @@ object Relational {
     "s20_sorted_shards" -> (sortedShards _),
     "s21_stats_pruned_scan" -> (statsPrunedScan _),
     "s22_zorder_clustering" -> (zorderClustering _),
+    "w08_ntile_quartiles" -> (ntileQuartiles _),
+    "q20_dominant_suppliers" -> (dominantSuppliers _),
     "u02_scd2_history" -> (scd2CustomerStatus _),
     "u05_scd2_incremental" -> (scd2IncrementalMerge _),
     "a14_above_avg_groups" -> (aboveAvgGroups _),
@@ -1724,6 +1769,27 @@ object Relational {
       """SELECT CAST(8 AS BIGINT) AS n_shards,
         | (SELECT COUNT(*) FROM orders) AS n_rows,
         | true AS shards_disjoint""".stripMargin,
+    "w08_ntile_quartiles" ->
+      """WITH q AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |   CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |     ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+        | FROM orders)
+        |SELECT o_orderpriority, quartile, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // cross-multiplied share test — no float division on either side
+    "q20_dominant_suppliers" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_ps
+        | FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT l_partkey, SUM(qty_ps) AS qty_p FROM ps GROUP BY 1),
+        |d AS (SELECT l_suppkey, COUNT(*) AS n_dominant_parts
+        | FROM ps JOIN p USING (l_partkey)
+        | WHERE qty_ps * 20 > qty_p * 3 GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_dominant_parts
+        |FROM d JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
     // replicates the ENTIRE z-order pipeline (normalization, bit
     // interleave, shard stats, box hits) from the same generated
     // interleave terms the Spark side uses, rendered in DuckDB's

@@ -144,6 +144,32 @@ object TextAnalysis {
         (floor(score + lit(0.5)) / lit(1e6)).as("tfidf"), col("rk"))
   }
 
+  // T: per-document word-entropy — the information-density quality
+  // signal (low entropy ⇒ repetitive/templated text; pairs with t09's
+  // repetition ratio). H = ln(n) − Σ c·ln(c) / n over word counts c.
+  // Float sums are order-dependent, so the Σ is NOT a double sum: each
+  // term is quantized to an integer (floor(c·ln(c)·1e9 + 0.5) as BIGINT)
+  // and summed EXACTLY — integer addition is order-free, so the shuffle
+  // order can't change the result — then the final H is assembled in a
+  // fixed scalar expression and published through the x14 halfUp
+  // quantizer. Two hash aggregates, no window, no collect.
+  def wordEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select(col("doc_id"), explode(wordsOf(lower(col("text")))).as("word"))
+    val counts = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val qTerm = floor(col("c").cast(DoubleType) * log(col("c").cast(DoubleType)) * lit(1e9) + lit(0.5))
+    counts.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(qTerm.cast(LongType)).as("qsum"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (floor((log(col("n_tokens").cast(DoubleType)) -
+          col("qsum").cast(DoubleType) / lit(1e9) / col("n_tokens").cast(DoubleType)) * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("entropy"))
+  }
+
   // T: deterministic stratified sampling — the training-data selection
   // primitive: per-language rates (en 10%, others 50%) via an
   // md5-derived hash bucket of the doc id, so the SAME sample comes out
@@ -578,6 +604,7 @@ object TextAnalysis {
     "t05_quality_filter" -> (qualityFilter _),
     "t06_top_terms" -> (topTerms _),
     "t12_tfidf" -> (tfidf _),
+    "t13_word_entropy" -> (wordEntropy _),
     "t07_stratified_sample" -> (stratifiedSample _),
     "t08_pii_redact" -> (piiRedact _),
     "t09_repetition_ratio" -> (repetitionRatio _),
@@ -690,6 +717,20 @@ object TextAnalysis {
         |     ORDER BY tf.tf DESC, df.df ASC, tf.word) AS INTEGER) AS rk
         | FROM tf JOIN df USING (word) CROSS JOIN n)
         |SELECT doc_id, word, tf, df, tfidf, rk FROM r WHERE rk <= 5""".stripMargin,
+    // per-term integer quantization BEFORE the sum keeps the Σ exact and
+    // order-free in both engines; only the final scalar assembly is float
+    "t13_word_entropy" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents),
+        |c AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+        |q AS (SELECT doc_id, c,
+        |   CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS qt FROM c),
+        |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |   COUNT(*) AS n_distinct, CAST(SUM(qt) AS BIGINT) AS qsum FROM q GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        | floor((ln(CAST(n_tokens AS DOUBLE)) - CAST(qsum AS DOUBLE) / 1e9 / n_tokens) * 1e6 + 0.5)
+        |   / 1e6 AS entropy
+        |FROM d""".stripMargin,
     "t07_stratified_sample" ->
       """SELECT doc_id, lang,
         |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
