@@ -23,7 +23,9 @@ object Explain {
     "u03_scd2_point_in_time",
     "q09_product_profit", "q17_small_qty_revenue", "q19_disjunctive_revenue",
     "q21_waiting_suppliers", "q22_sales_opportunity", "k01_token_packing",
-    "j16_nullsafe_join", "j17_shuffle_hash_hint", "s20_sorted_shards")
+    "j16_nullsafe_join", "j17_shuffle_hash_hint", "s20_sorted_shards",
+    "s21_stats_pruned_scan", "s22_zorder_clustering", "j18_interval_overlap_join",
+    "t12_tfidf", "t13_word_entropy", "w08_ntile_quartiles", "q20_dominant_suppliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

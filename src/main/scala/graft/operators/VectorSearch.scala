@@ -101,14 +101,48 @@ object VectorSearch {
       .orderBy(col("label"))
   }
 
+  /** X: higher-order array-function surface — transform / filter /
+    * exists / aggregate / zip_with over the embedding column, the
+    * declarative array API for one-off vector math. All arithmetic is
+    * integer-exact (via [[quantize]]) so the oracle hash-matches. These
+    * lambdas are INTERPRETED by Spark — acceptable off the hot path
+    * (and guarded by a repartition since the testdata is one split);
+    * the O(n²)/O(n·q) paths above use the codegen'd LongArrayDot
+    * instead, which is the point of having both.
+    */
+  def higherOrderOps(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantize(col("embedding"))
+    Tables.load(spark, dir, "embeddings")
+      .repartition(col("vec_id"))
+      .select(col("vec_id"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("sum_q"),
+        size(filter(q, _ > lit(0L))).as("n_pos"),
+        exists(q, _ > lit(3500L)).as("has_large"),
+        aggregate(zip_with(q, reverse(q), (a, b) => a * b), lit(0L),
+          (acc, x) => acc + x).as("dot_rev"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_ann_bruteforce_topk" -> (annBruteForce _),
     "v05_label_centroids" -> (labelCentroids _),
+    "x18_higher_order" -> (higherOrderOps _),
     "d03_dedup_embedding" -> (dedupEmbedding _))
 
   private val qexpr = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4096) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    // index-based list math — different formulation, same integer
+    // semantics (DuckDB list indexing is O(1); Spark's zip_with avoids
+    // the per-element re-evaluation its element_at form would cost)
+    "x18_higher_order" ->
+      s"""WITH e AS (SELECT vec_id, $qexpr AS q FROM embeddings)
+         |SELECT vec_id,
+         | CAST(list_sum(q) AS BIGINT) AS sum_q,
+         | CAST(len(list_filter(q, x -> x > 0)) AS INTEGER) AS n_pos,
+         | len(list_filter(q, x -> x > 3500)) > 0 AS has_large,
+         | CAST(list_sum(list_transform(range(1, len(q)+1),
+         |   i -> q[i] * q[len(q)-i+1])) AS BIGINT) AS dot_rev
+         |FROM e""".stripMargin,
     "v05_label_centroids" ->
       s"""WITH e AS (SELECT label, $qexpr AS qv FROM embeddings),
          |d AS (SELECT label, i-1 AS pos, qv[i] AS v

@@ -212,6 +212,35 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(spark.table("sessw_out"), batch)
   }
 
+  test("update mode re-emits only the groups each batch changed") {
+    val sqlCtx = spark.sqlContext
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import spark.implicits._
+    val Hour = 3600L * 1000 * 1000 * 1000 // nanos
+    val input = MemoryStream[(Long, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamingOps.hourlyCounts(events).writeStream
+      .format("memory").queryName("hourly_upd").outputMode("update").start()
+    try {
+      // batch 1: two t1 events and one t2 event, all in hour 100
+      input.addData((1L, 100 * Hour, "t1", 1.0), (2L, 100 * Hour + 1000, "t1", 2.0),
+        (3L, 100 * Hour + 2000, "t2", 5.0))
+      q.processAllAvailable()
+      // batch 2: one more t1 in hour 100, one t3 in hour 101 — t2 untouched
+      input.addData((4L, 100 * Hour + 3000, "t1", 3.0), (5L, 101 * Hour, "t3", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_upd")
+        .select("event_type", "n_events").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toList
+      // t2's group was only touched in batch 1 → exactly one emission;
+      // t1 was updated in both batches → two emissions, final count 3
+      assert(rows.count(_._1 == "t2") == 1, s"t2 re-emitted: $rows")
+      assert(rows.count(_._1 == "t1") == 2, s"t1 emissions: $rows")
+      assert(rows.filter(_._1 == "t1").map(_._2).max == 3L, s"t1 final count: $rows")
+      assert(rows.count(_._1 == "t3") == 1, s"t3 emissions: $rows")
+    } finally q.stop()
+  }
+
   test("stateful agg under the RocksDB state store matches the batch twin") {
     // same pipeline as the in-memory-provider test above, but with
     // state in RocksDB — the provider that keeps streaming viable when
