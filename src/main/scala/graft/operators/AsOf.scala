@@ -128,6 +128,12 @@ object AsOf {
         (lit(1) + col("l_linenumber") * 3).as("dur"))
       .withColumn("e", date_add(col("s"), col("dur")))
       .withColumn("bucket", year(col("s")) * 12 + month(col("s")))
+      // single-split testdata guard (TextAnalysis.docs pattern): without
+      // this, BOTH band-join map stages — including the 3× explode —
+      // run on the one scan core; the narrow 600 k-row shuffle is cheap
+      // and identical for the two branches, so ReuseExchange shares it.
+      // At 100 TB the scan yields enough splits and this is dropped.
+      .repartition(col("uid"))
     val a = iv.select(col("k"), col("uid").as("uid_a"), col("s").as("s_a"),
       col("e").as("e_a"), col("bucket"))
     val b = iv.select(col("k"), col("uid").as("uid_b"), col("s").as("s_b"),
