@@ -160,13 +160,17 @@ object MinHash {
     * this corpus the pair-graph diameter is < 3, so the labels ARE the
     * true components (asserted against transitive closure in DedupSpec).
     */
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // persist the edge list and each round's labels: every round
-    // references its inputs twice, so an unpersisted lineage re-runs the
-    // whole LSH pair detection 2^rounds times — the standard iterative-
-    // algorithm rule (checkpoint/cache between iterations) that GraphX
-    // bakes in. Registered through SessionCache so the frames are both
-    // built once per session and released by SessionCache.clear().
+  /** The propagated (vertex, label) frame after [[LabelPropIters]]
+    * rounds — shared by d10's cluster digest and d15's split assignment.
+    *
+    * Persists the edge list and each round's labels: every round
+    * references its inputs twice, so an unpersisted lineage re-runs the
+    * whole LSH pair detection 2^rounds times — the standard iterative-
+    * algorithm rule (checkpoint/cache between iterations) that GraphX
+    * bakes in. Registered through SessionCache so the frames are both
+    * built once per session and released by SessionCache.clear().
+    */
+  private def propagatedLabels(spark: SparkSession, dir: String): DataFrame = {
     val edges = graft.SessionCache.memo(spark, s"d10edges:$dir") {
       val pairs = nearDupPairs(spark, dir).select(col("id_a"), col("id_b"))
       pairs.unionByName(
@@ -175,7 +179,7 @@ object MinHash {
     }
     val verts = edges.select(col("id_a").as("v")).distinct()
     val init = verts.withColumn("label", col("v"))
-    val labels = (1 to LabelPropIters).foldLeft(init) { (l, i) =>
+    (1 to LabelPropIters).foldLeft(init) { (l, i) =>
       graft.SessionCache.memo(spark, s"d10labels$i:$dir") {
         val nbr = edges.join(l.withColumnRenamed("v", "id_b"), "id_b")
           .groupBy(col("id_a").as("v")).agg(min(col("label")).as("nl"))
@@ -184,6 +188,10 @@ object MinHash {
           .persist()
       }
     }
+  }
+
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = propagatedLabels(spark, dir)
     labels.groupBy(col("label").as("cluster_id"))
       .agg(
         count(lit(1)).cast(IntegerType).as("n_members"),
@@ -193,10 +201,35 @@ object MinHash {
       .orderBy(col("cluster_id"))
   }
 
+  /** D: leakage-safe train/val/test split — split membership is a pure
+    * function of the near-dup CLUSTER representative, not the document:
+    * near-duplicates land in the same split, so a model cannot see a
+    * near-copy of its eval set during training (the split-leakage rule
+    * an LLM data pipeline enforces before any random split). Hash =
+    * t07's md5 bucket over the representative id (engine/partitioning/
+    * run-independent); docs outside any cluster represent themselves.
+    * Cost on top of d10's shared labels: one join against a frame
+    * bounded by the number of near-dup DOCS, not the corpus.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val labels = propagatedLabels(spark, dir)
+    val bucket = pmod(
+      conv(substring(md5(col("rep").cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType), lit(100L))
+    Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .join(labels, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("rep"))
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d04_minhash_lsh" -> (nearDupPairs _),
     "d07_editdist_verify" -> (editDistanceVerify _),
     "d10_neardup_clusters" -> (nearDupClusters _),
+    "d15_leakage_safe_split" -> (leakageSafeSplit _),
     "d13_incremental_neardup" -> (incrementalNearDup _))
 
   // Oracle = brute force: the gate checks LSH candidate RECALL at the
@@ -233,6 +266,8 @@ object MinHash {
         |FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
         |WHERE p.jaccard >= 0.5""".stripMargin,
     "d10_neardup_clusters" -> d10OracleSql,
+    // same cluster CTEs + the t07 md5 bucket over the representative
+    "d15_leakage_safe_split" -> d15OracleSql,
     // brute-force batch×corpus — verifies incremental candidate recall
     "d13_incremental_neardup" ->
       s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
@@ -249,15 +284,16 @@ object MinHash {
          |FROM p WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin)
 
   /** Brute-force 0.5-threshold pair graph, then the SAME fixed
-    * [[LabelPropIters]] min-label rounds the Spark side runs.
+    * [[LabelPropIters]] min-label rounds the Spark side runs — the CTE
+    * chain shared by the d10 and d15 oracles.
     */
-  private def d10OracleSql: String = {
+  private def clusterCtes: String = {
     val rounds = (1 to LabelPropIters).map { i =>
       s"""l$i AS (SELECT l.v, least(l.label, MIN(n.label)) AS label
          | FROM l${i - 1} l JOIN e ON e.id_a = l.v JOIN l${i - 1} n ON n.v = e.id_b
          | GROUP BY l.v, l.label)""".stripMargin
     }.mkString(",\n")
-    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
        |s AS (SELECT doc_id,
        |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
        |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
@@ -268,10 +304,24 @@ object MinHash {
        |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
        |e AS (SELECT id_a, id_b FROM pr UNION ALL SELECT id_b, id_a FROM pr),
        |l0 AS (SELECT DISTINCT id_a AS v, id_a AS label FROM e),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def d10OracleSql: String =
+    s"""WITH $clusterCtes
        |SELECT label AS cluster_id, CAST(COUNT(*) AS INTEGER) AS n_members,
        |  MIN(v) AS canonical_id,
        |  array_to_string(list_transform(list_sort(list(v)), x -> CAST(x AS VARCHAR)), ',') AS members
        |FROM l$LabelPropIters GROUP BY label ORDER BY cluster_id""".stripMargin
-  }
+
+  private def d15OracleSql: String =
+    s"""WITH $clusterCtes,
+       |lab AS (SELECT v, label FROM l$LabelPropIters),
+       |d AS (SELECT doc_id, COALESCE(lab.label, doc_id) AS rep
+       |  FROM documents LEFT JOIN lab ON documents.doc_id = lab.v),
+       |b AS (SELECT doc_id, rep,
+       |  CAST(('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket FROM d)
+       |SELECT doc_id, rep, bucket,
+       | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM b""".stripMargin
 }

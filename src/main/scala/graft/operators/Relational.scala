@@ -1164,6 +1164,28 @@ object Relational {
         min(col("prev_hi").isNull || col("prev_hi") < col("lo")).as("shards_disjoint"))
   }
 
+  // S: raw `text` source/sink — the line-oriented format for log and
+  // corpus ingestion (one string column per line, no schema at all).
+  // Nation round-trips as TAB-joined lines; the read side re-parses
+  // with split + casts. Same digest as s05/s13, so the shared oracle
+  // proves the round-trip through the format was lossless.
+  def textRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_text_roundtrip_${tmpTag(dir)}"
+    Tables.load(spark, dir, "nation")
+      .select(concat_ws("\t",
+        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    val parts = split(col("value"), "\t")
+    spark.read.text(tmp)
+      .select(
+        parts.getItem(0).cast(IntegerType).as("n_nationkey"),
+        parts.getItem(1).as("n_name"),
+        parts.getItem(2).cast(IntegerType).as("n_regionkey"))
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("max_name"))
+      .orderBy(col("n_regionkey"))
+  }
+
   // S: data-skipping scan via a per-file min/max manifest — the pattern
   // behind every lakehouse file-pruning feature (Delta/Iceberg stats,
   // parquet row-group min/max): write range-clustered shards, derive a
@@ -1577,6 +1599,7 @@ object Relational {
     "x10_percentile_profile" -> (percentileProfile _),
     "s05_csv_roundtrip" -> (csvRoundTrip _),
     "s13_json_roundtrip" -> (jsonRoundTrip _),
+    "s23_text_roundtrip" -> (textRoundTrip _),
     "s14_orc_roundtrip" -> (orcRoundTrip _),
     "s07_sql_over_views" -> (sqlOverViews _),
     "s08_catalog_roundtrip" -> (catalogRoundTrip _),
@@ -2128,6 +2151,9 @@ object Relational {
       """SELECT n_regionkey, COUNT(*) AS n_nations, MAX(n_name) AS max_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "s13_json_roundtrip" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations, MAX(n_name) AS max_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "s23_text_roundtrip" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations, MAX(n_name) AS max_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "s14_orc_roundtrip" ->

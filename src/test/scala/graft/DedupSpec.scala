@@ -130,4 +130,20 @@ class DedupSpec extends SparkSpec {
       .agg(countDistinct(struct(sigCols: _*)).as("n_sigs"))
     assert(grouped.filter(col("n_sigs") > 1).count() == 0)
   }
+
+  test("d15 split is leakage-safe: every near-dup cluster lands in ONE split") {
+    val assigned = MinHash.leakageSafeSplit(spark, sfDir)
+    val clusters = MinHash.nearDupClusters(spark, sfDir)
+      .select(col("cluster_id"), explode(split(col("members"), ",")).as("m"))
+      .select(col("cluster_id"), col("m").cast("long").as("doc_id"))
+    val mixed = clusters.join(assigned, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(mixed.count() == 0, "a near-dup cluster spans multiple splits")
+    // coverage: every document got a split, and all three splits occur
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(assigned.count() == total)
+    assert(assigned.select(col("split")).distinct().count() == 3)
+  }
 }
