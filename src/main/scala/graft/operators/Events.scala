@@ -421,7 +421,30 @@ object Events {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  // E: semi-structured props via the VARIANT type (Spark 4's native
+  // semi-structured path, the successor to schema'd from_json for
+  // open-schema payloads): parse_json once into a binary variant, then
+  // typed path extraction with variant_get — parse cost is paid once
+  // per row however many paths are read, extraction is codegen'd, and
+  // a missing path is NULL (counted here to pin that contract), not an
+  // error. Distinct stats from e06 so the two JSON paths are
+  // independently verified.
+  def variantProps(spark: SparkSession, dir: String): DataFrame =
+    eventsBase(spark, dir)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "int").as("k"),
+        variant_get(col("v"), "$.missing", "string").as("miss"))
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("k")).as("n_distinct_k"),
+        sum(when(col("k") % 2 === 0, col("k")).otherwise(0)).cast(LongType)
+          .as("sum_even_k"),
+        count(col("miss")).as("n_missing"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e18_variant_props" -> (variantProps _),
     "e08_stream_enrich" -> (streamEnrich _),
     "e07_sliding_counts" -> (slidingCounts _),
     "e06_json_props" -> (jsonProps _),
@@ -522,6 +545,15 @@ object Events {
         | event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e18_variant_props" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT k) AS n_distinct_k,
+        |  CAST(SUM(CASE WHEN k % 2 = 0 THEN k ELSE 0 END) AS BIGINT) AS sum_even_k,
+        |  COUNT(m) AS n_missing
+        |FROM (SELECT event_type,
+        |        CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+        |        json_extract_string(props, '$.missing') AS m FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e06_json_props" ->
       """SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
         |  MIN(k) AS min_k, MAX(k) AS max_k

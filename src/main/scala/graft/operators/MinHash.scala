@@ -170,13 +170,19 @@ object MinHash {
     * bakes in. Registered through SessionCache so the frames are both
     * built once per session and released by SessionCache.clear().
     */
-  private def propagatedLabels(spark: SparkSession, dir: String): DataFrame = {
-    val edges = graft.SessionCache.memo(spark, s"d10edges:$dir") {
+  /** Symmetrized near-dup pair edges, built once per (session, dir) —
+    * shared by the fixed-round d10/d15 path and d14's convergent CC.
+    */
+  private def pairEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"d10edges:$dir") {
       val pairs = nearDupPairs(spark, dir).select(col("id_a"), col("id_b"))
       pairs.unionByName(
           pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
         .persist()
     }
+
+  private def propagatedLabels(spark: SparkSession, dir: String): DataFrame = {
+    val edges = pairEdges(spark, dir)
     val verts = edges.select(col("id_a").as("v")).distinct()
     val init = verts.withColumn("label", col("v"))
     (1 to LabelPropIters).foldLeft(init) { (l, i) =>
@@ -192,6 +198,68 @@ object MinHash {
 
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val labels = propagatedLabels(spark, dir)
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_members"),
+        min(col("v")).as("canonical_id"),
+        array_join(transform(array_sort(collect_list(col("v"))),
+          x => x.cast(StringType)), ",").as("members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Connected components run to CONVERGENCE (not a fixed round count):
+    * min-label propagation with a per-round changed-vertex check and
+    * early exit. This is the variant d10's scaladoc defers to — on a
+    * graph whose diameter exceeds [[LabelPropIters]] (a chain of
+    * near-dup shards, say), fixed rounds return WRONG components;
+    * this loop is correct on any graph.
+    *
+    * Scale mechanics: each round is one hash-agg + one join (shuffles
+    * on vertex id); `localCheckpoint` cuts the lineage so round N's
+    * plan is O(1) deep instead of O(N) (the classic iterative-Spark
+    * failure is a plan tree that doubles per round); the convergence
+    * check rides the same pass as a cheap count. Rounds needed =
+    * graph diameter — near-dup graphs are shallow (dup clusters are
+    * cliques plus short bridges), so 3-5 rounds in practice.
+    *
+    * Labels only ever decrease and the edge list is symmetric, so the
+    * fixpoint is exactly min(component) per vertex — which is why the
+    * DuckDB oracle can be the true transitive closure (a recursive CTE)
+    * rather than a replay of the rounds.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col("id_a"), col("id_b"))
+    var labels = sym.select(col("id_a").as("v")).distinct()
+      .withColumn("label", col("v")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIters) {
+      val nbr = sym
+        .join(labels.select(col("v").as("id_b"), col("label").as("nl")), "id_b")
+        .groupBy(col("id_a").as("v")).agg(min(col("nl")).as("nl"))
+      val next = labels.join(nbr, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.select(col("v"), col("label").as("prev")), "v")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    require(converged, s"connected components did not converge in $maxIters rounds")
+    labels
+  }
+
+  /** D: near-dup clusters from CONVERGED connected components — same
+    * digest as d10, but the labels come from [[connectedComponents]]'s
+    * run-to-fixpoint loop, and the oracle is the TRUE transitive
+    * closure (DuckDB recursive CTE), not a round replay: the gate
+    * verifies the algorithm found the real components, independent of
+    * how many rounds that took.
+    */
+  def ccClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponents(pairEdges(spark, dir))
     labels.groupBy(col("label").as("cluster_id"))
       .agg(
         count(lit(1)).cast(IntegerType).as("n_members"),
@@ -229,6 +297,7 @@ object MinHash {
     "d04_minhash_lsh" -> (nearDupPairs _),
     "d07_editdist_verify" -> (editDistanceVerify _),
     "d10_neardup_clusters" -> (nearDupClusters _),
+    "d14_cc_convergent" -> (ccClusters _),
     "d15_leakage_safe_split" -> (leakageSafeSplit _),
     "d13_incremental_neardup" -> (incrementalNearDup _))
 
@@ -266,6 +335,9 @@ object MinHash {
         |FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
         |WHERE p.jaccard >= 0.5""".stripMargin,
     "d10_neardup_clusters" -> d10OracleSql,
+    // true transitive closure — verifies the convergent CC loop found
+    // the REAL components, not just that it replayed the same rounds
+    "d14_cc_convergent" -> d14OracleSql,
     // same cluster CTEs + the t07 md5 bucket over the representative
     "d15_leakage_safe_split" -> d15OracleSql,
     // brute-force batch×corpus — verifies incremental candidate recall
@@ -287,12 +359,10 @@ object MinHash {
     * [[LabelPropIters]] min-label rounds the Spark side runs — the CTE
     * chain shared by the d10 and d15 oracles.
     */
-  private def clusterCtes: String = {
-    val rounds = (1 to LabelPropIters).map { i =>
-      s"""l$i AS (SELECT l.v, least(l.label, MIN(n.label)) AS label
-         | FROM l${i - 1} l JOIN e ON e.id_a = l.v JOIN l${i - 1} n ON n.v = e.id_b
-         | GROUP BY l.v, l.label)""".stripMargin
-    }.mkString(",\n")
+  /** Brute-force 0.5-threshold symmetric pair graph — the CTE prefix
+    * shared by every cluster oracle.
+    */
+  private def pairGraphCtes: String =
     s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
        |s AS (SELECT doc_id,
        |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
@@ -302,7 +372,15 @@ object MinHash {
        | WHERE len(a.sh) > 0 AND len(b.sh) > 0
        |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
-       |e AS (SELECT id_a, id_b FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+       |e AS (SELECT id_a, id_b FROM pr UNION ALL SELECT id_b, id_a FROM pr)""".stripMargin
+
+  private def clusterCtes: String = {
+    val rounds = (1 to LabelPropIters).map { i =>
+      s"""l$i AS (SELECT l.v, least(l.label, MIN(n.label)) AS label
+         | FROM l${i - 1} l JOIN e ON e.id_a = l.v JOIN l${i - 1} n ON n.v = e.id_b
+         | GROUP BY l.v, l.label)""".stripMargin
+    }.mkString(",\n")
+    s"""$pairGraphCtes,
        |l0 AS (SELECT DISTINCT id_a AS v, id_a AS label FROM e),
        |$rounds""".stripMargin
   }
@@ -313,6 +391,25 @@ object MinHash {
        |  MIN(v) AS canonical_id,
        |  array_to_string(list_transform(list_sort(list(v)), x -> CAST(x AS VARCHAR)), ',') AS members
        |FROM l$LabelPropIters GROUP BY label ORDER BY cluster_id""".stripMargin
+
+  /** TRUE components via transitive closure: `r` enumerates every
+    * (src, reachable node) pair over the symmetric edge list — a
+    * recursive CTE with UNION (distinct) so cycles terminate — and the
+    * component label of a node is the min src that reaches it. No
+    * round replay: this is the ground truth the convergent loop must
+    * land on.
+    */
+  private def d14OracleSql: String =
+    s"""WITH RECURSIVE $pairGraphCtes,
+       |verts AS (SELECT DISTINCT id_a AS v FROM e),
+       |r AS (SELECT v AS src, v AS node FROM verts
+       |      UNION
+       |      SELECT r.src, e.id_b AS node FROM r JOIN e ON e.id_a = r.node),
+       |comp AS (SELECT node AS v, MIN(src) AS label FROM r GROUP BY node)
+       |SELECT label AS cluster_id, CAST(COUNT(*) AS INTEGER) AS n_members,
+       |  MIN(v) AS canonical_id,
+       |  array_to_string(list_transform(list_sort(list(v)), x -> CAST(x AS VARCHAR)), ',') AS members
+       |FROM comp GROUP BY label ORDER BY cluster_id""".stripMargin
 
   private def d15OracleSql: String =
     s"""WITH $clusterCtes,

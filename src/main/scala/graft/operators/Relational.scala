@@ -1538,7 +1538,115 @@ object Relational {
       .orderBy(col("r_regionkey"))
   }
 
+  // TPC-H Q2 analogue (min-cost supplier per part). The testdata has no
+  // partsupp table, so the supply relationship is derived from the
+  // fact: supply_cost(part, supp) = MIN(l_extendedprice) over that
+  // pair's lineitems (exact DECIMAL, order-free). The original's
+  // correlated "cost = (SELECT MIN(..) ...)" subquery is decorrelated
+  // into ONE window min over the per-pair aggregate — no second fact
+  // scan, no self-join — and both the part filter and the region
+  // filter are applied BEFORE the aggregate, so at scale the fact scan
+  // is pruned by two broadcast joins and the window runs on the
+  // already-small (part, supplier) aggregate.
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val euSupp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(spark, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    val parts = Tables.load(spark, dir, "part")
+      .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"))
+    val cost = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(euSupp.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(dec(col("l_extendedprice"))).as("supply_cost"))
+    cost
+      .withColumn("min_cost",
+        min(col("supply_cost")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("supply_cost") === col("min_cost"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("s_name"), col("s_acctbal"),
+        col("supply_cost").cast(DoubleType).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
+  }
+
+  // TPC-H Q11 analogue (important stock): per-part inventory value from
+  // two nations' suppliers, kept where a part's value exceeds 0.1% of
+  // the group total. The scalar total comes back via a broadcast cross
+  // join (j10's shape), and the threshold compare is value*1000 > total
+  // in exact DECIMAL — no double rounding at the cut boundary, so both
+  // engines keep or drop the same borderline parts.
+  def importantStock(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")
+          .filter(col("n_name").isin("NATION_7", "NATION_12"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice")) * col("l_quantity")).as("value"))
+    val tot = v.agg(sum(col("value")).as("total"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("value") * 1000 > col("total"))
+      .select(col("l_partkey"), col("value").cast(DoubleType).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  // Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-N
+  // per group as the SQL standard writes it). Catalyst decorrelates
+  // the lateral into a join + per-partition limit rather than running
+  // the inner query once per outer row — the plan to check is that no
+  // per-row re-execution survives.
+  def lateralTopPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT n_name, c_custkey, c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) top_c
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+  }
+
+  // Recursive CTE (Spark 4 WITH RECURSIVE → iterative UnionLoop):
+  // hierarchy walk over the implicit customer tree parent(c) = c DIV 10
+  // (roots are custkey < 10; the recursive step must exclude them or
+  // key 0 self-loops — 0 DIV 10 = 0 — and the loop never exhausts).
+  // Each recursion level is one distributed
+  // join against the full customer table — depth is bounded by
+  // log10(max key), so the loop runs ~5 rounds at any scale; per-depth
+  // digest keeps the result compact while pinning every level's
+  // membership via count/min/max/sum.
+  def recursiveHierarchy(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH RECURSIVE h AS (
+        |  SELECT c_custkey AS custkey, c_custkey AS root, 1 AS depth
+        |  FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, h.root, h.depth + 1
+        |  FROM customer c JOIN h ON c.c_custkey DIV 10 = h.custkey
+        |  WHERE c.c_custkey >= 10)
+        |SELECT depth, COUNT(*) AS n_nodes,
+        |  COUNT(DISTINCT root) AS n_roots,
+        |  MIN(custkey) AS min_key, MAX(custkey) AS max_key,
+        |  CAST(SUM(custkey) AS BIGINT) AS sum_keys
+        |FROM h GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_min_cost_supplier" -> (minCostSupplier _),
+    "q11_important_stock" -> (importantStock _),
+    "j19_lateral_topk" -> (lateralTopPerGroup _),
+    "r01_recursive_hierarchy" -> (recursiveHierarchy _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_topk_orders" -> (topkOrders _),
     "q03_shipping_priority" -> (shippingPriority _),
@@ -1622,6 +1730,66 @@ object Relational {
     "u03_scd2_point_in_time" -> (scd2PointInTime _))
 
   private val oraclesBase: Map[String, String] = Map(
+    "q23_min_cost_supplier" ->
+      """WITH eu_supp AS (
+        |  SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |parts AS (
+        |  SELECT p_partkey, p_brand, p_type FROM part
+        |  WHERE p_size <= 10 AND p_type = 'STANDARD'),
+        |cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supply_cost
+        |  FROM lineitem
+        |  JOIN parts ON l_partkey = p_partkey
+        |  JOIN eu_supp ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT *, MIN(supply_cost) OVER (PARTITION BY l_partkey) AS min_cost
+        |  FROM cost)
+        |SELECT p_partkey, p_brand, p_type, s_name, s_acctbal,
+        |  CAST(supply_cost AS DOUBLE) AS supply_cost
+        |FROM best
+        |JOIN parts ON l_partkey = p_partkey
+        |JOIN eu_supp ON l_suppkey = s_suppkey
+        |WHERE supply_cost = min_cost
+        |ORDER BY s_acctbal DESC, p_partkey, s_name""".stripMargin,
+    "q11_important_stock" ->
+      """WITH nat_supp AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_7', 'NATION_12')),
+        |v AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * l_quantity) AS value
+        |  FROM lineitem JOIN nat_supp ON l_suppkey = s_suppkey
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(value) AS total FROM v)
+        |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        |FROM v, tot WHERE value * 1000 > total
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "j19_lateral_topk" ->
+      """SELECT n_name, c_custkey, c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) top_c
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+    "r01_recursive_hierarchy" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT c_custkey AS custkey, c_custkey AS root, 1 AS depth
+        |  FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, h.root, h.depth + 1
+        |  FROM customer c JOIN h ON c.c_custkey // 10 = h.custkey
+        |  WHERE c.c_custkey >= 10)
+        |SELECT depth, COUNT(*) AS n_nodes,
+        |  COUNT(DISTINCT root) AS n_roots,
+        |  MIN(custkey) AS min_key, MAX(custkey) AS max_key,
+        |  CAST(SUM(custkey) AS BIGINT) AS sum_keys
+        |FROM h GROUP BY depth ORDER BY depth""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,

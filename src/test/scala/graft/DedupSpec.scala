@@ -102,6 +102,28 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"clusters diverge: got ${got.size}, want ${want.size}")
   }
 
+  test("d14 convergent CC is correct past the fixed-round horizon") {
+    import spark.implicits._
+    // a 12-vertex chain has diameter 11 > LabelPropIters: fixed-round
+    // propagation CANNOT label it correctly; the convergent loop must
+    val n = 12
+    val edges = (0L until n - 1L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val sym = edges.unionByName(
+      edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val labels = MinHash.connectedComponents(sym)
+    assert(labels.count() == n)
+    val distinct = labels.select("label").distinct().collect().map(_.getLong(0))
+    assert(distinct.toSeq == Seq(0L), s"labels: ${distinct.mkString(",")}")
+  }
+
+  test("d14 clusters equal d10's on the corpus pair graph") {
+    // on this corpus the graph is shallow, so the fixed-round and
+    // convergent paths must agree exactly
+    assertSameRows(
+      MinHash.ccClusters(spark, sfDir),
+      MinHash.nearDupClusters(spark, sfDir))
+  }
+
   test("WordShingles expression equals the built-in zip_with formulation") {
     graft.functions.WordShingles.register(spark)
     val docs = Tables.load(spark, sfDir, "documents")

@@ -201,6 +201,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("j19 lateral top-N decorrelates to a window, not per-row re-execution") {
+    val df = Relational.lateralTopPerGroup(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    // Catalyst must rewrite the correlated LATERAL (ORDER BY ... LIMIT)
+    // into a per-group window/limit; a surviving per-outer-row plan
+    // shows up as a nested-loop join over the full inner table
+    assert(plan.contains("Window") || plan.contains("Limit"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    df.collect()
+  }
+
+  test("r01 recursive CTE plans as an iterative UnionLoop") {
+    val df = Relational.recursiveHierarchy(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("UnionLoop"), plan)
+  }
+
+  test("q23 min-cost decorrelation: one lineitem scan, dims broadcast") {
+    val df = Relational.minCostSupplier(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val liScans = allScans(df.queryExecution.executedPlan)
+      .count(_.metadata.getOrElse("Location", "").contains("lineitem"))
+    assert(liScans == 1, s"$liScans lineitem scans in:\n$plan")
+  }
+
   test("u04 CDC fold costs exactly one hash exchange for any log depth") {
     val plan = graft.operators.Cdc.cdcApply(spark, sfDir)
       .queryExecution.executedPlan.toString()
