@@ -25,7 +25,10 @@ object Explain {
     "q21_waiting_suppliers", "q22_sales_opportunity", "k01_token_packing",
     "j16_nullsafe_join", "j17_shuffle_hash_hint", "s20_sorted_shards",
     "s21_stats_pruned_scan", "s22_zorder_clustering", "j18_interval_overlap_join",
-    "t12_tfidf", "t13_word_entropy", "w08_ntile_quartiles", "q20_dominant_suppliers")
+    "t12_tfidf", "t13_word_entropy", "w08_ntile_quartiles", "q20_dominant_suppliers",
+    "q23_min_cost_supplier", "q11_important_stock", "j19_lateral_topk",
+    "r01_recursive_hierarchy", "d14_cc_convergent", "e18_variant_props",
+    "e19_transition_matrix", "dq02_outlier_report", "d07_editdist_verify")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

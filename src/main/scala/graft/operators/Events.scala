@@ -443,7 +443,60 @@ object Events {
         count(col("miss")).as("n_missing"))
       .orderBy(col("event_type"))
 
+  // E: event-transition matrix (path analysis) — each user's
+  // time-ordered event sequence contributes its adjacent
+  // (from_type, to_type) steps; output is the step count, distinct
+  // movers, and the transition probability. ONE window shuffle on
+  // user_id produces the next-event column; the probability divides
+  // two exact counts (identical operands both engines → identical
+  // IEEE result). At scale this is the per-user sequence model's
+  // sufficient statistic, computed without a self-join.
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    eventsUs(spark, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_steps"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("p",
+        col("n_steps").cast(DoubleType) /
+          sum(col("n_steps")).over(Window.partitionBy(col("from_type")))
+            .cast(DoubleType))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  // DQ: Tukey-fence outlier report per event_type — exact quartiles
+  // over integer cents (quartile interpolation lands on .5 and the
+  // 1.5*IQR fences on .25 steps, all exactly representable doubles, so
+  // the fence comparison is engine-identical), then the 5-row fence
+  // table broadcasts back onto the stream. The two-pass shape (agg →
+  // broadcast join) is the one that scales: no per-row sort, no
+  // whole-partition window over the fact.
+  def outlierReport(spark: SparkSession, dir: String): DataFrame = {
+    val cents = eventsBase(spark, dir)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    val fences = cents.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.25)").as("q1"),
+        expr("percentile(cents, 0.75)").as("q3"))
+      .select(col("event_type"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    cents.join(broadcast(fences), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("cents") < col("lo") || col("cents") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        min(when(col("cents") < col("lo"), col("cents"))).as("worst_low"),
+        max(when(col("cents") > col("hi"), col("cents"))).as("worst_high"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e19_transition_matrix" -> (transitionMatrix _),
+    "dq02_outlier_report" -> (outlierReport _),
     "e18_variant_props" -> (variantProps _),
     "e08_stream_enrich" -> (streamEnrich _),
     "e07_sliding_counts" -> (slidingCounts _),
@@ -545,6 +598,33 @@ object Events {
         | event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e19_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |s AS (SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n_steps,
+        |    COUNT(DISTINCT user_id) AS n_users
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_steps, n_users,
+        |  CAST(n_steps AS DOUBLE)
+        |    / CAST(SUM(n_steps) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "dq02_outlier_report" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+        |f AS (SELECT event_type,
+        |    quantile_cont(cents, 0.25) AS q1, quantile_cont(cents, 0.75) AS q3
+        |  FROM c GROUP BY 1),
+        |b AS (SELECT event_type,
+        |    q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi FROM f)
+        |SELECT c.event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  MIN(CASE WHEN cents < lo THEN cents END) AS worst_low,
+        |  MAX(CASE WHEN cents > hi THEN cents END) AS worst_high
+        |FROM c JOIN b ON c.event_type = b.event_type
+        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
     "e18_variant_props" ->
       """SELECT event_type,
         |  COUNT(DISTINCT k) AS n_distinct_k,

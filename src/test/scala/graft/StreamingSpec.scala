@@ -263,6 +263,35 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(s.table("hourly_rocks"), batch)
   }
 
+  test("transformWithState keeps one running total per user across batches") {
+    // Spark 4's arbitrary-state API requires the RocksDB provider;
+    // plan the stream on a child session so the override stays scoped
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Long, Long)]
+    val q = graft.streaming.RunningTotals.runningTotals(input.toDS())
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 100L), (1L, 50L), (2L, 10L))
+      q.processAllAvailable()
+      input.addData((1L, 25L), (3L, 5L))
+      q.processAllAvailable()
+      val rows = s.table("tws_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch 1 emissions reflect batch-1 state; batch 2 emissions
+      // prove the ValueState carried across micro-batches
+      assert(rows == Set(
+        (1L, 2L, 150L), (2L, 1L, 10L),   // after batch 1
+        (1L, 3L, 175L), (3L, 1L, 5L)),   // after batch 2
+        s"got: $rows")
+    } finally q.stop()
+  }
+
   test("full-outer stream-stream join null-extends BOTH sides past the watermark") {
     val sqlCtx = spark.sqlContext
     implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
