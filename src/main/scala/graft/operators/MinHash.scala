@@ -109,11 +109,16 @@ object MinHash {
     // rows — joining the full corpus here costed two whole-corpus
     // regex passes (the slowest query of the round-3 bench at 8.5 s;
     // now ~0.2 s, and at 100 TB the difference is the job)
-    val ids = pairs.select(col("id_a").as("doc_id"))
-      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
-    val prefixes = Tables.load(spark, dir, "documents")
-      .join(ids.hint("broadcast"), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), norm.as("prefix"))
+    // memoized: the plan references prefixes once per pair side, and an
+    // unpersisted subtree would re-run the corpus scan for each
+    val prefixes = graft.SessionCache.memo(spark, s"d07prefixes:$dir") {
+      val ids = pairs.select(col("id_a").as("doc_id"))
+        .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+      Tables.load(spark, dir, "documents")
+        .join(ids.hint("broadcast"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), norm.as("prefix"))
+        .persist()
+    }
     pairs
       .join(prefixes.select(col("doc_id").as("id_a"), col("prefix").as("pa")), "id_a")
       .join(prefixes.select(col("doc_id").as("id_b"), col("prefix").as("pb")), "id_b")

@@ -25,6 +25,10 @@ object Sketches {
     val h = pmod(lit(A) * col("o_custkey") + lit(B), lit(P))
     Tables.load(spark, dir, "orders")
       .select(col("o_orderstatus"), h.as("hv"), col("o_custkey"))
+      // single-split guard: the interpreted KMV partial agg must run on
+      // all cores, not the scan's one partition (at real scale the scan
+      // has many splits and this is a cheap co-partitioning)
+      .repartition(col("o_custkey"))
       .groupBy(col("o_orderstatus"))
       .agg(
         call_function("kmv_distinct", col("hv")).as("kmv_estimate"),

@@ -122,13 +122,74 @@ object VectorSearch {
           (acc, x) => acc + x).as("dot_rev"))
   }
 
+  /** Coarse candidate depth for the re-rank stage (v07). */
+  val RerankCoarseK = 50
+
+  /** Coarse low-precision quantization: round(x·16) — 256× coarser than
+    * [[quantize]]'s ×4096, standing in for the int8 codes a 100 TB
+    * vector store keeps resident in RAM.
+    */
+  def coarseQuantize(c: Column): Column =
+    transform(c, x => round(x.cast(DoubleType) * 16).cast(LongType))
+
+  /** v07: two-stage retrieval — coarse-quantized scores prune the
+    * corpus to [[RerankCoarseK]] candidates per query (total-ordered
+    * cut: ties break on neighbor_id), then the EXACT full-precision
+    * cosine re-ranks just those candidates. The coarse stage streams
+    * the corpus once against broadcast queries; the exact stage costs
+    * O(queries × [[RerankCoarseK]]), not O(queries × corpus). This is
+    * the memory-hierarchy shape production ANN uses alongside the
+    * bucketing variants (v02 LSH, v03 multi-probe, v04 IVF):
+    * quantization bounds the RAM-resident index, re-rank restores
+    * precision. Recall vs exact top-k is measured in VectorSpec.
+    *
+    * Zero-norm coarse codes (a vector whose every |x| < 1/32) cannot
+    * be cosine-ranked and are excluded from the coarse stage on both
+    * sides — replicated in the oracle.
+    */
+  def annRerank(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.LongArrayDot.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val fine = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("n2", inorm2(col("qv")))
+    val coarse = emb.select(col("vec_id"), coarseQuantize(col("embedding")).as("cv"))
+      .withColumn("c2", inorm2(col("cv")))
+      .filter(col("c2") > 0)
+    val cq = coarse.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cv").as("q_cv"), col("c2").as("q_c2"))
+    val coarseSim = qcosine(idot(col("q_cv"), col("cv")), col("q_c2"), col("c2"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse_sim").desc, col("neighbor_id"))
+    val cand = broadcast(cq)
+      .join(coarse.select(col("vec_id").as("neighbor_id"), col("cv"), col("c2")),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), coarseSim.as("coarse_sim"))
+      .withColumn("crk", row_number().over(wCoarse))
+      .filter(col("crk") <= RerankCoarseK)
+      .select(col("query_id"), col("neighbor_id"))
+    val fq = fine.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("n2").as("q_n2"))
+    val exactSim = qcosine(idot(col("q_qv"), col("qv")), col("q_n2"), col("n2"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand
+      .join(fine.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(broadcast(fq), "query_id")
+      .select(col("query_id"), col("neighbor_id"), exactSim.as("sim"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_ann_bruteforce_topk" -> (annBruteForce _),
+    "v07_ann_rerank_topk" -> (annRerank _),
     "v05_label_centroids" -> (labelCentroids _),
     "x18_higher_order" -> (higherOrderOps _),
     "d03_dedup_embedding" -> (dedupEmbedding _))
 
   private val qexpr = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4096) AS BIGINT))"
+  private val cexpr = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 16) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
     // index-based list math — different formulation, same integer
@@ -163,6 +224,28 @@ object VectorSearch {
          |     / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(d.n2 AS DOUBLE))) AS sim
          | FROM n q JOIN n d ON q.vec_id < 10 AND d.vec_id <> q.vec_id),
          |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM p)
+         |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    // both stages replicated: the coarse cut (top-RerankCoarseK by
+    // ×16-quantized cosine, ties on neighbor_id) and the exact re-rank
+    "v07_ann_rerank_topk" ->
+      s"""WITH e AS (SELECT vec_id, $qexpr AS qv, $cexpr AS cv FROM embeddings),
+         |n AS (SELECT vec_id, qv, cv,
+         |   CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])) AS BIGINT) AS n2,
+         |   CAST(list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i])) AS BIGINT) AS c2
+         | FROM e),
+         |c AS (SELECT * FROM n WHERE c2 > 0),
+         |p AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |   CAST(CAST(list_sum(list_transform(range(1, len(q.cv)+1), i -> q.cv[i]*d.cv[i])) AS BIGINT) AS DOUBLE)
+         |     / (sqrt(CAST(q.c2 AS DOUBLE)) * sqrt(CAST(d.c2 AS DOUBLE))) AS coarse_sim
+         | FROM c q JOIN c d ON q.vec_id < 10 AND d.vec_id <> q.vec_id),
+         |k AS (SELECT query_id, neighbor_id FROM
+         |   (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY coarse_sim DESC, neighbor_id) AS crk FROM p)
+         |   WHERE crk <= $RerankCoarseK),
+         |x AS (SELECT k.query_id, k.neighbor_id,
+         |   CAST(CAST(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*d.qv[i])) AS BIGINT) AS DOUBLE)
+         |     / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(d.n2 AS DOUBLE))) AS sim
+         | FROM k JOIN n q ON q.vec_id = k.query_id JOIN n d ON d.vec_id = k.neighbor_id),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM x)
          |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
     "d03_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),

@@ -85,6 +85,19 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.7, s"sample-trained IVF recall $recall below floor")
   }
 
+  test("v07 coarse+re-rank recall clears 0.9 scanning 50 candidates/query") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(VectorSearch.annBruteForce(spark, sfDir))
+    val v7 = pairs(VectorSearch.annRerank(spark, sfDir))
+    val recall = (v7 & truth).size.toDouble / truth.size
+    // ×16 quantization keeps cosine ordering almost intact, so a
+    // 50-deep coarse cut rarely drops a true top-5 neighbor; the exact
+    // stage restores full-precision order within the candidates
+    assert(recall >= 0.9, s"re-rank recall $recall below floor")
+  }
+
   test("ANN brute-force top-k returns k neighbors per query, ranked") {
     val topk = VectorSearch.annBruteForce(spark, sfDir).collect()
     val byQuery = topk.groupBy(_.getLong(0))
