@@ -263,6 +263,41 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(s.table("hourly_rocks"), batch)
   }
 
+  test("transformWithState sessionizer closes on gap and on event-time timer") {
+    // same scenario as the flatMapGroupsWithState test above — the new
+    // API's event-time TIMER must close session B exactly where the
+    // old API's EventTimeTimeout did
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Long, Long, Long)]
+    val withTs = input.toDF().toDF("user_id", "ts_us", "cents")
+      .withColumn("t", timestamp_micros(col("ts_us")))
+      .withWatermark("t", "0 seconds")
+    val q = graft.streaming.TwsSessionizer.sessionize(withTs).writeStream
+      .format("memory").queryName("tws_sess_out").outputMode("append").start()
+    try {
+      val B = 10000 * Min
+      input.addData((1L, B, 100L), (1L, B + 10 * Min, 50L))
+      q.processAllAvailable()
+      input.addData((1L, B + 70 * Min, 25L)) // gap closes session A
+      q.processAllAvailable()
+      input.addData((2L, B + 500 * Min, 1L)) // advance watermark
+      q.processAllAvailable()
+      input.addData((3L, B + 1000 * Min, 1L)) // past B's end+gap -> timer fires
+      q.processAllAvailable()
+      val rows = s.table("tws_sess_out")
+        .select("user_id", "n_events", "start_us", "end_us", "total_cents")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(rows.contains((1L, 2L, B, B + 10 * Min, 150L)), s"session A missing: $rows")
+      assert(rows.contains((1L, 1L, B + 70 * Min, B + 70 * Min, 25L)), s"session B missing: $rows")
+    } finally q.stop()
+  }
+
   test("transformWithState keeps one running total per user across batches") {
     // Spark 4's arbitrary-state API requires the RocksDB provider;
     // plan the stream on a child session so the override stays scoped
