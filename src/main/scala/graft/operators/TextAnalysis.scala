@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.Tables
 
@@ -593,7 +594,52 @@ object TextAnalysis {
       substring(regexp_replace(col("text"), "[0-9]", "#"), 1, 40).as("masked_prefix"),
       col("text").rlike("(19|20)[0-9]{2}").as("has_year"))
 
+  // D: content-defined chunking (CDC) dedup — sub-document dedup at the
+  // granularity of ~16-word chunks whose boundaries are a pure function
+  // of CONTENT (a chunk ends after any word whose md5-derived hash ≡ 0
+  // mod 16): inserting a sentence shifts only its own chunk's
+  // boundaries, so passages shared across documents still hash to
+  // identical chunks — the rsync/FastCDC trick applied to corpus text,
+  // catching copied paragraphs that whole-document dedup (d01) and
+  // set-similarity near-dup (d02/d04) both miss. Plan shape: posexplode
+  // to (doc, pos, word), ONE per-doc window assigns chunk ids, one
+  // hash-agg assembles each chunk (order pinned by array_sort over
+  // (pos, word) structs — collect_list alone is partition-order-
+  // dependent), one global count per chunk hash; all shuffles are on
+  // ids/hashes, never full text.
+  /** (doc_id, chunk_id, ch): content-defined chunks of a (doc_id, text)
+    * frame — exposed for the DedupSpec shift-resistance property.
+    */
+  private[graft] def cdcChunks(d: DataFrame): DataFrame = {
+    val words = d
+      .select(col("doc_id"), posexplode(wordsOf(col("text"))))
+      .withColumnRenamed("col", "word")
+    val wh = conv(substring(md5(col("word")), 1, 8), 16, 10).cast(LongType)
+    val flag = when(pmod(wh, lit(16L)) === 0, 1L).otherwise(0L)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    words
+      .withColumn("chunk_id", coalesce(sum(flag).over(byDoc), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("word")))).as("ws"))
+      .select(col("doc_id"), col("chunk_id"),
+        md5(array_join(transform(col("ws"), _.getField("word")), " ")).as("ch"))
+  }
+
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunks(docs(spark, dir))
+    val freq = chunks.groupBy(col("ch")).agg(count(lit(1)).as("n_inst"))
+    chunks.join(freq, "ch")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_inst") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .withColumn("shared_ratio",
+        col("n_shared_chunks").cast(DoubleType) / col("n_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "k01_token_packing" -> (tokenPacking _),
     "t11_chunk_overlap" -> (chunkOverlap _),
     "x16_regexp_suite" -> (regexpSuite _),
@@ -690,6 +736,26 @@ object TextAnalysis {
         | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
         | CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS norm_len
         |FROM documents""".stripMargin,
+    "d16_cdc_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |w AS (SELECT doc_id, i AS pos, toks[i] AS word
+        |      FROM d, unnest(range(1, len(toks)+1)) AS u(i)),
+        |f AS (SELECT doc_id, pos, word,
+        |      CASE WHEN CAST(('0x' || substring(md5(word), 1, 8)) AS BIGINT) % 16 = 0
+        |           THEN 1 ELSE 0 END AS flag FROM w),
+        |cid AS (SELECT doc_id, pos, word,
+        |      COALESCE(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |  FROM f),
+        |c AS (SELECT doc_id, chunk_id,
+        |      md5(string_agg(word, ' ' ORDER BY pos)) AS ch
+        |  FROM cid GROUP BY 1, 2),
+        |fr AS (SELECT ch, COUNT(*) AS n_inst FROM c GROUP BY 1)
+        |SELECT c.doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN n_inst > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+        |  CAST(SUM(CASE WHEN n_inst > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS shared_ratio
+        |FROM c JOIN fr ON c.ch = fr.ch
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

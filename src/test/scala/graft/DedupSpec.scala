@@ -124,6 +124,25 @@ class DedupSpec extends SparkSpec {
       MinHash.nearDupClusters(spark, sfDir))
   }
 
+  test("d16 CDC chunks survive a front insertion (fixed-width would shift all)") {
+    import spark.implicits._
+    // 200 deterministic pseudo-words; doc B prepends 7 words to doc A.
+    // Content-defined boundaries re-synchronize after the insertion, so
+    // A and B must still share most chunk hashes; with FIXED-width
+    // chunking every chunk after the insertion point would differ.
+    val words = (0 until 200).map(i => s"w${(i * 2654435761L) % 9973}")
+    val a = words.mkString(" ")
+    val b = (Seq("ins0", "ins1", "ins2", "ins3", "ins4", "ins5", "ins6") ++ words).mkString(" ")
+    val chunks = TextAnalysis.cdcChunks(
+      Seq((0L, a), (1L, b)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val ca = chunks.filter(_._1 == 0L).map(_._2).toSet
+    val cb = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val shared = (ca & cb).size
+    assert(shared >= (ca.size * 3) / 4,
+      s"only $shared of ${ca.size} chunks survived the insertion")
+  }
+
   test("WordShingles expression equals the built-in zip_with formulation") {
     graft.functions.WordShingles.register(spark)
     val docs = Tables.load(spark, sfDir, "documents")

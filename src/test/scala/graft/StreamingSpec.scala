@@ -263,6 +263,37 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(s.table("hourly_rocks"), batch)
   }
 
+  test("restart from checkpoint resumes the source offset exactly-once") {
+    // the recovery contract a production pipeline actually relies on:
+    // run 1 commits batch-1 files through the sink's _spark_metadata
+    // log; run 2 (same checkpoint, new query instance) must process
+    // ONLY the file added in between — no re-emit, no loss
+    val base = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_restart_${graft.Fs.tmpTag(sfDir)}")
+    graft.Fs.rmTree(base)
+    val in = s"$base/in"; val out = s"$base/data"; val chk = s"$base/chk"
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.range(0, 100).toDF("id").coalesce(1).write.parquet(s"$in/b1")
+    def runOnce(): Unit = {
+      val q = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+        .option("basePath", in).parquet(s"$in/*")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    spark.range(100, 150).toDF("id").coalesce(1).write.parquet(s"$in/b2")
+    runOnce() // restart: same checkpoint, fresh query
+    val got = spark.read.parquet(out)
+    assert(got.count() == 150, "row count after restart")
+    assert(got.distinct().count() == 150, "batch-1 rows were re-emitted")
+    assert(got.agg(min(col("id")), max(col("id"))).head().toSeq == Seq(0L, 149L))
+  }
+
   test("transformWithState sessionizer closes on gap and on event-time timer") {
     // same scenario as the flatMapGroupsWithState test above — the new
     // API's event-time TIMER must close session B exactly where the
