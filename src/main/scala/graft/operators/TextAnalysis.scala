@@ -605,8 +605,10 @@ object TextAnalysis {
   // to (doc, pos, word), ONE per-doc window assigns chunk ids, one
   // hash-agg assembles each chunk (order pinned by array_sort over
   // (pos, word) structs — collect_list alone is partition-order-
-  // dependent), one global count per chunk hash; all shuffles are on
-  // ids/hashes, never full text.
+  // dependent). The token stream is shuffled once for assembly
+  // (unavoidable: a chunk's words must co-locate); from there on only
+  // 128-bit chunk hashes move — the global frequency count and the
+  // join back are hash-keyed.
   /** (doc_id, chunk_id, ch): content-defined chunks of a (doc_id, text)
     * frame — exposed for the DedupSpec shift-resistance property.
     */
