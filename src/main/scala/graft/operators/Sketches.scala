@@ -94,12 +94,40 @@ object Sketches {
       .orderBy(col("user_id"))
   }
 
+  /** a15: one-pass (min, max, sum, count) per group through a typed
+    * `Aggregator` registered with `udaf()` — the USER-level custom
+    * aggregate API (KMV/count-min above are the engine-level
+    * `TypedImperativeAggregate` path). The struct result is flattened
+    * to scalars for the oracle compare.
+    */
+  def typedStatsAgg(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PriceStats.register(spark)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderstatus"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast(org.apache.spark.sql.types.LongType).as("cents"))
+      .groupBy(col("o_orderstatus"))
+      .agg(call_function("price_stats", col("cents")).as("s"))
+      .select(col("o_orderstatus"),
+        col("s.min").as("min_cents"), col("s.max").as("max_cents"),
+        col("s.sum").as("sum_cents"), col("s.cnt").as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a15_typed_udaf" -> (typedStatsAgg _),
     "d06_kmv_distinct" -> (kmvDistinctCustomers _),
     "d12_count_min" -> (cmsEventCounts _),
     "e14_stream_count_min" -> (cmsEventCountsStreaming _))
 
   private val oraclesBase: Map[String, String] = Map(
+    "a15_typed_udaf" ->
+      """WITH c AS (SELECT o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderstatus, MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n_orders
+        |FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "d06_kmv_distinct" ->
       s"""WITH h AS (SELECT o_orderstatus, o_custkey,
          |        ($A * o_custkey + $B) % $P AS hv FROM orders),

@@ -69,6 +69,24 @@ class SketchSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("a15 typed Aggregator runs with map-side partial aggregation") {
+    val df = graft.operators.Sketches.typedStatsAgg(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    // the Aggregator path must plan as a two-phase object hash
+    // aggregate (partial before the exchange, merge after) — a
+    // single-phase plan would ship every row to one reducer per group
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    // and the result equals the built-in formulation
+    val builtin = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderstatus"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("o_orderstatus"))
+      .agg(min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_orders"))
+    assertSameRows(df, builtin)
+  }
+
   test("approx_percentile brackets the exact median") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val approxMedian = li.select(
