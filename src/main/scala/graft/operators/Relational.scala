@@ -1164,6 +1164,38 @@ object Relational {
         min(col("prev_hi").isNull || col("prev_hi") < col("lo")).as("shards_disjoint"))
   }
 
+  // S24: small-file COMPACTION — the lakehouse maintenance pass. A
+  // fragmented table (64 shards here, simulating per-micro-batch or
+  // per-task small files) is rewritten into 4 key-clustered, in-shard-
+  // sorted files. The published row proves BOTH invariants from the
+  // actual filesystem state: the file counts (via input_file_name
+  // distinct counts, not trusted constants) and content equality (exact
+  // digest over the re-read compacted files, pinned by the oracle
+  // computed from the source table — any lost/duplicated row breaks it).
+  // At 100 TB this is the scheduled job that keeps scan task counts and
+  // file-listing overhead bounded; clustering by user_id while
+  // compacting also co-locates the per-user access path.
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_compact_${tmpTag(dir)}"
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.repartition(64, col("event_id"))
+      .write.mode("overwrite").parquet(s"$base/frag")
+    val frag = spark.read.parquet(s"$base/frag")
+    frag.repartition(4, col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("event_id"))
+      .write.mode("overwrite").parquet(s"$base/compact")
+    val nBefore = frag.select(input_file_name()).distinct().count()
+    val compact = spark.read.parquet(s"$base/compact")
+    val nAfter = compact.select(input_file_name()).distinct().count()
+    compact.agg(
+        count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_event"), max(col("event_id")).as("max_event"),
+        sum(dec(col("value"))).cast(DoubleType).as("total_value"))
+      .select(lit(nBefore).as("n_files_before"), lit(nAfter).as("n_files_after"),
+        col("n_rows"), col("min_event"), col("max_event"), col("total_value"))
+  }
+
   // S: raw `text` source/sink — the line-oriented format for log and
   // corpus ingestion (one string column per line, no schema at all).
   // Nation round-trips as TAB-joined lines; the read side re-parses
@@ -1708,6 +1740,7 @@ object Relational {
     "s05_csv_roundtrip" -> (csvRoundTrip _),
     "s13_json_roundtrip" -> (jsonRoundTrip _),
     "s23_text_roundtrip" -> (textRoundTrip _),
+    "s24_compaction" -> (compaction _),
     "s14_orc_roundtrip" -> (orcRoundTrip _),
     "s07_sql_over_views" -> (sqlOverViews _),
     "s08_catalog_roundtrip" -> (catalogRoundTrip _),
@@ -2324,6 +2357,16 @@ object Relational {
     "s23_text_roundtrip" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations, MAX(n_name) AS max_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    // file counts are MEASURED by the query (input_file_name distinct);
+    // the oracle pins them to the compaction contract plus the exact
+    // content digest of the source table
+    "s24_compaction" ->
+      """SELECT CAST(64 AS BIGINT) AS n_files_before,
+        |  CAST(4 AS BIGINT) AS n_files_after,
+        |  COUNT(*) AS n_rows,
+        |  MIN(event_id) AS min_event, MAX(event_id) AS max_event,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events""".stripMargin,
     "s14_orc_roundtrip" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
