@@ -28,7 +28,8 @@ object Explain {
     "t12_tfidf", "t13_word_entropy", "w08_ntile_quartiles", "q20_dominant_suppliers",
     "q23_min_cost_supplier", "q11_important_stock", "j19_lateral_topk",
     "r01_recursive_hierarchy", "d14_cc_convergent", "e18_variant_props",
-    "e19_transition_matrix", "dq02_outlier_report", "d07_editdist_verify")
+    "e19_transition_matrix", "dq02_outlier_report", "d07_editdist_verify",
+    "d16_cdc_chunk_dedup", "a15_typed_udaf", "v07_ann_rerank_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
