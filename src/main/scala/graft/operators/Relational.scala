@@ -1570,6 +1570,34 @@ object Relational {
       .orderBy(col("r_regionkey"))
   }
 
+  // DQ: join-key SKEW REPORT — the pre-flight a 100 TB join runs before
+  // committing to a partitioning: per-key row counts reduced to
+  // key cardinality, max/median/p99 group sizes, the single heaviest
+  // key and its share, and the skew factor (max over mean). One
+  // hash-agg over the fact; the top key comes from a TakeOrdered
+  // (orderBy + limit 1 — no full sort), and every published double is
+  // a division of exact integers. Feeding j12's salting / j15's AQE
+  // decision with MEASURED skew instead of a guess is the operational
+  // point.
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("n"))
+    val s = g.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).cast(LongType).as("n_rows"),
+      max(col("n")).as("max_rows"),
+      expr("percentile(n, 0.5)").as("p50_rows"),
+      expr("percentile(n, 0.99)").as("p99_rows"))
+    val top = g.orderBy(col("n").desc, col("k")).limit(1)
+      .select(col("k").as("top_key"), col("n").as("top_rows"))
+    s.crossJoin(broadcast(top))
+      .select(col("n_keys"), col("n_rows"), col("max_rows"),
+        col("p50_rows"), col("p99_rows"), col("top_key"), col("top_rows"),
+        (col("top_rows").cast(DoubleType) / col("n_rows")).as("top_share"),
+        ((col("max_rows") * col("n_keys")).cast(DoubleType) / col("n_rows"))
+          .as("skew_factor"))
+  }
+
   // TPC-H Q2 analogue (min-cost supplier per part). The testdata has no
   // partsupp table, so the supply relationship is derived from the
   // fact: supply_cost(part, supp) = MIN(l_extendedprice) over that
@@ -1675,6 +1703,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq03_skew_report" -> (skewReport _),
     "q23_min_cost_supplier" -> (minCostSupplier _),
     "q11_important_stock" -> (importantStock _),
     "j19_lateral_topk" -> (lateralTopPerGroup _),
@@ -1763,6 +1792,16 @@ object Relational {
     "u03_scd2_point_in_time" -> (scd2PointInTime _))
 
   private val oraclesBase: Map[String, String] = Map(
+    "dq03_skew_report" ->
+      """WITH g AS (SELECT l_suppkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |       MAX(n) AS max_rows, quantile_cont(n, 0.5) AS p50_rows,
+        |       quantile_cont(n, 0.99) AS p99_rows FROM g),
+        |t AS (SELECT k AS top_key, n AS top_rows FROM g ORDER BY n DESC, k LIMIT 1)
+        |SELECT n_keys, n_rows, max_rows, p50_rows, p99_rows, top_key, top_rows,
+        |  CAST(top_rows AS DOUBLE) / n_rows AS top_share,
+        |  CAST(max_rows * n_keys AS DOUBLE) / n_rows AS skew_factor
+        |FROM s, t""".stripMargin,
     "q23_min_cost_supplier" ->
       """WITH eu_supp AS (
         |  SELECT s_suppkey, s_name, s_acctbal FROM supplier

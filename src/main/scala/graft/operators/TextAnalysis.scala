@@ -609,10 +609,11 @@ object TextAnalysis {
   // (unavoidable: a chunk's words must co-locate); from there on only
   // 128-bit chunk hashes move — the global frequency count and the
   // join back are hash-keyed.
-  /** (doc_id, chunk_id, ch): content-defined chunks of a (doc_id, text)
-    * frame — exposed for the DedupSpec shift-resistance property.
+  /** (doc_id, chunk_id, chunk_text): content-defined chunks of a
+    * (doc_id, text) frame — exposed for the DedupSpec shift-resistance
+    * and lossless-reconstruction properties.
     */
-  private[graft] def cdcChunks(d: DataFrame): DataFrame = {
+  private[graft] def cdcChunksWithText(d: DataFrame): DataFrame = {
     val words = d
       .select(col("doc_id"), posexplode(wordsOf(col("text"))))
       .withColumnRenamed("col", "word")
@@ -625,8 +626,15 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("word")))).as("ws"))
       .select(col("doc_id"), col("chunk_id"),
-        md5(array_join(transform(col("ws"), _.getField("word")), " ")).as("ch"))
+        array_join(transform(col("ws"), _.getField("word")), " ").as("chunk_text"))
   }
+
+  /** (doc_id, chunk_id, ch): chunk content hashes — what the dedup
+    * pipeline shuffles (128-bit hashes, not chunk text).
+    */
+  private[graft] def cdcChunks(d: DataFrame): DataFrame =
+    cdcChunksWithText(d)
+      .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("ch"))
 
   def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val chunks = cdcChunks(docs(spark, dir))

@@ -143,6 +143,24 @@ class DedupSpec extends SparkSpec {
       s"only $shared of ${ca.size} chunks survived the insertion")
   }
 
+  test("d16 chunks reconstruct the original word sequence exactly") {
+    import spark.implicits._
+    // lossless partition: concatenating a doc's chunks in chunk order
+    // must reproduce its full word sequence — no word lost to a
+    // boundary, none duplicated
+    val docs = Tables.load(spark, sfDir, "documents").limit(50)
+    val rebuilt = TextAnalysis.cdcChunksWithText(docs)
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("chunk_id"), col("chunk_text")))), _.getField("chunk_text")), " ")
+        .as("rebuilt"))
+    val orig = docs.select(col("doc_id"),
+      array_join(split(trim(col("text")), "\\s+"), " ").as("orig"))
+    val diff = rebuilt.join(orig, "doc_id")
+      .filter(col("rebuilt") =!= col("orig")).count()
+    assert(diff == 0, s"$diff docs did not reconstruct")
+  }
+
   test("WordShingles expression equals the built-in zip_with formulation") {
     graft.functions.WordShingles.register(spark)
     val docs = Tables.load(spark, sfDir, "documents")
