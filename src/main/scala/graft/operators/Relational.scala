@@ -1570,6 +1570,36 @@ object Relational {
       .orderBy(col("r_regionkey"))
   }
 
+  // X19: ANSI-mode safe functions — Spark 4 runs ANSI SQL, so a bad
+  // cast, division by zero, or integer overflow is an ERROR unless the
+  // try_* variants absorb it to NULL. This pins that contract (per-row
+  // NULL, not job failure — the semantics a 100 TB batch needs, where
+  // one malformed row must not kill hour N of the job): try_cast on
+  // unparseable strings, try_divide by a cycling zero, try_add at the
+  // Long.MaxValue edge. Published as counts + an exact sum over the
+  // surviving values.
+  def tryFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val near = 9223372036854775800L // MaxValue - 7: keys > 7 overflow
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("try_cast(concat('x', o_orderkey) AS BIGINT)").as("bad_cast"),
+        expr("try_cast(CAST(o_orderkey AS STRING) AS BIGINT)").as("ok_cast"),
+        expr("try_divide(o_totalprice, o_orderkey % 3)").as("div3"),
+        expr(s"try_add(o_orderkey, ${near}L)").as("near_max"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("bad_cast")).as("n_bad_cast_ok"), // 0: every cast fails to NULL
+        count(col("ok_cast")).as("n_ok_cast"),
+        sum(col("ok_cast")).cast(LongType).as("sum_ok_cast"),
+        sum(when(col("div3").isNull, 1L).otherwise(0L)).as("n_div_by_zero"),
+        count(col("near_max")).as("n_no_overflow"),
+        // cast to DECIMAL(38,0) BEFORE the sum: the surviving values sit
+        // at the Long edge, so SUM(BIGINT) itself would overflow (ANSI
+        // error); published as a string (HUGEINT vs decimal128 don't
+        // hash-compare as numbers)
+        sum(col("near_max").cast(DecimalType(38, 0))).cast(StringType).as("sum_near_max"))
+  }
+
   // DQ: join-key SKEW REPORT — the pre-flight a 100 TB join runs before
   // committing to a partitioning: per-key row counts reduced to
   // key cardinality, max/median/p99 group sizes, the single heaviest
@@ -1703,6 +1733,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x19_try_functions" -> (tryFunctions _),
     "dq03_skew_report" -> (skewReport _),
     "q23_min_cost_supplier" -> (minCostSupplier _),
     "q11_important_stock" -> (importantStock _),
@@ -1792,6 +1823,23 @@ object Relational {
     "u03_scd2_point_in_time" -> (scd2PointInTime _))
 
   private val oraclesBase: Map[String, String] = Map(
+    "x19_try_functions" ->
+      """WITH t AS (SELECT o_orderkey,
+        |    TRY_CAST('x' || o_orderkey AS BIGINT) AS bad_cast,
+        |    TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS ok_cast,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |         ELSE o_totalprice / (o_orderkey % 3) END AS div3,
+        |    CASE WHEN o_orderkey > 7 THEN NULL
+        |         ELSE o_orderkey + 9223372036854775800 END AS near_max
+        |  FROM orders)
+        |SELECT COUNT(*) AS n_rows,
+        |  COUNT(bad_cast) AS n_bad_cast_ok,
+        |  COUNT(ok_cast) AS n_ok_cast,
+        |  CAST(SUM(ok_cast) AS BIGINT) AS sum_ok_cast,
+        |  CAST(SUM(CASE WHEN div3 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_by_zero,
+        |  COUNT(near_max) AS n_no_overflow,
+        |  CAST(SUM(CAST(near_max AS HUGEINT)) AS VARCHAR) AS sum_near_max
+        |FROM t""".stripMargin,
     "dq03_skew_report" ->
       """WITH g AS (SELECT l_suppkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
         |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
