@@ -212,6 +212,36 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(spark.table("sessw_out"), batch)
   }
 
+  test("append mode drops a late row once the watermark has passed its window") {
+    val sqlCtx = spark.sqlContext
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import spark.implicits._
+    val HourNs = 3600L * 1000 * 1000 * 1000
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.hourlyCounts(events, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      // two rows in hour 10, plus an hour-13 row that advances the
+      // watermark past hour 10's end -> the 10:00 window emits (n=2)
+      input.addData((10 * HourNs, "view", 1.0), (10 * HourNs + HourNs / 2, "view", 1.0),
+        (13 * HourNs, "view", 1.0))
+      q.processAllAvailable()
+      // a LATE hour-10 row: watermark (13:00) is past the window end
+      // (11:00), so the row must be discarded, not re-emitted
+      input.addData((10 * HourNs + HourNs / 4, "view", 1.0))
+      q.processAllAvailable()
+      // flush: advance watermark further; nothing about hour 10 changes
+      input.addData((15 * HourNs, "view", 1.0))
+      q.processAllAvailable()
+      val hour10 = spark.table("late_out")
+        .filter(col("hour_start").endsWith("10:00"))
+        .select("n_events").collect().map(_.getLong(0)).toSeq
+      assert(hour10 == Seq(2L), s"hour-10 emissions: $hour10")
+    } finally q.stop()
+  }
+
   test("update mode re-emits only the groups each batch changed") {
     val sqlCtx = spark.sqlContext
     implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
