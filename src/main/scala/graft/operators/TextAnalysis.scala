@@ -491,6 +491,44 @@ object TextAnalysis {
           .orderBy(col("n_occ").desc, col("bigram"))))
   }
 
+  // T: bigram-LM document scorer — mean ln P(w2 | w1) per document
+  // under the corpus's OWN bigram model (MLE; no smoothing needed:
+  // every scored bigram is in the counts by construction). This is the
+  // classic cheap fluency/quality signal next to t13's entropy: low
+  // scores mark documents whose word transitions are unlike the
+  // corpus. "Training" is two hash aggregates (bigram counts and
+  // prefix counts); scoring joins each bigram occurrence against the
+  // count tables (hash equi-joins on the token keys — the count tables
+  // are vocabulary-sized, the corpus never moves twice), and each
+  // ln(c12) − ln(c1) term is integer-quantized (t13's technique) so
+  // the per-doc Σ is order-free and the mean engine-identical.
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = wordsOf(lower(col("text")))
+    val n = size(w)
+    val bigrams = zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val base = docs(spark, dir).filter(n >= 2)
+    val occ = base.select(col("doc_id"), explode(bigrams).as("bigram"))
+    val bg = occ.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    val pref = base
+      .select(explode(slice(w, lit(1), n - 1)).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val qTerm = floor(
+      (log(col("c12").cast(DoubleType)) - log(col("c1").cast(DoubleType)))
+        * lit(1e9) + lit(0.5)).cast(LongType)
+    occ
+      .join(bg, "bigram")
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(pref, "w1")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(qTerm).as("qsum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("qsum").cast(DoubleType) / lit(1e9) /
+          col("n_bigrams").cast(DoubleType) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- D: benchmark-contamination scan --------------------------------
   // Decontamination: flag training documents whose 3-gram shingles
   // overlap a held-out benchmark set (here the deterministic 5% slice
@@ -661,6 +699,7 @@ object TextAnalysis {
     "t06_top_terms" -> (topTerms _),
     "t12_tfidf" -> (tfidf _),
     "t13_word_entropy" -> (wordEntropy _),
+    "t15_bigram_lm_score" -> (bigramLmScore _),
     "t07_stratified_sample" -> (stratifiedSample _),
     "t08_pii_redact" -> (piiRedact _),
     "t09_repetition_ratio" -> (repetitionRatio _),
@@ -794,6 +833,20 @@ object TextAnalysis {
         | FROM tf JOIN df USING (word) CROSS JOIN n)
         |SELECT doc_id, word, tf, df, tfidf, rk FROM r WHERE rk <= 5""".stripMargin,
     // per-term integer quantization BEFORE the sum keeps the Σ exact and
+    // per-term quantized ln differences summed as integers (t13's trick)
+    "t15_bigram_lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 2),
+        |occ AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram, toks[i] AS w1
+        |        FROM b, unnest(range(1, n)) AS u(i)),
+        |bg AS (SELECT bigram, COUNT(*) AS c12 FROM occ GROUP BY 1),
+        |pref AS (SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY 1),
+        |t AS (SELECT occ.doc_id,
+        |       CAST(floor((ln(c12) - ln(c1)) * 1e9 + 0.5) AS BIGINT) AS q
+        |      FROM occ JOIN bg USING (bigram) JOIN pref USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  floor(CAST(SUM(q) AS DOUBLE) / 1e9 / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_logp
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // order-free in both engines; only the final scalar assembly is float
     "t13_word_entropy" ->
       """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
