@@ -494,7 +494,45 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  // R02: exponential moving average via WITH RECURSIVE — the honest way
+  // to run a SEQUENTIAL recurrence (e_t = α·x_t + (1−α)·e_{t−1}) on
+  // Spark: aggregate the event stream down to a BOUNDED series first
+  // (distributed hash-agg), then recurse over it, one tiny join per
+  // level. The anti-pattern is recursing over raw events; the
+  // recurrence belongs on the aggregate, whose length — and therefore
+  // the UnionLoop's iteration count, each a driver-scheduled job of
+  // ~0.4 s fixed latency — is bounded by the time range, not data
+  // volume. Weekly granularity keeps this at 5 levels (daily would be
+  // 30 jobs for identical semantics). All multiplies are explicit
+  // DOUBLE (a bare 0.25 literal is DECIMAL in both engines and would
+  // change the type chain); the fold order is fixed by the recursion
+  // itself, so the doubles are engine-identical.
+  def emaWeekly(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = eventsUs(spark, dir)
+      .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
+      .withColumn("week_start", date_sub(col("day"), pmod(datediff(col("day"), lit("2024-01-01")), lit(7))))
+      .groupBy(col("week_start"))
+      .agg((sum(col("value").cast(DecimalType(18, 2)) * 100))
+        .cast(LongType).as("cents"))
+    // global row_number over the ~5-row aggregate, not the events
+    weekly.withColumn("seq",
+        row_number().over(Window.orderBy(col("week_start"))))
+      .createOrReplaceTempView("graft_ema_series")
+    spark.sql(
+      """WITH RECURSIVE r AS (
+        |  SELECT seq, week_start, cents, CAST(cents AS DOUBLE) AS ema
+        |  FROM graft_ema_series WHERE seq = 1
+        |  UNION ALL
+        |  SELECT s.seq, s.week_start, s.cents,
+        |    CAST(s.cents AS DOUBLE) * 0.25E0 + r.ema * 0.75E0
+        |  FROM graft_ema_series s JOIN r ON s.seq = r.seq + 1)
+        |SELECT date_format(week_start, 'yyyy-MM-dd') AS week_start, cents,
+        |  floor(ema * 1e6 + 0.5) / 1e6 AS ema
+        |FROM r ORDER BY week_start""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r02_ema_weekly" -> (emaWeekly _),
     "e19_transition_matrix" -> (transitionMatrix _),
     "dq02_outlier_report" -> (outlierReport _),
     "e18_variant_props" -> (variantProps _),
@@ -598,6 +636,21 @@ object Events {
         | event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "r02_ema_weekly" ->
+      """WITH RECURSIVE s0 AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE)
+        |      - CAST(datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) % 7 AS INTEGER) AS week_start,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |series AS (SELECT ROW_NUMBER() OVER (ORDER BY week_start) AS seq, week_start, cents FROM s0),
+        |r AS (
+        |  SELECT seq, week_start, cents, CAST(cents AS DOUBLE) AS ema FROM series WHERE seq = 1
+        |  UNION ALL
+        |  SELECT s.seq, s.week_start, s.cents, CAST(s.cents AS DOUBLE) * 0.25e0 + r.ema * 0.75e0
+        |  FROM series s JOIN r ON s.seq = r.seq + 1)
+        |SELECT strftime(week_start, '%Y-%m-%d') AS week_start, cents,
+        |  floor(ema * 1e6 + 0.5) / 1e6 AS ema
+        |FROM r ORDER BY week_start""".stripMargin,
     "e19_transition_matrix" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_ns(ts) // 1000 AS ts_us FROM events),
