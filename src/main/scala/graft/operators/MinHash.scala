@@ -50,15 +50,22 @@ object MinHash {
     posts.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (doc_id, band) — one row per LSH band key per doc. */
-  private def bandedKeys(docs: DataFrame): DataFrame = {
+  /** (doc_id, band) from an ALREADY-SIGNED frame (doc_id, h0..h{n-1}) —
+    * band keys are pure column arithmetic over the signature, so they
+    * work identically whether the signatures were just computed or read
+    * back from the persisted store (d17).
+    */
+  private def bandKeys(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { bi =>
       struct(lit(bi).as("bi"),
         col(s"h${BandRows * bi}").as("k0"), col(s"h${BandRows * bi + 1}").as("k1"))
     }
-    signatures(docs)
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
   }
+
+  /** (doc_id, band) — one row per LSH band key per doc. */
+  private def bandedKeys(docs: DataFrame): DataFrame =
+    bandKeys(signatures(docs))
 
   /** Distinct candidate (id_a < id_b) pairs sharing at least one LSH
     * band: explode per-doc band keys, equi-join on the banded signature.
@@ -152,6 +159,91 @@ object MinHash {
     val n = docs.select(col("doc_id").as("batch_id"), col("sh").as("sh_n"), col("n_sh").as("nn"))
     val inter = size(array_intersect(col("sh_c"), col("sh_n")))
     cand.join(c, "corpus_id").join(n, "batch_id")
+      .select(col("batch_id"), col("corpus_id"), inter.as("n_inter"),
+        (col("nc") + col("nn") - inter).as("n_union"))
+      .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** d17: the PRODUCTION shape d13's scaladoc promises — the corpus
+    * MinHash signature table `(doc_id, n_sh, h0..h35)` is computed ONCE
+    * and persisted as a catalog parquet table (the s08 machinery); built
+    * once per (session, dir) and the table name returned. At 100 TB this
+    * is the nightly signature-store refresh: O(corpus) shingling happens
+    * here and ONLY here, amortized over every batch that later probes it.
+    */
+  private[graft] def signatureStore(spark: SparkSession, dir: String): String =
+    graft.SessionCache.memo(spark, s"d17store:$dir") {
+      val db = "graft_sigs"
+      val loc = s"${sys.props("java.io.tmpdir")}/graft_sigs_${graft.Fs.tmpTag(dir)}"
+      // in-memory session catalog: wipe stale files at the location so
+      // the managed-table CREATE is reproducible across processes
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      graft.Fs.rmTree(new java.io.File(loc))
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      val corpus = TextAnalysis.shingledDocs(spark, dir)
+        .filter(col("doc_id") < IncrementalSplit)
+        .select(col("doc_id"), col("sh"))
+      signatures(corpus)
+        .join(corpus.select(col("doc_id"), size(col("sh")).as("n_sh")), "doc_id")
+        .write.mode("overwrite").saveAsTable(s"$db.minhash_store")
+      s"$db.minhash_store"
+    }
+
+  /** Candidate (batch_id, corpus_id) pairs where the corpus side comes
+    * ENTIRELY from the persisted signature store: band keys are column
+    * arithmetic over the stored h-columns, so the corpus contributes a
+    * parquet scan of ~300 bytes/doc — no text scan, no shingling. The
+    * batch side scans `documents` with the `doc_id ≥ split` predicate
+    * pushed into the parquet reader (DedupSpec asserts both plan facts).
+    */
+  private[graft] def storedIncrementalCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val store = spark.table(signatureStore(spark, dir))
+    val batch = batchShingled(spark, dir)
+    bandKeys(store).as("c")
+      .join(bandKeys(signatures(batch)).as("n"), col("c.band") === col("n.band"))
+      .select(col("n.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+  }
+
+  /** The day's arrivals, shingled from a `doc_id ≥ split` pushed-filter
+    * scan — deliberately NOT [[TextAnalysis.shingledDocs]], which
+    * shingles the whole corpus: d17's point is that after the store
+    * exists, per-batch cost is O(batch), and a whole-corpus dependency
+    * on the batch side would silently reintroduce the O(corpus) job.
+    */
+  private def batchShingled(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"d17batch:$dir") {
+      graft.functions.WordShingles.register(spark)
+      Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") >= IncrementalSplit)
+        .repartition(col("doc_id"))
+        .filter(size(TextAnalysis.wordsOf(col("text"))) >= 3)
+        .select(col("doc_id"), graft.functions.WordShingles.shingles(col("text")).as("sh"))
+        .persist()
+    }
+
+  /** d17: incremental near-dup against the PERSISTED store — same
+    * result (and same oracle) as d13, different physics: candidates via
+    * store-scan × batch band join, then the exact-Jaccard verify fetches
+    * shingles for CANDIDATE corpus docs only (semi-join before the
+    * shingle computation, the d07 rule), with `n_union` taken from the
+    * store's n_sh so the fetch feeds only the intersection.
+    */
+  def incrementalNearDupStored(spark: SparkSession, dir: String): DataFrame = {
+    val cand = storedIncrementalCandidates(spark, dir)
+    val storeN = spark.table(signatureStore(spark, dir))
+      .select(col("doc_id").as("corpus_id"), col("n_sh").as("nc"))
+    graft.functions.WordShingles.register(spark)
+    val candIds = cand.select(col("corpus_id").as("doc_id")).distinct()
+    val corpusSh = Tables.load(spark, dir, "documents")
+      .join(candIds.hint("broadcast"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("corpus_id"),
+        graft.functions.WordShingles.shingles(col("text")).as("sh_c"))
+    val batch = batchShingled(spark, dir)
+      .select(col("doc_id").as("batch_id"), col("sh").as("sh_n"), size(col("sh")).as("nn"))
+    val inter = size(array_intersect(col("sh_c"), col("sh_n")))
+    cand.join(corpusSh, "corpus_id").join(storeN, "corpus_id").join(batch, "batch_id")
       .select(col("batch_id"), col("corpus_id"), inter.as("n_inter"),
         (col("nc") + col("nn") - inter).as("n_union"))
       .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union"))
@@ -313,7 +405,8 @@ object MinHash {
     "d10_neardup_clusters" -> (nearDupClusters _),
     "d14_cc_convergent" -> (ccClusters _),
     "d15_leakage_safe_split" -> (leakageSafeSplit _),
-    "d13_incremental_neardup" -> (incrementalNearDup _))
+    "d13_incremental_neardup" -> (incrementalNearDup _),
+    "d17_stored_incremental" -> (incrementalNearDupStored _))
 
   // Oracle = brute force: the gate checks LSH candidate RECALL at the
   // 0.5 threshold, not only the Jaccard arithmetic.
@@ -355,19 +448,24 @@ object MinHash {
     // same cluster CTEs + the t07 md5 bucket over the representative
     "d15_leakage_safe_split" -> d15OracleSql,
     // brute-force batch×corpus — verifies incremental candidate recall
-    "d13_incremental_neardup" ->
-      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
-         |s AS (SELECT doc_id,
-         |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
-         |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
-         |p AS (SELECT n.doc_id AS batch_id, c.doc_id AS corpus_id,
-         |   CAST(len(list_intersect(c.sh, n.sh)) AS INTEGER) AS n_inter,
-         |   CAST(len(c.sh) + len(n.sh) - len(list_intersect(c.sh, n.sh)) AS INTEGER) AS n_union
-         | FROM s c JOIN s n ON c.doc_id < $IncrementalSplit AND n.doc_id >= $IncrementalSplit
-         | WHERE len(c.sh) > 0 AND len(n.sh) > 0)
-         |SELECT batch_id, corpus_id, n_inter, n_union,
-         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
-         |FROM p WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin)
+    "d13_incremental_neardup" -> incrementalOracleSql,
+    // IDENTICAL oracle: the stored-signature path must produce exactly
+    // the result of re-deriving both sides — the store adds no drift
+    "d17_stored_incremental" -> incrementalOracleSql)
+
+  private def incrementalOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+       |s AS (SELECT doc_id,
+       |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+       |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+       |p AS (SELECT n.doc_id AS batch_id, c.doc_id AS corpus_id,
+       |   CAST(len(list_intersect(c.sh, n.sh)) AS INTEGER) AS n_inter,
+       |   CAST(len(c.sh) + len(n.sh) - len(list_intersect(c.sh, n.sh)) AS INTEGER) AS n_union
+       | FROM s c JOIN s n ON c.doc_id < $IncrementalSplit AND n.doc_id >= $IncrementalSplit
+       | WHERE len(c.sh) > 0 AND len(n.sh) > 0)
+       |SELECT batch_id, corpus_id, n_inter, n_union,
+       |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
+       |FROM p WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin
 
   /** Brute-force 0.5-threshold pair graph, then the SAME fixed
     * [[LabelPropIters]] min-label rounds the Spark side runs — the CTE

@@ -56,6 +56,30 @@ class DedupSpec extends SparkSpec {
     assertSameRows(got, expected)
   }
 
+  test("d17 stored-signature incremental equals d13 and reads the store, not the corpus") {
+    val got = MinHash.incrementalNearDupStored(spark, sfDir)
+    assert(got.count() > 0, "vacuous: no cross-split near-dups in fixture")
+    assertSameRows(got, MinHash.incrementalNearDup(spark, sfDir))
+    // the candidate stage's corpus side must be the persisted signature
+    // table; the only documents scan allowed is the batch side with the
+    // doc_id >= split predicate pushed to parquet (no corpus shingling)
+    val cand = MinHash.storedIncrementalCandidates(spark, sfDir)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+    }.flatten
+    val scans = allScans(cand.queryExecution.executedPlan)
+    assert(scans.exists(_.metadata("Location").contains("graft_sigs")),
+      "candidate plan does not scan the persisted signature store")
+    val docScans = scans.filter(_.metadata("Location").contains("documents"))
+    assert(docScans.forall(_.metadata("PushedFilters")
+        .contains(s"GreaterThanOrEqual(doc_id,${MinHash.IncrementalSplit})")),
+      "a documents scan without the batch-side doc_id pushdown means the corpus text was re-read")
+  }
+
   test("d08 df cap drops hot-shingle pairs and bounds the candidate join") {
     import spark.implicits._
     // 40 docs that ALL share one boilerplate sentence (the hot shingles)
