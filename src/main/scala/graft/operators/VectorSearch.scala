@@ -148,13 +148,45 @@ object VectorSearch {
     * sides — replicated in the oracle.
     */
   def annRerank(spark: SparkSession, dir: String): DataFrame = {
+    val coarse = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), coarseQuantize(col("embedding")).as("cv"))
+      .withColumn("c2", inorm2(col("cv")))
+      .filter(col("c2") > 0)
+    twoStageRerank(spark, dir, coarse)
+  }
+
+  /** v08: two-stage retrieval whose coarse codes are TRUE int8 —
+    * symmetric max-abs quantization `round(x·127/max|x|)` ∈ [-127,127],
+    * the 1-byte/dim representation a 100 TB vector store keeps
+    * RAM-resident (8× smaller than float32; v07's ×16 codes stay
+    * unbounded longs). Cosine is invariant to the per-vector scale, so
+    * the codes rank directly with no dequantize step, and with 127
+    * levels against ×16's ~5 on these |x|≤0.3 embeddings the coarse
+    * ordering is strictly finer — VectorSpec asserts recall ≥ v07's at
+    * the same [[RerankCoarseK]] budget. Exact stage is identical.
+    */
+  def annRerankInt8(spark: SparkSession, dir: String): DataFrame = {
+    val coarse = Tables.load(spark, dir, "embeddings")
+      .withColumn("maxabs",
+        array_max(transform(col("embedding"), x => abs(x.cast(DoubleType)))))
+      .filter(col("maxabs") > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast(DoubleType) * 127 / col("maxabs")).cast(LongType)).as("cv"))
+      .withColumn("c2", inorm2(col("cv")))
+      .filter(col("c2") > 0)
+    twoStageRerank(spark, dir, coarse)
+  }
+
+  /** Shared two-stage skeleton: `coarse` supplies (vec_id, cv, c2)
+    * low-precision codes for the candidate cut; the exact stage always
+    * re-ranks the short list with the ×4096 full-precision codes.
+    */
+  private def twoStageRerank(spark: SparkSession, dir: String, coarse: DataFrame): DataFrame = {
     graft.functions.LongArrayDot.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
     val fine = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("n2", inorm2(col("qv")))
-    val coarse = emb.select(col("vec_id"), coarseQuantize(col("embedding")).as("cv"))
-      .withColumn("c2", inorm2(col("cv")))
-      .filter(col("c2") > 0)
     val cq = coarse.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("cv").as("q_cv"), col("c2").as("q_c2"))
     val coarseSim = qcosine(idot(col("q_cv"), col("cv")), col("q_c2"), col("c2"))
@@ -184,6 +216,7 @@ object VectorSearch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_ann_bruteforce_topk" -> (annBruteForce _),
     "v07_ann_rerank_topk" -> (annRerank _),
+    "v08_ann_rerank_int8" -> (annRerankInt8 _),
     "v05_label_centroids" -> (labelCentroids _),
     "x18_higher_order" -> (higherOrderOps _),
     "d03_dedup_embedding" -> (dedupEmbedding _))
@@ -234,6 +267,34 @@ object VectorSearch {
          |   CAST(list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i])) AS BIGINT) AS c2
          | FROM e),
          |c AS (SELECT * FROM n WHERE c2 > 0),
+         |p AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |   CAST(CAST(list_sum(list_transform(range(1, len(q.cv)+1), i -> q.cv[i]*d.cv[i])) AS BIGINT) AS DOUBLE)
+         |     / (sqrt(CAST(q.c2 AS DOUBLE)) * sqrt(CAST(d.c2 AS DOUBLE))) AS coarse_sim
+         | FROM c q JOIN c d ON q.vec_id < 10 AND d.vec_id <> q.vec_id),
+         |k AS (SELECT query_id, neighbor_id FROM
+         |   (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY coarse_sim DESC, neighbor_id) AS crk FROM p)
+         |   WHERE crk <= $RerankCoarseK),
+         |x AS (SELECT k.query_id, k.neighbor_id,
+         |   CAST(CAST(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*d.qv[i])) AS BIGINT) AS DOUBLE)
+         |     / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(d.n2 AS DOUBLE))) AS sim
+         | FROM k JOIN n q ON q.vec_id = k.query_id JOIN n d ON d.vec_id = k.neighbor_id),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM x)
+         |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    // int8 encode replayed exactly: max-abs scale, round(x·127/maxabs),
+    // then the same coarse-cut + exact-re-rank pipeline as v07's oracle
+    "v08_ann_rerank_int8" ->
+      s"""WITH e AS (SELECT vec_id, $qexpr AS qv,
+         |   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+         |   embedding FROM embeddings),
+         |n AS (SELECT vec_id, qv,
+         |   CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])) AS BIGINT) AS n2,
+         |   maxabs, embedding FROM e),
+         |c0 AS (SELECT vec_id, list_transform(embedding,
+         |     x -> CAST(round(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT)) AS cv
+         | FROM n WHERE maxabs > 0),
+         |c AS (SELECT vec_id, cv,
+         |   CAST(list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i])) AS BIGINT) AS c2
+         | FROM c0 WHERE list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i])) > 0),
          |p AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
          |   CAST(CAST(list_sum(list_transform(range(1, len(q.cv)+1), i -> q.cv[i]*d.cv[i])) AS BIGINT) AS DOUBLE)
          |     / (sqrt(CAST(q.c2 AS DOUBLE)) * sqrt(CAST(d.c2 AS DOUBLE))) AS coarse_sim

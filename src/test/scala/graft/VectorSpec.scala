@@ -98,6 +98,20 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.9, s"re-rank recall $recall below floor")
   }
 
+  test("v08 int8 coarse codes hold recall >= v07's x16 at the same candidate budget") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(VectorSearch.annBruteForce(spark, sfDir))
+    val r7 = (pairs(VectorSearch.annRerank(spark, sfDir)) & truth).size.toDouble / truth.size
+    val r8 = (pairs(VectorSearch.annRerankInt8(spark, sfDir)) & truth).size.toDouble / truth.size
+    // 127 levels per max-abs scale vs ~5 levels from x16 on these
+    // |x|<=0.3 embeddings: the finer coarse ordering can only keep more
+    // of the true top-5 inside the 50-candidate cut
+    assert(r8 >= r7, s"int8 recall $r8 below x16 recall $r7")
+    assert(r8 >= 0.9, s"int8 recall $r8 below floor")
+  }
+
   test("ANN brute-force top-k returns k neighbors per query, ranked") {
     val topk = VectorSearch.annBruteForce(spark, sfDir).collect()
     val byQuery = topk.groupBy(_.getLong(0))
