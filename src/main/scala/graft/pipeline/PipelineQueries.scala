@@ -48,6 +48,51 @@ object PipelineQueries {
   private def stg(s: SparkSession): Pipeline.Staging = built(s)._1
   private def star(s: SparkSession): StarSchema.Star = built(s)._2
 
+  /** p14: the PARTITIONED star — `travelers` written partitioned by
+    * (p_arrival_year, p_arrival_month), the layout SURVEY §4 / the
+    * reference README wish for ("partition by month"), then Q1 re-run
+    * against the partitioned fact restricted to one month. The month
+    * filter lives on a month-DIM side of a join (a scanned parquet
+    * relation — a VALUES dim would constant-fold away before the DPP
+    * rule), so Catalyst injects a dynamic-partition-pruning subquery and
+    * the fact scan reads only the matching year/month directories —
+    * PlanSpec asserts the pruning filter. At 100 TB this is THE star
+    * access path: a month of fact files read, the rest never listed.
+    * Built once per session; the write itself is part of the operator
+    * (the reference's INSERT…SELECT tier materializes the same table).
+    */
+  def partitionedQ1(s: SparkSession): DataFrame = {
+    val (factPath, dimPath) = graft.SessionCache.memo(s, "p14paths") {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_star_part_${graft.Fs.tmpTag("pipeline")}"
+      star(s).travelers.write.mode("overwrite")
+        .partitionBy("p_arrival_year", "p_arrival_month").parquet(base)
+      val dim = s"${base}_dim"
+      // the pruning filter must be a LITERAL equality — Catalyst's DPP
+      // rule only fires behind a "likely selective" dim predicate
+      s.range(1, 13)
+        .select(lit(2016).as("d_year"), col("id").cast("int").as("d_month"),
+          when(col("id") === 4, "target").otherwise("other").as("d_label"))
+        .coalesce(1).write.mode("overwrite").parquet(dim)
+      (base, dim)
+    }
+    val fact = s.read.parquet(factPath)
+    val monthDim = s.read.parquet(dimPath).filter(col("d_label") === "target")
+    val st = star(s)
+    val averages = fact
+      .join(monthDim, col("p_arrival_year") === col("d_year") &&
+        col("p_arrival_month") === col("d_month"))
+      .join(broadcast(st.airports), col("p_airport_id") === col("a_id"))
+      .join(broadcast(st.city), col("a_city_id") === col("c_id"))
+      .groupBy(col("a_city_id"))
+      .agg(avg(col("p_age")).as("avg_age"))
+      .select(col("avg_age"), col("a_city_id").as("age_city_id"))
+    averages
+      .join(broadcast(st.city), col("c_id") === col("age_city_id"))
+      .join(broadcast(st.statistics), col("s_city_id") === col("c_id"))
+      .select(col("avg_age"), col("s_median_age"), col("c_name"), col("c_state_code"))
+      .orderBy(col("s_median_age").desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_cities_prep" -> ((s: SparkSession, _: String) => stg(s).cities),
     "p02_airports_prep" -> ((s: SparkSession, _: String) => stg(s).airports),
@@ -62,7 +107,8 @@ object PipelineQueries {
       Pipeline.validationCounts(s, Some(built(s)))),
     "p11_q1" -> ((s: SparkSession, _: String) => Analytics.q1(star(s))),
     "p12_q2" -> ((s: SparkSession, _: String) => Analytics.q2(star(s))),
-    "p13_q3" -> ((s: SparkSession, _: String) => Analytics.q3(star(s))))
+    "p13_q3" -> ((s: SparkSession, _: String) => Analytics.q3(star(s))),
+    "p14_partitioned_q1" -> ((s: SparkSession, _: String) => partitionedQ1(s)))
 
   // --------------------------------------------------- DuckDB oracle SQL
 
@@ -275,5 +321,18 @@ object PipelineQueries {
          |JOIN city AS c ON t_city_id = c.c_id
          |CROSS JOIN (SELECT count(*) AS total FROM travelers)
          |WHERE t_year = '2013' AND t_month = '4'
-         |ORDER BY percent_of_total_travelers DESC""".stripMargin))
+         |ORDER BY percent_of_total_travelers DESC""".stripMargin),
+    // Q1 with the month restriction applied to the fact — the partition
+    // layout changes the Spark plan (DPP directory pruning), never the
+    // result, so the oracle is the filtered Q1
+    "p14_partitioned_q1" -> withPrelude(
+      """SELECT avg_age, s_median_age, c_name, c_state_code FROM
+        | (SELECT avg(p_age) AS avg_age, a_city_id AS age_city_id FROM travelers
+        |  JOIN airports ON p_airport_id = a_id
+        |  JOIN city ON a_city_id = c_id
+        |  WHERE p_arrival_year = 2016 AND p_arrival_month = 4
+        |  GROUP BY a_city_id) AS averages
+        | JOIN city ON c_id = age_city_id
+        | JOIN statistics ON s_city_id = c_id
+        |ORDER BY s_median_age DESC""".stripMargin))
 }

@@ -99,6 +99,16 @@ class PlanSpec extends SparkSpec {
     assert(parts.contains("dynamicpruning"), s"no dynamic pruning filter: $parts")
   }
 
+  test("p14 partitioned-star Q1 prunes the travelers fact via DPP") {
+    val df = graft.pipeline.PipelineQueries.partitionedQ1(spark)
+    df.collect() // force the partitioned write + the runtime subquery
+    val scans = allScans(df.queryExecution.executedPlan)
+    val factParts = scans.filter(_.metadata.getOrElse("Location", "").contains("graft_star_part"))
+      .map(_.metadata.getOrElse("PartitionFilters", "")).mkString
+    assert(factParts.contains("dynamicpruning"),
+      s"partitioned travelers scan carries no dynamic pruning filter: $factParts")
+  }
+
   test("bucketed aggregation runs with zero shuffle exchanges") {
     val df = Relational.bucketedAgg(spark, sfDir)
     df.collect()
