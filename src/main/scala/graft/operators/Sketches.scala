@@ -114,13 +114,54 @@ object Sketches {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** d18: Spark's built-in approximate aggregates on the ORACLE GATE.
+    * HLL++ (`approx_count_distinct`) and `approx_percentile` sketch
+    * internals cannot be replayed by another engine, so the published
+    * row is the EXACT value (independently recomputed by DuckDB) plus
+    * an explicit within-ε boolean evaluated Spark-side; the oracle
+    * emits the same exacts and literal TRUE. A sketch drifting past ε
+    * flips the boolean and fails the hash — the estimates leave
+    * test-only status and sit on the same gate as everything else.
+    * ε = 5%: 2.5σ for HLL at rsd 0.02; generous for the median at
+    * accuracy 1000 over ~25k cent values per group.
+    */
+  def approxSketchGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val eps = 0.05
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_custkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+      .repartition(col("o_custkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_distinct"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("acd"),
+        expr("percentile(cents, 0.5)").as("exact_med"),
+        expr("approx_percentile(cents, 0.5, 1000)").as("apct"))
+      .select(col("o_orderstatus"), col("exact_distinct"),
+        (abs(col("acd") - col("exact_distinct"))
+          / col("exact_distinct") <= eps).as("acd_within_eps"),
+        (abs(col("apct") - col("exact_med"))
+          / col("exact_med") <= eps).as("apct_within_eps"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a15_typed_udaf" -> (typedStatsAgg _),
+    "d18_approx_sketch_gate" -> (approxSketchGate _),
     "d06_kmv_distinct" -> (kmvDistinctCustomers _),
     "d12_count_min" -> (cmsEventCounts _),
     "e14_stream_count_min" -> (cmsEventCountsStreaming _))
 
   private val oraclesBase: Map[String, String] = Map(
+    // exact values recomputed independently; the TRUE literals are the
+    // ε-contract — Spark's sketches must agree or the hash fails
+    "d18_approx_sketch_gate" ->
+      """SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS exact_distinct,
+        |  TRUE AS acd_within_eps, TRUE AS apct_within_eps
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "a15_typed_udaf" ->
       """WITH c AS (SELECT o_orderstatus,
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
