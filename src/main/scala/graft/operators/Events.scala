@@ -639,7 +639,7 @@ object Events {
     "r02_ema_weekly" ->
       """WITH RECURSIVE s0 AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE)
-        |      - CAST(datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) % 7 AS INTEGER) AS week_start,
+        |      - CAST(((datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS INTEGER) AS week_start,
         |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
         |  FROM events GROUP BY 1),
         |series AS (SELECT ROW_NUMBER() OVER (ORDER BY week_start) AS seq, week_start, cents FROM s0),

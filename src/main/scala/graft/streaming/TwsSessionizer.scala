@@ -51,7 +51,12 @@ object TwsSessionizer {
       sorted.foreach { case (_, tsUs, cents, _) =>
         cur match {
           case Some(s) if tsUs - s.endUs <= GapUs =>
-            cur = Some(SessionState(s.n + 1, s.startUs, tsUs, s.cents + cents))
+            // min/max, not assignment: a cross-micro-batch out-of-order
+            // event inside the gap must never SHRINK the session (a
+            // shrunk end would re-arm the close timer early); kept in
+            // lockstep with StreamingOps.sessionize
+            cur = Some(SessionState(s.n + 1, math.min(s.startUs, tsUs),
+              math.max(s.endUs, tsUs), s.cents + cents))
           case Some(s) =>
             closed ::= SessionOut(user, s.n, s.startUs, s.endUs, s.cents)
             cur = Some(SessionState(1L, tsUs, tsUs, cents))

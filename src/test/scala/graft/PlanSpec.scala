@@ -278,12 +278,20 @@ class PlanSpec extends SparkSpec {
     val stats = s.sql(s"DESC EXTENDED $db.nation n_nationkey").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(stats.get("distinct_count").exists(_.toLong > 0), stats.toString)
-    // CBO reorder proof: in the optimized tree, nation joins against
-    // customer (dim side), not as the final fact-side join the SQL wrote
+    // CBO reorder proof, order-sensitive: the SQL writes nation as the
+    // FINAL join (its subtree would contain the whole fact chain); after
+    // reorder the Join node on n_nationkey must sit on the dim side —
+    // its subtree joins customer/orders but NOT the lineitem fact
     val joinOrder = "Join".r.findAllIn(optimized).size
     assert(joinOrder == 3, optimized)
-    val custIdx = optimized.indexOf("c_custkey")
-    assert(custIdx >= 0, optimized)
+    val natJoin = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.exists(_.references.exists(_.name == "n_nationkey")) => j
+    }
+    assert(natJoin.nonEmpty, optimized)
+    val natSubtree = natJoin.map(_.toString).mkString
+    assert(!natSubtree.contains("lineitem"),
+      s"nation still joins the full fact chain (no CBO reorder):\n$natSubtree")
     df.collect() // runs end-to-end
     s.sql(s"DROP DATABASE $db CASCADE")
   }
