@@ -82,13 +82,23 @@ object StreamingOps {
     * then they sit in state (exercised under controlled micro-batches in
     * StreamingSpec). The output keeps the watermarked purchase time
     * `p_t` so further stateful operators can chain on it.
+    *
+    * `viewWatermark` makes the lateness budget ASYMMETRIC — the real
+    * deployment shape when one feed lags (views batched hourly from a
+    * CDN log, purchases on time from the order service): the slow side
+    * gets a larger allowed lateness, the global watermark is the MIN
+    * across both operators, and each side's state retention follows its
+    * own bound plus the join range. A view arriving hours after the
+    * purchase stream still joins as long as it is inside the view-side
+    * budget (StreamingSpec pins this and the eviction math).
     */
   def viewPurchaseAttribution(events: DataFrame, watermark: String = "1 hour",
-                              joinType: String = "inner"): DataFrame = {
+                              joinType: String = "inner",
+                              viewWatermark: Option[String] = None): DataFrame = {
     val base = withEventTime(events)
     val views = base.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("t").as("v_t"))
-      .withWatermark("v_t", watermark)
+      .withWatermark("v_t", viewWatermark.getOrElse(watermark))
     val purchases = base.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("t").as("p_t"))
       .withWatermark("p_t", watermark)

@@ -111,6 +111,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asymmetric watermarks: a view hours behind the purchase stream still joins, then evicts") {
+    val sqlCtx = spark.sqlContext
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val events = input.toDF().toDF("event_id", "user_id", "event_type", "ts_ns")
+      .withColumn("ts", col("ts_ns"))
+      .withColumn("value", lit(0.0))
+    // purchases on time (10 min budget); views lag by hours (4 h budget)
+    val q = StreamingOps.viewPurchaseAttribution(events, watermark = "10 minutes",
+        joinType = "inner", viewWatermark = Some("4 hours"))
+      .writeStream.format("memory").queryName("ssj_asym_out").outputMode("append").start()
+    try {
+      val MinNs = 60L * 1000 * 1000 * 1000
+      val B = 10000 * MinNs
+      def rows() = spark.table("ssj_asym_out").select("purchase_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch 1: the purchase arrives on time; its view is still in flight
+      input.addData((20L, 1L, "purchase", B + 120 * MinNs))
+      q.processAllAvailable()
+      assert(rows().isEmpty, s"nothing should match yet: ${rows()}")
+      // batch 2: the view arrives a batch later with an event time 30 min
+      // before the purchase — hours behind the purchase stream's clock
+      // but inside the view side's 4 h budget AND the 1 h join range
+      input.addData((10L, 1L, "view", B + 90 * MinNs))
+      q.processAllAvailable()
+      assert(rows() == Set((20L, 10L)), s"late view failed to join: ${rows()}")
+      // batches 3+4: both sides advance ~83 h; the global watermark
+      // (min of p_t−10min, v_t−4h) sweeps far past batch 1/2 state
+      input.addData(
+        (90L, 8L, "view", B + 5000 * MinNs),
+        (91L, 8L, "purchase", B + 5000 * MinNs))
+      q.processAllAvailable()
+      // a view for user 1 whose event time is now beyond the 4 h budget:
+      // dropped at ingestion — a batch join WOULD match it to purchase 20
+      // (it is in the 1 h range), so the cutoff itself is what's pinned
+      input.addData((95L, 1L, "view", B + 100 * MinNs))
+      q.processAllAvailable()
+      input.addData(
+        (92L, 8L, "view", B + 10000 * MinNs),
+        (93L, 8L, "purchase", B + 10000 * MinNs))
+      q.processAllAvailable()
+      // batch-cutoff oracle: the same tuples inner-joined with the range
+      // predicate, minus inputs that arrived past their side's watermark
+      // (only the too-late view 95) — parity, not just spot values
+      val kept = Seq(
+        (10L, 1L, B + 90 * MinNs), (90L, 8L, B + 5000 * MinNs), (92L, 8L, B + 10000 * MinNs))
+        .toDF("view_id", "v_user", "v_ns")
+      val purch = Seq(
+        (20L, 1L, B + 120 * MinNs), (91L, 8L, B + 5000 * MinNs), (93L, 8L, B + 10000 * MinNs))
+        .toDF("purchase_id", "p_user", "p_ns")
+      val expected = purch.join(kept,
+          col("p_user") === col("v_user") && col("v_ns") <= col("p_ns") &&
+            col("v_ns") >= col("p_ns") - lit(60 * MinNs))
+        .select("purchase_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows() == expected, s"stream ${rows()} != batch-cutoff oracle $expected")
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 4, s"state not evicted: $stateRows rows buffered (8 ever seen)")
+    } finally q.stop()
+  }
+
   test("left-outer stream-stream join emits unmatched rows only past the watermark") {
     val sqlCtx = spark.sqlContext
     implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
