@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.{SessionCache, Tables}
+
+/** Data-quality reports: expectations, skew, exact moment statistics.
+  *
+  * Split out of the former monolithic Relational.scala along its
+  * section families; mixed back into [[Relational]], so every member
+  * keeps its `Relational.x` address and the query/oracle maps there.
+  */
+trait RelationalQuality extends RelationalBase {
+
+  // DQ: expectations-style data-quality report — null rate, domain
+  // violations, duplicate keys, and FK orphans, each a (check, count)
+  // row. The FK checks are anti-join counts; everything else folds into
+  // single aggregates so the whole report is a handful of passes that
+  // each scan one table once.
+  def qualityReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val orders = Tables.load(spark, dir, "orders")
+    def checkRow(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("check"), col("violations").cast(LongType),
+        col("checked").cast(LongType))
+    val scalarChecks = li.agg(
+      count(when(col("l_quantity").isNull, 1)).as("null_qty"),
+      count(when(!col("l_discount").between(0.0, 1.0), 1)).as("bad_discount"),
+      count(when(col("l_shipdate").isNull, 1)).as("null_shipdate"),
+      count(lit(1)).as("checked"))
+    val dupKeys = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(when(col("n") > 1, 1)).as("violations"), count(lit(1)).as("checked"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .crossJoin(li.agg(count(lit(1)).as("checked")))
+    checkRow("null_quantity", scalarChecks
+        .select(col("null_qty").as("violations"), col("checked")))
+      .unionAll(checkRow("discount_in_unit_range", scalarChecks
+        .select(col("bad_discount").as("violations"), col("checked"))))
+      .unionAll(checkRow("null_shipdate", scalarChecks
+        .select(col("null_shipdate").as("violations"), col("checked"))))
+      .unionAll(checkRow("unique_line_key", dupKeys))
+      .unionAll(checkRow("orderkey_fk", orphans))
+      .orderBy(col("check"))
+  }
+
+  // Moment statistics from exact sums: mean / variance / stddev derived
+  // from DECIMAL Σx and Σx² (both exact), divided as doubles — the only
+  // cross-engine-deterministic way to publish second moments (built-in
+  // stddev/var aggregate in non-deterministic float order would not
+  // hash-match any oracle). One pass, map-side combine.
+  def momentStats(spark: SparkSession, dir: String): DataFrame = {
+    val n = count(lit(1))
+    val sumDec = sum(dec(col("o_totalprice")))
+    val sumSq = sum(dec(col("o_totalprice")) * dec(col("o_totalprice")))
+    val mean = sumDec.cast(DoubleType) / n
+    // clamp: catastrophic cancellation can push a (near-)constant
+    // group's variance to a tiny negative, where DuckDB's sqrt ERRORS
+    // (killing the whole oracle query) while Spark returns NaN
+    val variance = greatest(
+      sumSq.cast(DoubleType) / n - mean * mean, lit(0.0))
+    // Σx² grows past 2^53, and the engines' wide-DECIMAL→double
+    // conversions round that last ulp differently, so the published
+    // moments are quantized far above ulp scale. floor(x·s + 0.5)/s,
+    // NOT round(): Spark's round() re-rounds via the decimal STRING
+    // (HALF_UP on the shortest representation) while DuckDB rounds the
+    // binary value — they disagree on half-boundary doubles. The
+    // floor form is pure double arithmetic, bit-identical everywhere.
+    def halfUp(c: Column, scale: Double): Column =
+      floor(c * scale + 0.5) / scale
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        n.as("n_orders"),
+        sumDec.cast(DoubleType).as("total"),
+        mean.as("mean_price"),
+        halfUp(variance, 100.0).as("var_price"),
+        halfUp(sqrt(variance), 10000.0).as("stddev_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // DQ: join-key SKEW REPORT — the pre-flight a 100 TB join runs before
+  // committing to a partitioning: per-key row counts reduced to
+  // key cardinality, max/median/p99 group sizes, the single heaviest
+  // key and its share, and the skew factor (max over mean). One
+  // hash-agg over the fact; the top key comes from a TakeOrdered
+  // (orderBy + limit 1 — no full sort), and every published double is
+  // a division of exact integers. Feeding j12's salting / j15's AQE
+  // decision with MEASURED skew instead of a guess is the operational
+  // point.
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("n"))
+    val s = g.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).cast(LongType).as("n_rows"),
+      max(col("n")).as("max_rows"),
+      expr("percentile(n, 0.5)").as("p50_rows"),
+      expr("percentile(n, 0.99)").as("p99_rows"))
+    val top = g.orderBy(col("n").desc, col("k")).limit(1)
+      .select(col("k").as("top_key"), col("n").as("top_rows"))
+    s.crossJoin(broadcast(top))
+      .select(col("n_keys"), col("n_rows"), col("max_rows"),
+        col("p50_rows"), col("p99_rows"), col("top_key"), col("top_rows"),
+        (col("top_rows").cast(DoubleType) / col("n_rows")).as("top_share"),
+        ((col("max_rows") * col("n_keys")).cast(DoubleType) / col("n_rows"))
+          .as("skew_factor"))
+  }
+}
