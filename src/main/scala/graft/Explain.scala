@@ -29,7 +29,9 @@ object Explain {
     "q23_min_cost_supplier", "q11_important_stock", "j19_lateral_topk",
     "r01_recursive_hierarchy", "d14_cc_convergent", "e18_variant_props",
     "e19_transition_matrix", "dq02_outlier_report", "d07_editdist_verify",
-    "d16_cdc_chunk_dedup", "a15_typed_udaf", "v07_ann_rerank_topk")
+    "d16_cdc_chunk_dedup", "a15_typed_udaf", "v07_ann_rerank_topk",
+    "d17_stored_incremental", "v08_ann_rerank_int8", "p14_partitioned_q1",
+    "d18_approx_sketch_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

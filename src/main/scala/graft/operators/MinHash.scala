@@ -172,22 +172,37 @@ object MinHash {
     * is the nightly signature-store refresh: O(corpus) shingling happens
     * here and ONLY here, amortized over every batch that later probes it.
     */
-  private[graft] def signatureStore(spark: SparkSession, dir: String): String =
-    graft.SessionCache.memo(spark, s"d17store:$dir") {
+  /** The session's signature DATABASE, created once per (session, dir) —
+    * dropped and recreated so stale files from dead processes can't leak
+    * into a managed-table CREATE. Each store builder owns only its TABLE
+    * inside it, so d17's store and d19's evolving store coexist.
+    */
+  private def sigDb(spark: SparkSession, dir: String): String =
+    graft.SessionCache.memo(spark, s"sigdb:$dir") {
       val db = "graft_sigs"
       val loc = s"${sys.props("java.io.tmpdir")}/graft_sigs_${graft.Fs.tmpTag(dir)}"
-      // in-memory session catalog: wipe stale files at the location so
-      // the managed-table CREATE is reproducible across processes
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
       graft.Fs.rmTree(new java.io.File(loc))
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      db
+    }
+
+  /** (doc_id, h0..h35, n_sh) — the signature-store row for a shingled
+    * (doc_id, sh) frame.
+    */
+  private def sigsWithN(shingled: DataFrame): DataFrame =
+    signatures(shingled)
+      .join(shingled.select(col("doc_id"), size(col("sh")).as("n_sh")), "doc_id")
+
+  private[graft] def signatureStore(spark: SparkSession, dir: String): String =
+    graft.SessionCache.memo(spark, s"d17store:$dir") {
+      val tbl = s"${sigDb(spark, dir)}.minhash_store"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
       val corpus = TextAnalysis.shingledDocs(spark, dir)
         .filter(col("doc_id") < IncrementalSplit)
         .select(col("doc_id"), col("sh"))
-      signatures(corpus)
-        .join(corpus.select(col("doc_id"), size(col("sh")).as("n_sh")), "doc_id")
-        .write.mode("overwrite").saveAsTable(s"$db.minhash_store")
-      s"$db.minhash_store"
+      sigsWithN(corpus).write.mode("overwrite").saveAsTable(tbl)
+      tbl
     }
 
   /** Candidate (batch_id, corpus_id) pairs where the corpus side comes
@@ -197,42 +212,50 @@ object MinHash {
     * batch side scans `documents` with the `doc_id ≥ split` predicate
     * pushed into the parquet reader (DedupSpec asserts both plan facts).
     */
-  private[graft] def storedIncrementalCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val store = spark.table(signatureStore(spark, dir))
-    val batch = batchShingled(spark, dir)
-    bandKeys(store).as("c")
+  /** Candidates of a shingled `batch` frame against a stored signature
+    * table: band keys from the STORED h-columns vs band keys of the
+    * batch's fresh signatures — the corpus side contributes a narrow
+    * parquet scan, no text read, no shingling.
+    */
+  private def storedCandidates(spark: SparkSession, storeTbl: String,
+                               batch: DataFrame): DataFrame =
+    bandKeys(spark.table(storeTbl)).as("c")
       .join(bandKeys(signatures(batch)).as("n"), col("c.band") === col("n.band"))
       .select(col("n.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
       .distinct()
-  }
 
-  /** The day's arrivals, shingled from a `doc_id ≥ split` pushed-filter
-    * scan — deliberately NOT [[TextAnalysis.shingledDocs]], which
-    * shingles the whole corpus: d17's point is that after the store
-    * exists, per-batch cost is O(batch), and a whole-corpus dependency
-    * on the batch side would silently reintroduce the O(corpus) job.
+  private[graft] def storedIncrementalCandidates(spark: SparkSession, dir: String): DataFrame =
+    storedCandidates(spark, signatureStore(spark, dir),
+      shingledRange(spark, dir, IncrementalSplit, Long.MaxValue))
+
+  /** A batch of arrivals `[lo, hi)`, shingled from a pushed-filter scan
+    * — deliberately NOT [[TextAnalysis.shingledDocs]], which shingles
+    * the whole corpus: the stored-signature queries' point is that after
+    * the store exists, per-batch cost is O(batch), and a whole-corpus
+    * dependency on the batch side would silently reintroduce the
+    * O(corpus) job.
     */
-  private def batchShingled(spark: SparkSession, dir: String): DataFrame =
-    graft.SessionCache.memo(spark, s"d17batch:$dir") {
+  private def shingledRange(spark: SparkSession, dir: String,
+                            lo: Long, hi: Long): DataFrame =
+    graft.SessionCache.memo(spark, s"d17batch:$dir:$lo:$hi") {
       graft.functions.WordShingles.register(spark)
       Tables.load(spark, dir, "documents")
-        .filter(col("doc_id") >= IncrementalSplit)
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
         .repartition(col("doc_id"))
         .filter(size(TextAnalysis.wordsOf(col("text"))) >= 3)
         .select(col("doc_id"), graft.functions.WordShingles.shingles(col("text")).as("sh"))
         .persist()
     }
 
-  /** d17: incremental near-dup against the PERSISTED store — same
-    * result (and same oracle) as d13, different physics: candidates via
-    * store-scan × batch band join, then the exact-Jaccard verify fetches
-    * shingles for CANDIDATE corpus docs only (semi-join before the
-    * shingle computation, the d07 rule), with `n_union` taken from the
-    * store's n_sh so the fetch feeds only the intersection.
+  /** Exact-Jaccard verify of store candidates: shingles are fetched for
+    * CANDIDATE corpus docs only (semi-join before the shingle
+    * computation, the d07 rule) and `n_union` takes the corpus length
+    * from the store's n_sh, so the fetch feeds only the intersection.
     */
-  def incrementalNearDupStored(spark: SparkSession, dir: String): DataFrame = {
-    val cand = storedIncrementalCandidates(spark, dir)
-    val storeN = spark.table(signatureStore(spark, dir))
+  private def verifyAgainstStore(spark: SparkSession, dir: String,
+                                 storeTbl: String, batch: DataFrame): DataFrame = {
+    val cand = storedCandidates(spark, storeTbl, batch)
+    val storeN = spark.table(storeTbl)
       .select(col("doc_id").as("corpus_id"), col("n_sh").as("nc"))
     graft.functions.WordShingles.register(spark)
     val candIds = cand.select(col("corpus_id").as("doc_id")).distinct()
@@ -240,15 +263,57 @@ object MinHash {
       .join(candIds.hint("broadcast"), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("corpus_id"),
         graft.functions.WordShingles.shingles(col("text")).as("sh_c"))
-    val batch = batchShingled(spark, dir)
+    val b = batch
       .select(col("doc_id").as("batch_id"), col("sh").as("sh_n"), size(col("sh")).as("nn"))
     val inter = size(array_intersect(col("sh_c"), col("sh_n")))
-    cand.join(corpusSh, "corpus_id").join(storeN, "corpus_id").join(batch, "batch_id")
+    cand.join(corpusSh, "corpus_id").join(storeN, "corpus_id").join(b, "batch_id")
       .select(col("batch_id"), col("corpus_id"), inter.as("n_inter"),
         (col("nc") + col("nn") - inter).as("n_union"))
       .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union"))
       .filter(col("jaccard") >= 0.5)
   }
+
+  /** d17: incremental near-dup against the PERSISTED store — same
+    * result (and same oracle) as d13, different physics: candidates via
+    * store-scan × batch band join, exact verify on candidates only.
+    */
+  def incrementalNearDupStored(spark: SparkSession, dir: String): DataFrame =
+    verifyAgainstStore(spark, dir, signatureStore(spark, dir),
+      shingledRange(spark, dir, IncrementalSplit, Long.MaxValue))
+
+  /** Day-1 / day-2 boundary for the evolving-store scenario (d19). */
+  val Day2Split = 450L
+
+  /** d19: the full multi-day ingest lifecycle — the store EVOLVES.
+    * Day 1's batch is deduped against the corpus store, then day 1's
+    * signatures are APPENDED to the store (the reference's
+    * `INSERT…SELECT` tier doing signature maintenance); day 2's batch
+    * then probes corpus + day 1. The day-2 result finding a day-1
+    * near-dup is only possible because the append happened — DedupSpec
+    * pins that witness pair. Each day's cost stays O(batch): the corpus
+    * is shingled exactly once (store build); day probes read stored
+    * columns. `localCheckpoint` materializes each day's result BEFORE
+    * the append so the lazy plan can't re-read the mutated table.
+    */
+  def evolvingStoreDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"d19:$dir") {
+      val tbl = s"${sigDb(spark, dir)}.minhash_store_evolving"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val corpus = TextAnalysis.shingledDocs(spark, dir)
+        .filter(col("doc_id") < IncrementalSplit)
+        .select(col("doc_id"), col("sh"))
+      sigsWithN(corpus).write.mode("overwrite").saveAsTable(tbl)
+      val day1 = shingledRange(spark, dir, IncrementalSplit, Day2Split)
+      val p1 = verifyAgainstStore(spark, dir, tbl, day1)
+        .withColumn("day", lit(1)).localCheckpoint()
+      sigsWithN(day1).write.mode("append").saveAsTable(tbl)
+      val day2 = shingledRange(spark, dir, Day2Split, Long.MaxValue)
+      val p2 = verifyAgainstStore(spark, dir, tbl, day2)
+        .withColumn("day", lit(2)).localCheckpoint()
+      p1.unionByName(p2)
+        .select(col("day"), col("batch_id"), col("corpus_id"),
+          col("n_inter"), col("n_union"), col("jaccard"))
+    }
 
   val LabelPropIters = 3
 
@@ -406,7 +471,8 @@ object MinHash {
     "d14_cc_convergent" -> (ccClusters _),
     "d15_leakage_safe_split" -> (leakageSafeSplit _),
     "d13_incremental_neardup" -> (incrementalNearDup _),
-    "d17_stored_incremental" -> (incrementalNearDupStored _))
+    "d17_stored_incremental" -> (incrementalNearDupStored _),
+    "d19_evolving_store" -> (evolvingStoreDedup _))
 
   // Oracle = brute force: the gate checks LSH candidate RECALL at the
   // 0.5 threshold, not only the Jaccard arithmetic.
@@ -451,7 +517,25 @@ object MinHash {
     "d13_incremental_neardup" -> incrementalOracleSql,
     // IDENTICAL oracle: the stored-signature path must produce exactly
     // the result of re-deriving both sides — the store adds no drift
-    "d17_stored_incremental" -> incrementalOracleSql)
+    "d17_stored_incremental" -> incrementalOracleSql,
+    // brute force with each day's probe range: day 1 sees only the
+    // corpus, day 2 sees corpus + day 1 — the store-evolution contract
+    "d19_evolving_store" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |s AS (SELECT doc_id,
+         |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+         |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+         |p AS (SELECT CASE WHEN n.doc_id < $Day2Split THEN 1 ELSE 2 END AS day,
+         |   n.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |   CAST(len(list_intersect(c.sh, n.sh)) AS INTEGER) AS n_inter,
+         |   CAST(len(c.sh) + len(n.sh) - len(list_intersect(c.sh, n.sh)) AS INTEGER) AS n_union
+         | FROM s c JOIN s n
+         |   ON ((n.doc_id >= $IncrementalSplit AND n.doc_id < $Day2Split AND c.doc_id < $IncrementalSplit)
+         |    OR (n.doc_id >= $Day2Split AND c.doc_id < $Day2Split))
+         | WHERE len(c.sh) > 0 AND len(n.sh) > 0)
+         |SELECT day, batch_id, corpus_id, n_inter, n_union,
+         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
+         |FROM p WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin)
 
   private def incrementalOracleSql: String =
     s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),

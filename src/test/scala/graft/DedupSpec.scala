@@ -80,6 +80,31 @@ class DedupSpec extends SparkSpec {
       "a documents scan without the batch-side doc_id pushdown means the corpus text was re-read")
   }
 
+  test("d19 evolving store equals per-day brute force and holds the appended day-1 sigs") {
+    val got = MinHash.evolvingStoreDedup(spark, sfDir)
+      .select("day", "batch_id", "corpus_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // expectation from the full-recall d04 pair graph, restricted to
+    // each day's probe range (day 1: batch vs corpus; day 2: batch vs
+    // corpus + day 1 — any cross-day pair can only surface through the
+    // signatures appended after day 1's probe; the sf0.01 gate corpus
+    // has exactly one such pair, this corpus may have none)
+    val pairs = MinHash.nearDupPairs(spark, sfDir).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (pairs ++ pairs.map(_.swap)).collect {
+      case (c, b) if b >= MinHash.IncrementalSplit && b < MinHash.Day2Split &&
+        c < MinHash.IncrementalSplit => (1, b, c)
+      case (c, b) if b >= MinHash.Day2Split && c < MinHash.Day2Split => (2, b, c)
+    }
+    assert(got == expected, s"got $got\nexpected $expected")
+    // append proof, independent of the data: after the run the evolving
+    // table holds day-1 signature rows next to the corpus rows
+    val store = spark.table("graft_sigs.minhash_store_evolving")
+    val nDay1 = store.filter(col("doc_id") >= MinHash.IncrementalSplit &&
+      col("doc_id") < MinHash.Day2Split).count()
+    assert(nDay1 > 0, "day-1 signatures were not appended to the store")
+  }
+
   test("d08 df cap drops hot-shingle pairs and bounds the candidate join") {
     import spark.implicits._
     // 40 docs that ALL share one boilerplate sentence (the hot shingles)
