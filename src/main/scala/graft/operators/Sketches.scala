@@ -128,17 +128,26 @@ object Sketches {
   def approxSketchGate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, LongType}
     val eps = 0.05
-    Tables.load(spark, dir, "orders")
+    val base = Tables.load(spark, dir, "orders")
       .select(col("o_orderstatus"), col("o_custkey"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("cents"))
       .repartition(col("o_custkey"))
+    // exact distinct via the explicit two-phase shape (a08): a
+    // countDistinct in the SAME aggregate as the percentiles would
+    // trigger the Expand-based multi-distinct plan — every row
+    // duplicated per aggregate group, the percentile buffers fed 2×
+    // the rows (measured 9 s vs 5 s for the two passes at sf0.1)
+    val exactD = base.select(col("o_orderstatus"), col("o_custkey")).distinct()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    base
       .groupBy(col("o_orderstatus"))
       .agg(
-        countDistinct(col("o_custkey")).as("exact_distinct"),
         approx_count_distinct(col("o_custkey"), 0.02).as("acd"),
         expr("percentile(cents, 0.5)").as("exact_med"),
         expr("approx_percentile(cents, 0.5, 1000)").as("apct"))
+      .join(exactD, "o_orderstatus")
       .select(col("o_orderstatus"), col("exact_distinct"),
         (abs(col("acd") - col("exact_distinct"))
           / col("exact_distinct") <= eps).as("acd_within_eps"),
