@@ -686,7 +686,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Document-frequency threshold above which a shingle counts as
+    * corpus boilerplate (t14).
+    */
+  val BoilerDf = 5
+
+  /** t14: corpus-level BOILERPLATE detection — the C4-style "flag
+    * fragments repeated across many documents" pretraining step,
+    * expressed on 3-shingles (this corpus has no line structure): a
+    * shingle appearing in ≥ [[BoilerDf]] documents is boilerplate, and
+    * each doc reports its distinct-shingle count, how many are
+    * boilerplate, and the fraction — the signal a cleaning pass uses to
+    * drop navigation chrome / cookie banners before training.
+    *
+    * Plan at 100 TB: one explode → one hash-agg for df (the d02 posting
+    * shape — the shuffle carries shingles, never documents), the
+    * boilerplate set is small by construction (power-law head) so the
+    * join back to postings broadcasts; per-doc counts are one more
+    * hash-agg. No self-joins, no windows.
+    */
+  def boilerplateDetect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingledDocs(spark, dir)
+    val posts = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val boiler = posts.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerDf)
+      .select(col("shingle"))
+    val nb = posts.join(boiler.hint("broadcast"), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      .join(nb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_pct", col("n_boiler").cast(DoubleType) / col("n_sh"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_boilerplate" -> (boilerplateDetect _),
     "d16_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "k01_token_packing" -> (tokenPacking _),
     "t11_chunk_overlap" -> (chunkOverlap _),
@@ -713,6 +749,21 @@ object TextAnalysis {
     "m01_binary_meta" -> (binaryMeta _))
 
   val oracles: Map[String, String] = Map(
+    "t14_boilerplate" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |s AS (SELECT doc_id,
+         |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+         |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+         | FROM w WHERE len(words) >= 3),
+         |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         |df AS (SELECT shingle, COUNT(*) AS df FROM p GROUP BY 1),
+         |b AS (SELECT shingle FROM df WHERE df >= $BoilerDf),
+         |nb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+         |       FROM p JOIN b USING (shingle) GROUP BY 1)
+         |SELECT s.doc_id, CAST(len(s.sh) AS INTEGER) AS n_sh,
+         |  COALESCE(nb.n_boiler, 0) AS n_boiler,
+         |  CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE) / len(s.sh) AS boiler_pct
+         |FROM s LEFT JOIN nb ON s.doc_id = nb.doc_id""".stripMargin,
     "k01_token_packing" ->
       """WITH t AS (SELECT doc_id,
         |   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens

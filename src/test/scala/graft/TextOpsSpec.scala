@@ -113,6 +113,27 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("t14 boilerplate counts equal a direct df-threshold recomputation") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.TextAnalysis.boilerplateDetect(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_sh"), r.getAs[Long]("n_boiler"), r.getAs[Double]("boiler_pct"))).toMap
+    assert(out.nonEmpty)
+    // independent recomputation from the shingle postings
+    val posts = graft.operators.TextAnalysis.shingledDocs(spark, sfDir)
+      .select(col("doc_id"), explode(col("sh")).as("s")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val df = posts.groupBy(_._2).view.mapValues(_.length).toMap
+    val boiler = df.filter(_._2 >= graft.operators.TextAnalysis.BoilerDf).keySet
+    assert(boiler.nonEmpty, "cap marks no shingle as boilerplate — threshold test is vacuous")
+    posts.groupBy(_._1).foreach { case (id, sh) =>
+      val nb = sh.count(p => boiler(p._2)).toLong
+      val (nSh, gotNb, pct) = out(id)
+      assert(nSh == sh.length && gotNb == nb, s"doc $id: got ($nSh,$gotNb) expected (${sh.length},$nb)")
+      assert(pct == nb.toDouble / sh.length, s"doc $id pct")
+    }
+  }
+
   test("t12 tf-idf: dense rank 1..5 per doc, scores consistent with tf·ln(N/df)") {
     import org.apache.spark.sql.functions._
     val out = graft.operators.TextAnalysis.tfidf(spark, sfDir).collect()
