@@ -41,7 +41,7 @@ object Ivf {
     * Rank key is cv·cv − 2·(qv·cv) — the squared distance minus the
     * per-vector constant qv·qv, which cannot change the argmin.
     */
-  private def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+  private[operators] def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val cost = LongArrayDot.dot(col("cv"), col("cv")) -
       lit(2L) * LongArrayDot.dot(col("qv"), col("cv"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cost"), col("cid"))

@@ -178,6 +178,56 @@ object VectorSearch {
     twoStageRerank(spark, dir, coarse)
   }
 
+  /** PQ geometry: 64 dims → [[PqSubspaces]] subspaces of [[PqSubDim]],
+    * [[PqK]] centroids each — codes are 8 × 4 bits = 4 bytes/vector,
+    * 64× smaller than float32.
+    */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqK = 16
+
+  /** v09: PRODUCT QUANTIZATION two-stage ANN — the real codebook path
+    * beyond v08's scalar int8: each vector's m-th 8-dim subvector is
+    * encoded as the id of its nearest trained subspace centroid
+    * ([[Ivf]]'s deterministic Lloyd machinery per subspace: integer
+    * arithmetic, lowest-vec_id seeds, argmin ties on cid), so storage
+    * is 8 nibbles/vector. Coarse scoring is symmetric-distance PQ: the
+    * cosine of the RECONSTRUCTIONS (concatenated code centroids), which
+    * is exactly what the shared two-stage skeleton scores when handed
+    * (vec_id, reconstruction, ‖recon‖²); the exact ×4096 re-rank then
+    * restores precision on the 50-candidate short list. The oracle
+    * replays the entire pipeline — 8 subspace trainings, encoding,
+    * reconstruction, both stages — so the gate verifies the trained
+    * codebooks, not just the final cosine.
+    *
+    * At 100 TB: codebooks are 8×16 tiny rows (broadcast), encoding is
+    * one broadcast-join pass per subspace, and the RAM-resident index
+    * is 4 bytes/vector + the LUT trick at query time; training runs on
+    * a sample exactly as v06 does for IVF.
+    */
+  def annRerankPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = CosineLsh.quantized(spark, dir)
+    val coarse = graft.SessionCache.memo(spark, s"pqRecon:$dir") {
+      val recon = (0 until PqSubspaces).map { m =>
+        val sub = emb.select(col("vec_id"),
+          slice(col("qv"), m * PqSubDim + 1, PqSubDim).as("qv"))
+        val codebook = graft.SessionCache.memo(spark, s"pqCodebook:$dir:$m") {
+          Ivf.centroidsOn(sub, col("vec_id") < PqK).persist()
+        }
+        Ivf.assign(sub, codebook)
+          .select(col("vec_id"), col("cid"))
+          .join(broadcast(codebook), "cid")
+          .select(col("vec_id"), col("cv").as(s"sub$m"))
+      }.reduce(_.join(_, "vec_id"))
+      recon.select(col("vec_id"),
+          concat((0 until PqSubspaces).map(m => col(s"sub$m")): _*).as("cv"))
+        .withColumn("c2", inorm2(col("cv")))
+        .filter(col("c2") > 0)
+        .persist()
+    }
+    twoStageRerank(spark, dir, coarse)
+  }
+
   /** Shared two-stage skeleton: `coarse` supplies (vec_id, cv, c2)
     * low-precision codes for the candidate cut; the exact stage always
     * re-ranks the short list with the ×4096 full-precision codes.
@@ -217,12 +267,76 @@ object VectorSearch {
     "v01_ann_bruteforce_topk" -> (annBruteForce _),
     "v07_ann_rerank_topk" -> (annRerank _),
     "v08_ann_rerank_int8" -> (annRerankInt8 _),
+    "v09_ann_rerank_pq" -> (annRerankPq _),
     "v05_label_centroids" -> (labelCentroids _),
     "x18_higher_order" -> (higherOrderOps _),
     "d03_dedup_embedding" -> (dedupEmbedding _))
 
   private val qexpr = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4096) AS BIGINT))"
   private val cexpr = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 16) AS BIGINT))"
+
+  private def pqDot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) AS BIGINT)"
+
+  /** One Lloyd iteration for subspace `m` (mirrors Ivf.iterSql with a
+    * per-subspace CTE prefix).
+    */
+  private def pqIterSql(m: Int, i: Int): String =
+    s"""m${m}a$i AS (SELECT vec_id, qv, cid FROM (
+       |  SELECT s$m.vec_id, s$m.qv, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY s$m.vec_id ORDER BY
+       |      ${pqDot("c.cv", "c.cv")} - 2 * ${pqDot(s"s$m.qv", "c.cv")}, c.cid) AS rn
+       |  FROM s$m, m${m}c${i - 1} c) WHERE rn = 1),
+       |m${m}c$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+       |  SELECT cid, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS m FROM (
+       |    SELECT cid, i AS pos, qv[i] AS v FROM m${m}a$i, unnest(range(1, len(qv)+1)) AS u(i))
+       |  GROUP BY cid, pos) GROUP BY cid)""".stripMargin
+
+  /** Full PQ replay: per-subspace training + encoding + reconstruction,
+    * then the shared two-stage coarse-cut/exact-re-rank SQL.
+    */
+  private def pqOracleSql: String = {
+    val iters = Ivf.KMeansIters
+    val perSub = (0 until PqSubspaces).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      val cFinal = s"m${m}c$iters"
+      s"""s$m AS (SELECT vec_id, qv[$lo:$hi] AS qv FROM e),
+         |m${m}c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cv FROM s$m WHERE vec_id < $PqK),
+         |${(1 to iters).map(pqIterSql(m, _)).mkString(",\n")},
+         |m${m}e AS (SELECT vec_id, cid FROM (
+         |  SELECT s$m.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY s$m.vec_id ORDER BY
+         |      ${pqDot("c.cv", "c.cv")} - 2 * ${pqDot(s"s$m.qv", "c.cv")}, c.cid) AS rn
+         |  FROM s$m, $cFinal c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val reconJoins = (0 until PqSubspaces).map { m =>
+      val e = s"m${m}e"
+      val c = s"m${m}c$iters"
+      if (m == 0) s"$e JOIN $c ON $c.cid = $e.cid"
+      else s"JOIN $e ON $e.vec_id = m0e.vec_id JOIN $c ON $c.cid = $e.cid"
+    }.mkString("\n  ")
+    val reconCv = (0 until PqSubspaces).map(m => s"m${m}c$iters.cv").mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv, ${pqDot("qv", "qv")} AS n2 FROM e),
+       |$perSub,
+       |recon AS (SELECT m0e.vec_id, $reconCv AS cv FROM $reconJoins),
+       |c AS (SELECT vec_id, cv, ${pqDot("cv", "cv")} AS c2 FROM recon
+       |      WHERE ${pqDot("cv", "cv")} > 0),
+       |p AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |   CAST(${pqDot("q.cv", "d.cv")} AS DOUBLE)
+       |     / (sqrt(CAST(q.c2 AS DOUBLE)) * sqrt(CAST(d.c2 AS DOUBLE))) AS coarse_sim
+       | FROM c q JOIN c d ON q.vec_id < 10 AND d.vec_id <> q.vec_id),
+       |k AS (SELECT query_id, neighbor_id FROM
+       |   (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY coarse_sim DESC, neighbor_id) AS crk FROM p)
+       |   WHERE crk <= $RerankCoarseK),
+       |x AS (SELECT k.query_id, k.neighbor_id,
+       |   CAST(${pqDot("q.qv", "d.qv")} AS DOUBLE)
+       |     / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(d.n2 AS DOUBLE))) AS sim
+       | FROM k JOIN n q ON q.vec_id = k.query_id JOIN n d ON d.vec_id = k.neighbor_id),
+       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM x)
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // index-based list math — different formulation, same integer
@@ -280,6 +394,9 @@ object VectorSearch {
          | FROM k JOIN n q ON q.vec_id = k.query_id JOIN n d ON d.vec_id = k.neighbor_id),
          |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM x)
          |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    // the ENTIRE PQ pipeline replayed: 8 subspace k-means trainings,
+    // encoding, reconstruction, then the shared two-stage SQL
+    "v09_ann_rerank_pq" -> pqOracleSql,
     // int8 encode replayed exactly: max-abs scale, round(x·127/maxabs),
     // then the same coarse-cut + exact-re-rank pipeline as v07's oracle
     "v08_ann_rerank_int8" ->

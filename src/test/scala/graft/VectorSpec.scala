@@ -112,6 +112,20 @@ class VectorSpec extends SparkSpec {
     assert(r8 >= 0.9, s"int8 recall $r8 below floor")
   }
 
+  test("v09 PQ codes clear a 0.65 recall floor at 64x the compression of int8") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(VectorSearch.annBruteForce(spark, sfDir))
+    val v9 = (pairs(VectorSearch.annRerankPq(spark, sfDir)) & truth).size.toDouble / truth.size
+    // the compression/recall ladder at the same 50-candidate budget:
+    // v07 x16 scalar (512 B/vec) ~0.9+, v08 int8 (64 B) ~1.0,
+    // v09 PQ 8x16 codebooks (4 B) measured 0.72 — each tier trades
+    // coarse-stage fidelity for index residency; the floor pins that
+    // codebook training hasn't regressed, not parity with finer codes
+    assert(v9 >= 0.65, s"PQ recall $v9 below floor")
+  }
+
   test("ANN brute-force top-k returns k neighbors per query, ranked") {
     val topk = VectorSearch.annBruteForce(spark, sfDir).collect()
     val byQuery = topk.groupBy(_.getLong(0))
