@@ -31,7 +31,8 @@ object Explain {
     "e19_transition_matrix", "dq02_outlier_report", "d07_editdist_verify",
     "d16_cdc_chunk_dedup", "a15_typed_udaf", "v07_ann_rerank_topk",
     "d17_stored_incremental", "v08_ann_rerank_int8", "p14_partitioned_q1",
-    "d18_approx_sketch_gate", "d19_evolving_store", "t14_boilerplate")
+    "d18_approx_sketch_gate", "d19_evolving_store", "t14_boilerplate",
+    "v09_ann_rerank_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
