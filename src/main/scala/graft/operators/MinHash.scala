@@ -190,7 +190,7 @@ object MinHash {
   /** (doc_id, h0..h35, n_sh) — the signature-store row for a shingled
     * (doc_id, sh) frame.
     */
-  private def sigsWithN(shingled: DataFrame): DataFrame =
+  private[graft] def sigsWithN(shingled: DataFrame): DataFrame =
     signatures(shingled)
       .join(shingled.select(col("doc_id"), size(col("sh")).as("n_sh")), "doc_id")
 
@@ -219,7 +219,14 @@ object MinHash {
     */
   private def storedCandidates(spark: SparkSession, storeTbl: String,
                                batch: DataFrame): DataFrame =
-    bandKeys(spark.table(storeTbl)).as("c")
+    bandCandidates(spark.table(storeTbl), batch)
+
+  /** Band-key candidates of a shingled `batch` against ANY signature
+    * frame (stored table or a stream's running store) — shared by the
+    * batch queries and the streaming maintenance test.
+    */
+  private[graft] def bandCandidates(store: DataFrame, batch: DataFrame): DataFrame =
+    bandKeys(store).as("c")
       .join(bandKeys(signatures(batch)).as("n"), col("c.band") === col("n.band"))
       .select(col("n.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
       .distinct()

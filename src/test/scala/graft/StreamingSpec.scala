@@ -355,6 +355,49 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(s.table("hourly_rocks"), batch)
   }
 
+  test("foreachBatch maintains the signature store: later batches match earlier docs") {
+    val sqlCtx = spark.sqlContext
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import spark.implicits._
+    import graft.operators.MinHash
+    graft.functions.WordShingles.register(spark)
+    val store = s"${sys.props("java.io.tmpdir")}/graft_stream_store_${graft.Fs.tmpTag("spec")}"
+    graft.Fs.rmTree(new java.io.File(store))
+    // seed: one unrelated corpus doc, so every batch probes a real store
+    def shingled(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), graft.functions.WordShingles.shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+    MinHash.sigsWithN(shingled(Seq((1L, "totally unrelated corpus text about storage engines"))
+      .toDF("doc_id", "text"))).write.mode("overwrite").parquet(store)
+    val matches = scala.collection.mutable.Set.empty[(Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the d19 lifecycle, streamed: probe against the CURRENT store,
+        // then append this batch's signatures for the batches after it
+        val sh = shingled(batch).persist()
+        matches ++= MinHash.bandCandidates(spark.read.parquet(store), sh)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        MinHash.sigsWithN(sh).write.mode("append").parquet(store)
+        sh.unpersist(); ()
+      }
+      .start()
+    try {
+      val textA = "the quick brown fox jumps over the lazy dog near the riverbank every morning"
+      input.addData((100L, textA))
+      q.processAllAvailable()
+      // batch B: a near-copy of batch A's doc — it can only match doc
+      // 100 through the signatures batch A appended to the store
+      input.addData((200L, textA + " extra"))
+      q.processAllAvailable()
+      assert(matches.contains((200L, 100L)),
+        s"batch-B doc failed to match the batch-A doc via the store: $matches")
+      assert(matches.forall(_._2 != 1L), s"unrelated seed doc matched: $matches")
+      val ids = spark.read.parquet(store).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 100L, 200L), s"store contents wrong: $ids")
+    } finally q.stop()
+  }
+
   test("restart from checkpoint resumes the source offset exactly-once") {
     // the recovery contract a production pipeline actually relies on:
     // run 1 commits batch-1 files through the sink's _spark_metadata
