@@ -721,8 +721,35 @@ object TextAnalysis {
       .withColumn("boiler_pct", col("n_boiler").cast(DoubleType) / col("n_sh"))
   }
 
+  /** t16: data-MIXTURE reweighting — the pretraining step that turns a
+    * skewed raw corpus into a target source mix: with a UNIFORM target
+    * share per lang (the sources here), each doc gets sampling weight
+    * target_share / actual_share, so expected post-sampling mass per
+    * source is equal. One hash-agg for the per-source counts + a
+    * broadcast join back — at 100 TB the counts frame is source-
+    * cardinality rows, never documents. All published numbers are
+    * divisions of exact integers (doc counts), bit-identical across
+    * engines; token-weighted variants swap count(*) for the t01 token
+    * sum, same plan.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val total = d.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("lang")).as("n_langs"))
+    val bySrc = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    d.select(col("doc_id"), col("lang"))
+      .join(broadcast(bySrc), "lang")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("lang"), col("n_docs"),
+        (col("n_docs").cast(DoubleType) / col("n_total")).as("actual_share"),
+        (lit(1.0) / col("n_langs")).as("target_share"))
+      .withColumn("weight",
+        col("target_share") / col("actual_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t14_boilerplate" -> (boilerplateDetect _),
+    "t16_mixture_weights" -> (mixtureWeights _),
     "d16_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "k01_token_packing" -> (tokenPacking _),
     "t11_chunk_overlap" -> (chunkOverlap _),
@@ -749,6 +776,14 @@ object TextAnalysis {
     "m01_binary_meta" -> (binaryMeta _))
 
   val oracles: Map[String, String] = Map(
+    "t16_mixture_weights" ->
+      """WITH t AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT lang) AS n_langs FROM documents),
+        |s AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.lang, s.n_docs,
+        |  CAST(s.n_docs AS DOUBLE) / n_total AS actual_share,
+        |  CAST(1 AS DOUBLE) / n_langs AS target_share,
+        |  (CAST(1 AS DOUBLE) / n_langs) / (CAST(s.n_docs AS DOUBLE) / n_total) AS weight
+        |FROM documents d JOIN s USING (lang) CROSS JOIN t""".stripMargin,
     "t14_boilerplate" ->
       s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
          |s AS (SELECT doc_id,

@@ -134,6 +134,20 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("t16 mixture weights equalize expected post-sampling mass across sources") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.TextAnalysis.mixtureWeights(spark, sfDir).collect()
+    val n = out.length.toDouble
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    assert(byLang.size > 1, "single source — mixing test is vacuous")
+    val expectedMass = n / byLang.size
+    byLang.foreach { case (lang, rows) =>
+      val mass = rows.map(_.getAs[Double]("weight")).sum
+      assert(math.abs(mass - expectedMass) < 1e-6 * expectedMass,
+        s"$lang mass $mass != $expectedMass")
+    }
+  }
+
   test("t12 tf-idf: dense rank 1..5 per doc, scores consistent with tf·ln(N/df)") {
     import org.apache.spark.sql.functions._
     val out = graft.operators.TextAnalysis.tfidf(spark, sfDir).collect()
