@@ -3,7 +3,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs every SparkEntry query at SPARK_GRAFT_SF_DIR and
-  * prints one JSON line with per-query seconds.
+  * prints one JSON line with headline per-query seconds.
   *
   * Materialization: `count()` lets Catalyst prune every projection-only
   * column (a string-ops query would time a near-empty plan), so each
@@ -15,22 +15,32 @@ import org.apache.spark.sql.functions._
   * `failed` and the process exits non-zero so a broken query can't
   * masquerade as a fast one.
   *
+  * Output budget (rounds 1-5 lesson: the harness keeps only the LAST
+  * 2 KB of stdout, and a 184-query map is ~3 KB — every round's stdout
+  * JSON was truncated mid-line and unparseable): stdout now carries ONE
+  * compact line that fits the capture window even with sbt's trailing
+  * "[success]" line — headline q/p-series per-query seconds, per-family
+  * totals, the slowest queries by name, and the contention diagnostics.
+  * The full-fidelity record (every query's wall AND cpu seconds, both
+  * runs of every re-run) goes to bench_full.json in the cwd (committed
+  * with the round) and target/bench.json.
+  *
   * Self-diagnosis (round-4 lesson: a contended host produced a 4×-inflated
   * artifact that was indistinguishable from a plan regression):
   *   - per-query PROCESS CPU seconds are recorded next to wall seconds
   *     (local-mode executors are in-process threads, so process CPU covers
   *     the whole query). On a contended machine wall inflates while CPU
   *     stays at the plan's intrinsic cost, so cpu/wall exposes stolen time.
-  *   - any query whose first wall time exceeds 5× the round median is
-  *     re-run once; the REPORTED value is the min of the two runs (the
-  *     better estimate of intrinsic cost) and both runs are preserved in
-  *     `reruns` so the correction is auditable.
+  *   - a slow query (wall > 5× the median over successful queries) whose
+  *     cpu/wall ratio is ALSO low (< 1.5 on a 32-core host — the plan was
+  *     not actually using the cores it was billed for) is re-run once as a
+  *     DIAGNOSTIC. The REPORTED value stays the first run (round-5 lesson:
+  *     many queries memoize session state, so a re-run measures a warm
+  *     cache, not intrinsic cost); both runs land in `reruns` so a reader
+  *     can tell environment noise (rerun ≪ first) from real plan cost.
   *   - the JSON carries wall-clock `started_at`/`ended_at` stamps so a
   *     degraded window can be correlated with host telemetry after the
   *     fact.
-  * Stdout stays within the driver's 4 KB tail-capture: per-query CPU lives
-  * only in target/bench.json (full-fidelity); stdout carries the aggregate
-  * cpu_sec / cpu_wall_ratio plus the (normally empty) reruns map.
   */
 object Bench {
   def forceAll(df: DataFrame): Unit = {
@@ -101,17 +111,21 @@ object Bench {
     }
     val failed = firstPass.collect { case (n, _, t) if !t.ok => n }
 
-    // Outlier re-run: wall times on a healthy host cluster tightly; a
-    // single value 5× past the median is either a genuinely expensive
-    // plan (the re-run will reproduce it) or stolen CPU (it won't).
-    val walls = firstPass.map(_._3.wallSec).sorted
-    val median = if (walls.isEmpty) 0.0 else walls(walls.size / 2)
-    val rerunThreshold = math.max(5.0 * median, 2.0)
+    // Diagnostic re-run: wall times on a healthy host cluster tightly.
+    // A value 5× past the (successful-queries) median with a LOW cpu/wall
+    // ratio means the process was billed wall time it didn't compute
+    // through — stolen CPU. A genuinely expensive plan keeps the cores
+    // busy (cpu/wall well above 1.5 at local[32]) and is NOT re-run; a
+    // session-memoized build re-run would only measure its warm cache
+    // anyway, which is why the re-run never replaces the reported value.
+    val okWalls = firstPass.collect { case (_, _, t) if t.ok => t.wallSec }.sorted
+    val median = if (okWalls.isEmpty) 0.0 else okWalls(okWalls.size / 2)
+    val rerunThreshold = math.max(5.0 * median, 5.0)
     val results = firstPass.map { case (name, fn, t1) =>
-      if (t1.ok && t1.wallSec > rerunThreshold) {
+      val cpuWall = if (t1.wallSec > 0) t1.cpuSec / t1.wallSec else 0.0
+      if (t1.ok && t1.wallSec > rerunThreshold && cpuWall < 1.5) {
         val t2 = timeOne(name, fn)
-        val best = if (t2.ok && t2.wallSec < t1.wallSec) t2 else t1
-        (name, best, Some((t1.wallSec, t2.wallSec)))
+        (name, t1, Some((t1.wallSec, t2.wallSec)))
       } else (name, t1, None)
     }
 
@@ -120,44 +134,73 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val totalWall = results.map(_._2.wallSec).sum
     val totalCpu = results.map(_._2.cpuSec).sum
-    def jsonLine(num: Double => String, key: String => String, perQueryCpu: Boolean): String = {
-      val qs = results.map { case (k, t, _) => "\"" + key(k) + "\":" + num(t.wallSec) }
-        .mkString("{", ",", "}")
-      val failedJson = failed.sorted.map("\"" + key(_) + "\"").mkString("[", ",", "]")
-      val warmedJson = warmed.map("\"" + key(_) + "\"").mkString("[", ",", "]")
-      val rerunsJson = results.collect { case (k, _, Some((a, b))) =>
-        "\"" + key(k) + "\":[" + num(a) + "," + num(b) + "]"
-      }.mkString("{", ",", "}")
-      val cpuMap = if (!perQueryCpu) "" else
-        results.map { case (k, t, _) => "\"" + key(k) + "\":" + num(t.cpuSec) }
-          .mkString(""""cpu":{""", ",", "},")
-      s"""{"metric":"total","value":${num(totalWall)},"unit":"sec","queries":$qs,""" +
-        cpuMap +
-        s""""failed":$failedJson,"warmed":$warmedJson,"warmup_sec":${num(warmupSec)},""" +
-        s""""cpu_sec":${num(totalCpu)},"cpu_wall_ratio":${num(if (totalWall > 0) totalCpu / totalWall else 0)},""" +
-        s""""reruns":$rerunsJson,"started_at":"$startedAt","ended_at":"$endedAt","sf":"$sfDir"}"""
-    }
-    // stdout gets millisecond-rounded timings keyed by the unique id
-    // prefix (q01, d02, …): the driver captures only the LAST 4 KB of
-    // output, and at 141 queries even rounded full names hit 3.9 KB —
-    // one more round of queries would truncate the line again. Short
-    // keys hold ~1.7 KB; full names live in target/bench.json.
-    // guard: if two names ever collide on the prefix, fall back to full
-    // names rather than silently dropping a timing in the JSON map
+    val ratio = if (totalWall > 0) totalCpu / totalWall else 0.0
+
+    // stdout keys use the unique id prefix (q01, d02, …); full names live
+    // in bench_full.json. guard: if two names ever collide on the prefix,
+    // fall back to full names rather than silently dropping a timing
     val prefixes = results.map(_._1.takeWhile(_ != '_'))
     val shortKey: String => String =
       if (prefixes.distinct.size == prefixes.size) _.takeWhile(_ != '_') else identity
-    println(jsonLine(fmt, shortKey, perQueryCpu = false))
-    // the file keeps full precision and survives any log truncation.
+
+    def jmap(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jarr(entries: Seq[String]): String =
+      entries.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    // Compact stdout record — MUST stay under ~1.8 KB (see scaladoc).
+    // Headline per-query values: the reference workload (q-/p-series);
+    // everything else is summarized as per-family totals + slowest-8.
+    val headline = results.filter { case (n, _, _) =>
+      n.startsWith("q") || n.startsWith("p")
+    }
+    val famTotals = results
+      .groupBy { case (n, _, _) => n.takeWhile(!_.isDigit) }
+      .toSeq.sortBy(_._1)
+      .map { case (fam, rs) => fam -> fmt(rs.map(_._2.wallSec).sum) }
+    val slowest = results.sortBy(-_._2.wallSec).take(8)
+      .map { case (n, t, _) => shortKey(n) -> fmt(t.wallSec) }
+    val rerunsCompact = results.collect { case (n, _, Some((a, b))) =>
+      shortKey(n) -> s"[${fmt(a)},${fmt(b)}]"
+    }
+    val compact =
+      s"""{"metric":"total","value":${fmt(totalWall)},"unit":"sec","sf":"$sfDir",""" +
+        s""""n_queries":${results.size},""" +
+        s""""queries":${jmap(headline.map { case (n, t, _) => shortKey(n) -> fmt(t.wallSec) })},""" +
+        s""""families":${jmap(famTotals)},""" +
+        s""""slowest":${jmap(slowest)},""" +
+        s""""failed":${jarr(failed.sorted.map(shortKey))},""" +
+        s""""warmup_sec":${fmt(warmupSec)},"cpu_sec":${fmt(totalCpu)},""" +
+        s""""cpu_wall_ratio":${fmt(ratio)},"n_reruns":${rerunsCompact.size},""" +
+        s""""started_at":"$startedAt","ended_at":"$endedAt","detail":"bench_full.json"}"""
+
+    // Full-fidelity record: every query's wall and cpu seconds, the
+    // diagnostic reruns (both runs), and the same aggregates.
+    val full =
+      s"""{"metric":"total","value":${fmt(totalWall)},"unit":"sec","sf":"$sfDir",""" +
+        s""""queries":${jmap(results.map { case (n, t, _) => n -> fmt(t.wallSec) })},""" +
+        s""""cpu":${jmap(results.map { case (n, t, _) => n -> fmt(t.cpuSec) })},""" +
+        s""""failed":${jarr(failed.sorted)},"warmed":${jarr(warmed)},""" +
+        s""""warmup_sec":${fmt(warmupSec)},"cpu_sec":${fmt(totalCpu)},""" +
+        s""""cpu_wall_ratio":${fmt(ratio)},""" +
+        s""""reruns":${jmap(results.collect { case (n, _, Some((a, b))) => n -> s"[${fmt(a)},${fmt(b)}]" })},""" +
+        s""""started_at":"$startedAt","ended_at":"$endedAt"}"""
+
+    // the files keep full detail and survive any log truncation.
     // Best-effort: a non-writable cwd must not fail a bench whose
     // queries all passed.
-    try {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"),
-        jsonLine(_.toString, identity, perQueryCpu = true) + "\n")
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    for (p <- Seq("bench_full.json", "target/bench.json")) {
+      try {
+        Option(java.nio.file.Paths.get(p).getParent)
+          .foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full + "\n")
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
+    // the compact line goes LAST so the harness's tail capture always
+    // contains it whole
+    println(compact)
     SessionCache.clear(spark)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

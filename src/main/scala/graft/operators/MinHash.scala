@@ -175,11 +175,14 @@ object MinHash {
   /** The session's signature DATABASE, created once per (session, dir) —
     * dropped and recreated so stale files from dead processes can't leak
     * into a managed-table CREATE. Each store builder owns only its TABLE
-    * inside it, so d17's store and d19's evolving store coexist.
+    * inside it, so d17's store and d19's evolving store coexist. The
+    * database NAME is per-dir (not a global constant): the drop/recreate
+    * for a second data dir in the same session must not tear down the
+    * first dir's tables while their memoized names are still live.
     */
   private def sigDb(spark: SparkSession, dir: String): String =
     graft.SessionCache.memo(spark, s"sigdb:$dir") {
-      val db = "graft_sigs"
+      val db = s"graft_sigs_${graft.Fs.tmpTag(dir)}"
       val loc = s"${sys.props("java.io.tmpdir")}/graft_sigs_${graft.Fs.tmpTag(dir)}"
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
       graft.Fs.rmTree(new java.io.File(loc))
@@ -302,9 +305,14 @@ object MinHash {
     * columns. `localCheckpoint` materializes each day's result BEFORE
     * the append so the lazy plan can't re-read the mutated table.
     */
+  /** The evolving store's fully-qualified table name — the database part
+    * is per-(dir, pid), so tests must resolve it here, not hardcode it. */
+  private[graft] def evolvingStoreTable(spark: SparkSession, dir: String): String =
+    s"${sigDb(spark, dir)}.minhash_store_evolving"
+
   def evolvingStoreDedup(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.memo(spark, s"d19:$dir") {
-      val tbl = s"${sigDb(spark, dir)}.minhash_store_evolving"
+      val tbl = evolvingStoreTable(spark, dir)
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       val corpus = TextAnalysis.shingledDocs(spark, dir)
         .filter(col("doc_id") < IncrementalSplit)

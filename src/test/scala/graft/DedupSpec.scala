@@ -99,7 +99,7 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, s"got $got\nexpected $expected")
     // append proof, independent of the data: after the run the evolving
     // table holds day-1 signature rows next to the corpus rows
-    val store = spark.table("graft_sigs.minhash_store_evolving")
+    val store = spark.table(MinHash.evolvingStoreTable(spark, sfDir))
     val nDay1 = store.filter(col("doc_id") >= MinHash.IncrementalSplit &&
       col("doc_id") < MinHash.Day2Split).count()
     assert(nDay1 > 0, "day-1 signatures were not appended to the store")
