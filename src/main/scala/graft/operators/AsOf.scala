@@ -66,9 +66,10 @@ object AsOf {
     * to mirror DuckDB's native ASOF JOIN, which is the oracle.
     */
   def eventsAsOfOrders(spark: SparkSession, dir: String): DataFrame = {
-    val events = Tables.load(spark, dir, "events")
+    val eventsRaw = Tables.load(spark, dir, "events")
+    val events = eventsRaw
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("t_us"))
+        Tables.tsUs(eventsRaw).as("t_us"))
     val orders = Tables.load(spark, dir, "orders")
       .groupBy(col("o_custkey").as("user_id"),
         // NTZ → TZ cast is identity under the UTC session timezone
@@ -90,8 +91,9 @@ object AsOf {
     */
   def eventPairsWithinMinute(spark: SparkSession, dir: String): DataFrame = {
     val BandUs = 60L * 1000 * 1000
-    val ev = Tables.load(spark, dir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t_us"))
+    val evRaw = Tables.load(spark, dir, "events")
+    val ev = evRaw
+      .select(col("event_id"), col("user_id"), Tables.tsUs(evRaw).as("t_us"))
       .withColumn("bucket", expr(s"t_us div $BandUs"))
     val a = ev.select(col("user_id"), col("event_id").as("id_a"),
       col("t_us").as("t_a"), col("bucket"))

@@ -38,10 +38,12 @@ object Events {
       Tables.load(spark, dir, "events").repartition(col("user_id")).persist()
     }
 
-  /** events with `ts_us`: exact integer microseconds (SQL `div`, not
-    * `/` — double division corrupts 1.7e18-scale nanos). */
-  private[operators] def eventsUs(spark: SparkSession, dir: String): DataFrame =
-    eventsBase(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+  /** events with `ts_us`: exact integer microseconds whichever physical
+    * type the parquet carries (see [[graft.Tables.tsUs]]). */
+  private[operators] def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    val base = eventsBase(spark, dir)
+    base.withColumn("ts_us", Tables.tsUs(base))
+  }
 
   /** The events table as a file-based stream (the file source wants a
     * directory basePath; the testdata table is a single parquet file, so
@@ -50,6 +52,24 @@ object Events {
     val path = Tables.path(dir, "events")
     val schema = spark.read.parquet(path).schema
     spark.readStream.schema(schema).option("basePath", dir).parquet(s"$path*")
+  }
+
+  /** Child session for a streaming run: isolated SQLConf, so the
+    * shuffle-partition override cannot escape into the caller's session
+    * and silently re-plan queries compiled there. The child's SQLConf
+    * does NOT inherit the parent's session-level settings (since Spark
+    * 3.4 the builder keeps SQL confs session-scoped, out of the shared
+    * SparkConf), so the entries the streaming plans depend on are copied
+    * across explicitly — without nanosAsLong the child infers the events
+    * `ts` as TIMESTAMP_NTZ and every `ts div 1000` plan breaks.
+    */
+  private def childSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    for (k <- Seq("spark.sql.legacy.parquet.nanosAsLong",
+                  "spark.sql.session.timeZone"))
+      spark.conf.getOption(k).foreach(s.conf.set(k, _))
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
   }
 
   /** Run a streaming plan to completion with Trigger.AvailableNow into a
@@ -67,14 +87,7 @@ object Events {
   private[operators] def runAvailableNow(spark: SparkSession, build: SparkSession => DataFrame,
                               sinkName: String, mode: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    // The override must not touch the CALLER's conf: shuffle.partitions
-    // is session-global, so setting it around the start would silently
-    // re-plan any query compiled concurrently in the same session. Plan
-    // the stream on a child session instead — shared SparkContext (and
-    // thus the same spark.sql.* builder conf: extensions, UTC timezone,
-    // nanosAsLong), isolated SQLConf, so the override cannot escape.
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val s = childSession(spark)
     val q = build(s).writeStream.format("memory").queryName(sinkName)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -229,6 +242,17 @@ object Events {
         s"e10_mem_${Integer.toHexString(dir.hashCode)}", "append")
       .orderBy(col("hour_start"))
 
+  // E: streaming dedup/rate-limit as a GATED query — one event per
+  // (user, type, clock-hour) via dropDuplicatesWithinWatermark
+  // ([[graft.streaming.StreamingOps.rateLimitDedup]]); append mode
+  // emits each first sighting immediately, so the AvailableNow replay
+  // equals the batch DISTINCT the oracle computes.
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(spark,
+        s => graft.streaming.StreamingOps.rateLimitDedup(eventsStream(s, dir)),
+        s"e20_mem_${Integer.toHexString(dir.hashCode)}", "append")
+      .orderBy(col("user_id"), col("event_type"), col("hour_start"))
+
   // E: foreachBatch incremental upsert — the streaming SINK-maintenance
   // pattern: each micro-batch folds into a persistent per-user summary
   // table (latest event + running totals) instead of a memory sink.
@@ -265,7 +289,7 @@ object Events {
       col("user_id"),
       lit(1L).as("n_events"),
       col("value").cast(DecimalType(18, 2)).as("total_dec"),
-      expr("ts div 1000").as("last_ts_us"),
+      Tables.tsUs(events).as("last_ts_us"),
       col("event_id").as("last_event_id"),
       col("event_type").as("last_event_type"))
 
@@ -311,8 +335,7 @@ object Events {
     import org.apache.spark.sql.streaming.Trigger
     val base = s"${sys.props("java.io.tmpdir")}/graft_e16_${graft.Fs.tmpTag(dir)}"
     graft.Fs.rmTree(new java.io.File(base))
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val s = childSession(spark)
     val q = eventsStream(s, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("value"))
@@ -334,8 +357,7 @@ object Events {
   def incrementalUpsert(spark: SparkSession, dir: String): DataFrame = {
     val stateBase =
       s"${sys.props("java.io.tmpdir")}/graft_e13_state_${graft.Fs.tmpTag(dir)}"
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val s = childSession(spark)
     runIncrementalUpsert(eventsStream(s, dir), stateBase)
       .select(
         col("user_id"), col("n_events"),
@@ -551,7 +573,8 @@ object Events {
     "e13_incremental_upsert" -> (incrementalUpsert _),
     "e15_gap_fill" -> (gapFill _),
     "e16_stream_file_sink" -> (streamFileSink _),
-    "e17_stream_session" -> (streamSessionWindows _))
+    "e17_stream_session" -> (streamSessionWindows _),
+    "e20_stream_dedup" -> (streamDedup _))
 
   val oracles: Map[String, String] = Map(
     // what the committed sink files must aggregate to: the batch twin
@@ -705,6 +728,11 @@ object Events {
         |  CAST(COALESCE(n, 0) AS BIGINT) AS n_events
         |FROM grid LEFT JOIN counts ON grid.h = counts.h AND grid.event_type = counts.event_type
         |ORDER BY 1, 2""".stripMargin,
+    // the streamed first-sighting-per-key rows must equal true DISTINCT
+    "e20_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+        | strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start
+        |FROM events""".stripMargin,
     "e01_tumbling_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
         | event_type, COUNT(*) AS n_events,

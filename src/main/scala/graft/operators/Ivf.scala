@@ -108,12 +108,43 @@ object Ivf {
     probeAndRank(emb, c, SampledProbes)
   }
 
+  /** v10: metadata-FILTERED ANN — top-k restricted to corpus vectors
+    * whose `label < `[[FilterMaxLabel]] (the search-within-a-tenant/
+    * language/licence-bucket shape every production vector store needs).
+    * PRE-filter, not post-filter: the predicate cuts the index side
+    * BEFORE cell assignment, so the probe join touches only qualifying
+    * vectors — post-filtering a top-k can return < k rows after the
+    * filter and re-probing costs a second pass. The label predicate is
+    * an equi-joinable column filter Catalyst pushes into the parquet
+    * scan; centroids are shared with v04 (same SessionCache key), so
+    * the filtered index reuses the trained quantizer. Queries
+    * themselves are NOT filtered — asking "nearest licensed docs to
+    * this (possibly unlicensed) query" is the point.
+    */
+  def annTopKIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = CosineLsh.quantized(spark, dir)
+    val labels = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val c = graft.SessionCache.memo(spark, s"ivfCentroids:$dir") {
+      centroids(emb).persist()
+    }
+    val filtered = emb.join(labels.filter(col("label") < FilterMaxLabel), Seq("vec_id"))
+      .select(col("vec_id"), col("qv"))
+    probeAndRank(emb, c, NumProbes, indexEmb = Some(filtered))
+  }
+
+  val FilterMaxLabel = 5
+
   /** Index the corpus under trained centroids `c`, probe each query's
     * `nProbes` nearest cells, exact-rank within probed members.
+    * `indexEmb` overrides the indexed (searchable) side — the filtered
+    * subset for v10 — while probes and similarity vectors still come
+    * from the full `emb`.
     */
   private def probeAndRank(emb: DataFrame, c: DataFrame,
-                           nProbes: Int = NumProbes): DataFrame = {
-    val index = assign(emb, c).select(col("vec_id"), col("cid"))
+                           nProbes: Int = NumProbes,
+                           indexEmb: Option[DataFrame] = None): DataFrame = {
+    val index = assign(indexEmb.getOrElse(emb), c).select(col("vec_id"), col("cid"))
     val cost = LongArrayDot.dot(col("cv"), col("cv")) -
       lit(2L) * LongArrayDot.dot(col("qv"), col("cv"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cost"), col("cid"))
@@ -132,7 +163,8 @@ object Ivf {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v04_ann_ivf_topk" -> (annTopKIvf _),
-    "v06_ann_ivf_sampled" -> (annTopKIvfSampled _))
+    "v06_ann_ivf_sampled" -> (annTopKIvfSampled _),
+    "v10_ann_filtered" -> (annTopKIvfFiltered _))
 
   // ---- DuckDB oracle: full k-means replay, iteration by iteration ----
 
@@ -158,19 +190,21 @@ object Ivf {
     * `initMax`), index/probe the full set — shared by v04 and v06.
     */
   private def ivfOracle(trainSrc: String, initWhere: String,
-                        nProbes: Int = NumProbes): String = {
+                        nProbes: Int = NumProbes,
+                        indexWhere: String = "TRUE"): String = {
     val iters = (1 to KMeansIters).map(iterSql(_, trainSrc)).mkString(",\n")
     val cFinal = s"c$KMeansIters"
     s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
        |n AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS n2 FROM e),
        |ns AS (SELECT * FROM n WHERE vec_id % 4 = 0),
+       |lb AS (SELECT vec_id, label FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cv FROM $trainSrc WHERE $initWhere),
        |$iters,
        |idx AS (SELECT vec_id, cid FROM (
        |  SELECT n.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
        |      ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")}, c.cid) AS rn
-       |  FROM n, $cFinal c) WHERE rn = 1),
+       |  FROM n JOIN lb USING (vec_id), $cFinal c WHERE $indexWhere) WHERE rn = 1),
        |pr AS (SELECT vec_id AS query_id, cid FROM (
        |  SELECT n.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
@@ -189,5 +223,8 @@ object Ivf {
   val oracles: Map[String, String] = Map(
     "v04_ann_ivf_topk" -> ivfOracle("n", s"vec_id < $NumCentroids"),
     "v06_ann_ivf_sampled" -> ivfOracle("ns",
-      s"vec_id < ${4 * NumCentroids}", SampledProbes))
+      s"vec_id < ${4 * NumCentroids}", SampledProbes),
+    // same full-corpus quantizer as v04; only the INDEXED side filters
+    "v10_ann_filtered" -> ivfOracle("n", s"vec_id < $NumCentroids",
+      NumProbes, s"lb.label < $FilterMaxLabel"))
 }

@@ -82,8 +82,16 @@ object MinHash {
     * on candidates only. Output shape matches the d02 baseline.
     */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    // memoized + persisted: d04's pair detection is also the input of
-    // the d07 verify stage and d10 clustering — detect once per session
+    // memoized + lineage-cut: d04's pair detection is also the input of
+    // the d07 verify stage and d10/d14/d15 clustering — detect once per
+    // session, and localCheckpoint (not just persist) so consumers build
+    // on a one-node LogicalRDD instead of the full LSH tree. A persist
+    // alone keeps the DATA hot but every downstream plan still carries
+    // (and re-analyzes) the whole signature/band lineage — the label-prop
+    // rounds reference their input twice per round, so that lineage
+    // compounds 2^rounds-fold and d10's planning alone cost ~15 s at
+    // sf0.1. On a cluster the durable equivalent is checkpoint() to the
+    // job's checkpoint dir; local mode keeps the blocks on the executors.
     graft.SessionCache.memo(spark, s"minhashPairs:$dir") {
       val docs = TextAnalysis.shingledDocs(spark, dir)
         .select(col("doc_id"), col("sh"))
@@ -98,7 +106,7 @@ object MinHash {
         .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union"))
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard"))
-        .persist()
+        .localCheckpoint()
     }
 
   /** Verification stage a real dedup pipeline runs AFTER candidate
@@ -375,9 +383,13 @@ object MinHash {
       graft.SessionCache.memo(spark, s"d10labels$i:$dir") {
         val nbr = edges.join(l.withColumnRenamed("v", "id_b"), "id_b")
           .groupBy(col("id_a").as("v")).agg(min(col("label")).as("nl"))
+        // localCheckpoint, not persist: each round references its input
+        // twice, so a persist-only chain hands round N a 2^N-node plan
+        // (analysis cost, not data cost — the same lineage-cut rule the
+        // convergent d14 loop already applies)
         l.join(nbr, "v")
           .select(col("v"), least(col("label"), col("nl")).as("label"))
-          .persist()
+          .localCheckpoint()
       }
     }
   }
@@ -479,7 +491,39 @@ object MinHash {
           .when(col("bucket") < 90, "val").otherwise("test"))
   }
 
+  /** d20: corpus dedup AUDIT — the governance report a training-data
+    * pipeline publishes before it drops anything: per source, document
+    * count, docs that are byte-exact duplicates of another doc (md5
+    * groups of size > 1 — d01's tier), docs sitting in at least one
+    * near-dup pair at Jaccard ≥ 0.5 (d04's tier), and the two rates.
+    * Composes the dedup tiers without re-running either: the exact side
+    * is one hash aggregate over md5(text) (hash-only shuffle, text never
+    * moves); the near-dup side reuses the session's lineage-cut pair
+    * graph, a frame bounded by near-dup DOCS, broadcast into the join.
+    */
+  def dedupAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+    val groups = docs.groupBy(col("fp")).agg(count(lit(1)).as("n_fp"))
+    val nearDup = pairEdges(spark, dir)
+      .select(col("id_a").as("doc_id")).distinct()
+      .withColumn("is_nd", lit(1))
+    docs.join(groups, "fp")
+      .join(nearDup.hint("broadcast"), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_fp") > 1, 1L).otherwise(0L)).as("n_exact_dup_docs"),
+        sum(when(col("is_nd").isNotNull, 1L).otherwise(0L)).as("n_near_dup_docs"))
+      .withColumn("exact_dup_rate",
+        round(col("n_exact_dup_docs").cast(DoubleType) / col("n_docs"), 4))
+      .withColumn("near_dup_rate",
+        round(col("n_near_dup_docs").cast(DoubleType) / col("n_docs"), 4))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_dedup_audit" -> (dedupAudit _),
     "d04_minhash_lsh" -> (nearDupPairs _),
     "d07_editdist_verify" -> (editDistanceVerify _),
     "d10_neardup_clusters" -> (nearDupClusters _),
@@ -523,6 +567,20 @@ object MinHash {
         |FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
         |WHERE p.jaccard >= 0.5""".stripMargin,
     "d10_neardup_clusters" -> d10OracleSql,
+    // exact tier = md5 groups, near-dup tier = the same brute-force
+    // 0.5-threshold pair graph every cluster oracle shares
+    "d20_dedup_audit" ->
+      s"""WITH $pairGraphCtes,
+         |nd AS (SELECT DISTINCT id_a AS doc_id FROM e),
+         |h AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+         |g AS (SELECT fp, COUNT(*) AS n_fp FROM h GROUP BY fp)
+         |SELECT h.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN g.n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
+         |  CAST(SUM(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup_docs,
+         |  ROUND(CAST(SUM(CASE WHEN g.n_fp > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS exact_dup_rate,
+         |  ROUND(CAST(SUM(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS near_dup_rate
+         |FROM h JOIN g USING (fp) LEFT JOIN nd USING (doc_id)
+         |GROUP BY h.source ORDER BY h.source""".stripMargin,
     // true transitive closure — verifies the convergent CC loop found
     // the REAL components, not just that it replayed the same rounds
     "d14_cc_convergent" -> d14OracleSql,

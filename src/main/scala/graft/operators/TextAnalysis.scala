@@ -491,6 +491,34 @@ object TextAnalysis {
           .orderBy(col("n_occ").desc, col("bigram"))))
   }
 
+  /** t17: BPE pair statistics — the counting step of one byte-pair-
+    * encoding merge round over the corpus: adjacent CHARACTER pairs,
+    * weighted by word frequency, top-50. The classic BPE scaling trick
+    * is the two-level aggregate: word frequencies first (one hash agg
+    * over corpus tokens), then the per-character explode runs over the
+    * DISTINCT-word vocabulary only — at 100 TB the vocab is millions of
+    * rows while the corpus is trillions of tokens, so the expensive
+    * char fan-out touches ~10⁻⁶ of the data. Both aggs are map-side
+    * combinable; top-50 with a (count desc, pair asc) tie-break is a
+    * TakeOrdered, no global sort, and the deterministic cut keeps the
+    * LIMIT oracle-stable.
+    */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame = {
+    val chars = split(col("word"), "")
+    val n = size(chars)
+    val pairs = zip_with(
+      slice(chars, lit(1), n - 1), slice(chars, lit(2), n - 1),
+      (a, b) => concat_ws(" ", a, b))
+    docs(spark, dir)
+      .select(explode(wordsOf(lower(col("text")))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(explode(pairs).as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(50)
+  }
+
   // T: bigram-LM document scorer — mean ln P(w2 | w1) per document
   // under the corpus's OWN bigram model (MLE; no smoothing needed:
   // every scored bigram is in the counts by construction). This is the
@@ -750,6 +778,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t14_boilerplate" -> (boilerplateDetect _),
     "t16_mixture_weights" -> (mixtureWeights _),
+    "t17_bpe_pair_counts" -> (bpePairCounts _),
     "d16_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "k01_token_packing" -> (tokenPacking _),
     "t11_chunk_overlap" -> (chunkOverlap _),
@@ -776,6 +805,13 @@ object TextAnalysis {
     "m01_binary_meta" -> (binaryMeta _))
 
   val oracles: Map[String, String] = Map(
+    "t17_bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents),
+        |f AS (SELECT word, COUNT(*) AS freq FROM w WHERE len(word) >= 2 GROUP BY word),
+        |p AS (SELECT substr(word, CAST(i AS INTEGER), 1) || ' ' || substr(word, CAST(i AS INTEGER) + 1, 1) AS pair, freq
+        |      FROM f, unnest(range(1, len(word))) AS u(i))
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM p GROUP BY pair
+        |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
     "t16_mixture_weights" ->
       """WITH t AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT lang) AS n_langs FROM documents),
         |s AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)

@@ -17,11 +17,11 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** Event time (micros precision) from integer nanos — `div`, not
-    * double division (see Events scaladoc).
+  /** Event time (micros precision) from the raw `ts`, whichever physical
+    * type the parquet carries (see [[graft.Tables.tsUs]]).
     */
   def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("t", timestamp_micros(expr("ts div 1000")))
+    events.withColumn("t", timestamp_micros(graft.Tables.tsUs(events)))
 
   /** Tumbling 1-hour counts with a watermark — streaming twin of
     * e01_tumbling_hourly; identical output columns so the same oracle
@@ -67,6 +67,28 @@ object StreamingOps {
     withEventTime(events)
       .withWatermark("t", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** e20: streaming RATE-LIMIT dedup — at most one emitted event per
+    * (user, type, clock-hour), the ingest-suppression stage in front of
+    * a metered sink. `dropDuplicatesWithinWatermark` keeps one state
+    * entry per live key and evicts it once the watermark passes first
+    * sighting + delay, so state is bounded by keys live inside the
+    * lateness budget, not by stream length — the contract that makes
+    * dedup runnable on an unbounded stream (exact global dedup is the
+    * batch tier's job, d01). Dups of one key share a clock-hour, so any
+    * delay ≥ 1 h + ingest lateness suppresses them all; the replay
+    * default covers the whole bounded run, making the gate comparable
+    * to a true DISTINCT. Output is projected to the KEY columns before
+    * emitting, so the result is arrival-order independent — whichever
+    * physical row wins the race, the emitted key row is identical.
+    */
+  def rateLimitDedup(events: DataFrame, watermark: String = "35 days"): DataFrame =
+    withEventTime(events)
+      .withWatermark("t", watermark)
+      .withColumn("hour", date_trunc("hour", col("t")))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
+      .select(col("user_id"), col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour_start"))
 
   /** Watermarked stream-stream join — purchases attributed to any view
     * by the same user within the preceding hour (view ≤ purchase).

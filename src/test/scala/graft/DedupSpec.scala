@@ -254,4 +254,29 @@ class DedupSpec extends SparkSpec {
     assert(assigned.count() == total)
     assert(assigned.select(col("split")).distinct().count() == 3)
   }
+
+  test("d20 audit counts reconcile with the pair graph and the corpus") {
+    val audit = MinHash.dedupAudit(spark, sfDir).collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+    // per-source doc counts must partition the corpus
+    assert(audit.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // near-dup doc count must equal the distinct vertices of the pair
+    // graph, attributed per source
+    val pairs = MinHash.nearDupPairs(spark, sfDir)
+    val verts = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val expected = verts.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- audit) {
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_near_dup_docs") == expected.getOrElse(src, 0L),
+        s"near-dup count mismatch for $src")
+      // rates are consistent with the counts they summarize
+      val rate = r.getAs[Double]("near_dup_rate")
+      val recomputed = math.round(
+        r.getAs[Long]("n_near_dup_docs").toDouble / r.getAs[Long]("n_docs") * 1e4) / 1e4
+      assert(rate == recomputed, s"rate mismatch for $src: $rate vs $recomputed")
+    }
+  }
 }

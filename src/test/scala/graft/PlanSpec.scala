@@ -56,8 +56,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d04/d05 candidate generation is equi-join only") {
+    // d04 via the raw candidate pipeline: the memoized nearDupPairs is
+    // lineage-cut (localCheckpoint), so its plan is just an RDD scan and
+    // would pass this assertion vacuously
     for (df <- Seq(
-        graft.operators.MinHash.nearDupPairs(spark, sfDir),
+        graft.operators.MinHash.candidatePairs(
+          graft.operators.TextAnalysis.shingledDocs(spark, sfDir)
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("sh"))),
         graft.operators.CosineLsh.nearDupPairs(spark, sfDir))) {
       val plan = df.queryExecution.executedPlan.toString()
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)

@@ -70,6 +70,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("e20 rate-limit dedup keeps one row per (user,type,hour) across batches") {
+    val sqlCtx = spark.sqlContext
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Long)]
+    val events = input.toDF().toDF("user_id", "event_type", "ts_ns")
+      .withColumn("ts", col("ts_ns")) // raw nanos column shape
+    val q = StreamingOps.rateLimitDedup(events).writeStream
+      .format("memory").queryName("rld_out").outputMode("append").start()
+    try {
+      val H = 3600L * 1000 * 1000 * 1000 // one hour in nanos
+      val B = 10000L * H
+      // in-batch duplicate of (1, view, hour0)
+      input.addData((1L, "view", B + H / 4), (1L, "view", B + H / 2))
+      q.processAllAvailable()
+      // across-batch duplicate, a next-hour row, and another user
+      input.addData((1L, "view", B + 3 * H / 4), (1L, "view", B + H + H / 4),
+        (2L, "view", B + H / 4))
+      q.processAllAvailable()
+      val rows = spark.table("rld_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(rows.size == 3, s"got $rows")
+      assert(rows.count(_._1 == 1L) == 2, s"user 1 hours: $rows")
+      assert(rows.count(_._1 == 2L) == 1, s"user 2 hours: $rows")
+    } finally q.stop()
+  }
+
   test("stream-stream join matches in range, drops out of range, evicts state") {
     val sqlCtx = spark.sqlContext
     implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx

@@ -164,4 +164,24 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("tfidf") == expect, s"score mismatch at $r")
     }
   }
+
+  test("t17 BPE pair counts: vocab pre-aggregation equals per-occurrence counting") {
+    val got = TextAnalysis.bpePairCounts(spark, sfDir)
+    // recompute WITHOUT the distinct-word trick: explode every word
+    // OCCURRENCE, then its character pairs, count directly — the
+    // pre-aggregated path must be a pure optimization, not a semantic
+    // change
+    val words = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+    val chars = split(col("word"), "")
+    val pairs = zip_with(
+      slice(chars, lit(1), size(chars) - 1), slice(chars, lit(2), size(chars) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val direct = words.select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(50)
+    assertSameRows(got, direct)
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.LongArrayDot
-import graft.operators.{CosineLsh, VectorSearch}
+import graft.operators.{CosineLsh, Ivf, VectorSearch}
 
 class VectorSpec extends SparkSpec {
 
@@ -134,5 +134,39 @@ class VectorSpec extends SparkSpec {
       val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
       assert(sims == sims.sorted.reverse)
     }
+  }
+
+  test("v10 filtered ANN honors the predicate and clears a recall floor") {
+    val got = Ivf.annTopKIvfFiltered(spark, sfDir)
+    val labels = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("neighbor_id"), col("label"))
+    // every returned neighbor satisfies the metadata predicate
+    val bad = got.join(labels, "neighbor_id")
+      .filter(col("label") >= Ivf.FilterMaxLabel)
+    assert(bad.count() == 0, "neighbor outside the label filter")
+    // recall vs the FILTERED brute-force truth
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), VectorSearch.quantize(col("embedding")).as("qv"),
+        col("label"))
+    val dot = LongArrayDot.dot(col("qa"), col("qb"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"))
+    val c = emb.filter(col("label") < Ivf.FilterMaxLabel)
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot.cast(DoubleType) /
+        (sqrt(LongArrayDot.dot(col("qa"), col("qa")).cast(DoubleType)) *
+          sqrt(LongArrayDot.dot(col("qb"), col("qb")).cast(DoubleType))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t = pairs(scored)
+    val recall = (pairs(got) & t).size.toDouble / t.size
+    assert(recall >= 0.5, s"filtered recall $recall below floor")
   }
 }
