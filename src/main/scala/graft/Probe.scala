@@ -55,6 +55,12 @@ object Probe {
     time("d10 again (warm labels)") {
       Bench.forceAll(graft.operators.MinHash.nearDupClusters(spark, sfDir))
     }
+    time("d07 editDistanceVerify (cold prefixes)") {
+      Bench.forceAll(graft.operators.MinHash.editDistanceVerify(spark, sfDir))
+    }
+    time("d07 again (warm)") {
+      Bench.forceAll(graft.operators.MinHash.editDistanceVerify(spark, sfDir))
+    }
     time("d09 simhash") {
       Bench.forceAll(graft.operators.TextAnalysis.simhashNearDup(spark, sfDir))
     }

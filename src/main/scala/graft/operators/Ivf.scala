@@ -135,6 +135,41 @@ object Ivf {
 
   val FilterMaxLabel = 5
 
+  /** Cosine threshold for the semantic-cluster dedup (d21). */
+  val SemDedupThreshold = 0.4
+
+  /** d21: SemDeDup-style SEMANTIC dedup — embedding near-dup pairs
+    * found WITHIN k-means cells rather than via hash buckets: every
+    * vector is assigned to its nearest trained centroid (v04's
+    * quantizer, same SessionCache memo), pairs are generated only
+    * inside each cell (one equi-join on cid), and exact cosine keeps
+    * pairs ≥ [[SemDedupThreshold]]. This is the published SemDeDup
+    * recipe at 100 TB: clustering turns candidate generation from
+    * O(n²) into O(Σ cell²) with cells sized by the centroid count, and
+    * every join is an equi-join Catalyst hash-partitions. The recall
+    * trade is pairs straddling a cell boundary — complementary to the
+    * banded-LSH trade d05 makes (hash-bucket misses), which is why a
+    * production pipeline runs one of these per modality and the
+    * brute-force d03 only as a sampled audit. The DuckDB oracle replays
+    * the whole k-means training plus the within-cell pair generation,
+    * so the gate verifies the trained cells, not just the cosine math.
+    */
+  def semanticClusterDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = CosineLsh.quantized(spark, dir)
+    val c = graft.SessionCache.memo(spark, s"ivfCentroids:$dir") {
+      centroids(emb).persist()
+    }
+    val assigned = assign(emb, c)
+    val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("qv").as("qa"))
+    val b = assigned.select(col("cid"), col("vec_id").as("id_b"), col("qv").as("qb"))
+    val sim = VectorSearch.qcosine(VectorSearch.idot(col("qa"), col("qb")),
+      VectorSearch.inorm2(col("qa")), VectorSearch.inorm2(col("qb")))
+    a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cid"), col("id_a"), col("id_b"), sim.as("sim"))
+      .filter(col("sim") >= SemDedupThreshold)
+  }
+
   /** Index the corpus under trained centroids `c`, probe each query's
     * `nProbes` nearest cells, exact-rank within probed members.
     * `indexEmb` overrides the indexed (searchable) side — the filtered
@@ -164,7 +199,8 @@ object Ivf {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v04_ann_ivf_topk" -> (annTopKIvf _),
     "v06_ann_ivf_sampled" -> (annTopKIvfSampled _),
-    "v10_ann_filtered" -> (annTopKIvfFiltered _))
+    "v10_ann_filtered" -> (annTopKIvfFiltered _),
+    "d21_semantic_dedup" -> (semanticClusterDedup _))
 
   // ---- DuckDB oracle: full k-means replay, iteration by iteration ----
 
@@ -226,5 +262,26 @@ object Ivf {
       s"vec_id < ${4 * NumCentroids}", SampledProbes),
     // same full-corpus quantizer as v04; only the INDEXED side filters
     "v10_ann_filtered" -> ivfOracle("n", s"vec_id < $NumCentroids",
-      NumProbes, s"lb.label < $FilterMaxLabel"))
+      NumProbes, s"lb.label < $FilterMaxLabel"),
+    // k-means replay + within-cell pairs — verifies the trained cells
+    "d21_semantic_dedup" -> semanticOracle)
+
+  private def semanticOracle: String = {
+    val iters = (1 to KMeansIters).map(iterSql(_, "n")).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS n2 FROM e),
+       |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cv FROM n WHERE vec_id < $NumCentroids),
+       |$iters,
+       |idx AS (SELECT vec_id, cid FROM (
+       |  SELECT n.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")}, c.cid) AS rn
+       |  FROM n, c$KMeansIters c) WHERE rn = 1),
+       |p AS (SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b,
+       |  CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE)
+       |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+       | FROM idx x JOIN idx y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       | JOIN n a ON a.vec_id = x.vec_id JOIN n b ON b.vec_id = y.vec_id)
+       |SELECT cid, id_a, id_b, sim FROM p WHERE sim >= $SemDedupThreshold""".stripMargin
+  }
 }

@@ -242,6 +242,7 @@ object Relational extends RelationalBase
     "q16_part_supplier_counts" -> (partSupplierCounts _),
     "q21_waiting_suppliers" -> (waitingSuppliers _),
     "dq01_quality_report" -> (qualityReport _),
+    "dq04_fk_report" -> (fkIntegrityReport _),
     "w07_window_analytics" -> (windowAnalytics _),
     "j16_nullsafe_join" -> (nullSafeJoin _),
     "j17_shuffle_hash_hint" -> (hintedShuffleHashJoin _),
@@ -524,6 +525,28 @@ object Relational extends RelationalBase
         |WHERE supp_late AND n_supps > 1 AND n_late_supps = 1
         |GROUP BY s_suppkey, s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    // NOT EXISTS (not NOT IN): matches the anti-join's NULL semantics
+    "dq04_fk_report" -> {
+      val edges = Seq(
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      val rows = edges.map { case (name, fact, fk, dim, pk) =>
+        s""" SELECT '$name' AS fk, (SELECT COUNT(*) FROM $fact) AS n_rows,
+           |   (SELECT COUNT(*) FROM $fact f
+           |    WHERE NOT EXISTS (SELECT 1 FROM $dim d WHERE d.$pk = f.$fk)) AS n_orphans""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"""SELECT fk, n_rows, n_orphans,
+         |  ROUND(CAST(n_orphans AS DOUBLE) / n_rows, 6) AS orphan_rate
+         |FROM (
+         |$rows
+         |) t ORDER BY fk""".stripMargin
+    },
     "dq01_quality_report" ->
       """SELECT * FROM (
         | SELECT 'null_quantity' AS check,

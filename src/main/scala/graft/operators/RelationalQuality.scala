@@ -49,6 +49,40 @@ trait RelationalQuality extends RelationalBase {
       .orderBy(col("check"))
   }
 
+  // DQ: full REFERENTIAL-INTEGRITY audit — every FK edge of the schema
+  // as one (fk, n_rows, n_orphans, orphan_rate) row. Each edge is an
+  // anti-join of the fact against the BROADCAST distinct key set of its
+  // dimension (dims are always the small side here), so the audit costs
+  // one scan per fact table and zero shuffles of fact rows; at 100 TB
+  // the per-edge plan is the same broadcast anti-join, with the largest
+  // dims falling back to a key-only shuffle. Null/missing FK semantics
+  // follow the anti-join (a NULL key counts as an orphan) — the oracle
+  // uses NOT EXISTS, which matches, where NOT IN would not.
+  def fkIntegrityReport(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tables.load(spark, dir, n)
+    // edges: (name, fact, fk, dim, pk)
+    val edges = Seq(
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+    edges.map { case (name, factT, fk, dimT, pk) =>
+      val fact = t(factT)
+      val orph = fact.select(col(fk))
+        .join(broadcast(t(dimT).select(col(pk).as(fk)).distinct()), Seq(fk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      fact.agg(count(lit(1)).as("n_rows")).crossJoin(orph)
+        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+    }.reduce(_.unionAll(_))
+      .withColumn("orphan_rate",
+        round(col("n_orphans").cast(DoubleType) / col("n_rows"), 6))
+      .orderBy(col("fk"))
+  }
+
   // Moment statistics from exact sums: mean / variance / stddev derived
   // from DECIMAL Σx and Σx² (both exact), divided as doubles — the only
   // cross-engine-deterministic way to publish second moments (built-in

@@ -136,6 +136,20 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("d21 semantic dedup pairs are a brute-force subset with equal sims and real coverage") {
+    val sem = Ivf.semanticClusterDedup(spark, sfDir)
+    val brute = VectorSearch.dedupEmbedding(spark, sfDir)
+    // every within-cell pair must appear in brute force with equal sim
+    val missing = sem.as("s").join(brute.as("b"),
+      col("s.id_a") === col("b.id_a") && col("s.id_b") === col("b.id_b") &&
+        col("s.sim") === col("b.sim"), "left_anti")
+    assert(missing.count() == 0, "cluster-bucketed pair not found in brute force")
+    // and the cells must catch a non-trivial share of the true pairs
+    // (cross-cell misses are the documented SemDeDup trade)
+    val recall = sem.count().toDouble / brute.count().toDouble
+    assert(recall >= 0.2, s"semantic dedup recall $recall below floor")
+  }
+
   test("v10 filtered ANN honors the predicate and clears a recall floor") {
     val got = Ivf.annTopKIvfFiltered(spark, sfDir)
     val labels = Tables.load(spark, sfDir, "embeddings")
