@@ -32,7 +32,9 @@ object Explain {
     "d16_cdc_chunk_dedup", "a15_typed_udaf", "v07_ann_rerank_topk",
     "d17_stored_incremental", "v08_ann_rerank_int8", "p14_partitioned_q1",
     "d18_approx_sketch_gate", "d19_evolving_store", "t14_boilerplate",
-    "v09_ann_rerank_pq")
+    "v09_ann_rerank_pq",
+    "t17_bpe_pair_counts", "d20_dedup_audit", "v10_ann_filtered",
+    "d21_semantic_dedup", "dq04_fk_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -61,6 +61,12 @@ object Probe {
     time("d07 again (warm)") {
       Bench.forceAll(graft.operators.MinHash.editDistanceVerify(spark, sfDir))
     }
+    time("v09 pq rerank (cold)") {
+      Bench.forceAll(graft.operators.VectorSearch.annRerankPq(spark, sfDir))
+    }
+    time("v09 again (warm)") {
+      Bench.forceAll(graft.operators.VectorSearch.annRerankPq(spark, sfDir))
+    }
     time("d09 simhash") {
       Bench.forceAll(graft.operators.TextAnalysis.simhashNearDup(spark, sfDir))
     }

@@ -75,6 +75,46 @@ object Ivf {
   private[operators] def centroids(emb: DataFrame): DataFrame =
     centroidsOn(emb, col("vec_id") < NumCentroids)
 
+  // ---- keyed Lloyd: many independent quantizers in one pass ----
+  // Frames carry a group key `m` (v09's PQ subspace id): the centroid
+  // table is (m, cid, cv) and is broadcast WHOLE, assignment is one
+  // join+window over the union of all groups, the update one hash
+  // aggregate keyed by (m, cid, pos). Training 8 subspace codebooks
+  // this way costs 2 Lloyd iterations total instead of 8 × 2 sequential
+  // job chains — at tiny data that is 8× less fixed job overhead, and
+  // at 100 TB it is the difference between one pass over the corpus per
+  // iteration and eight.
+
+  private[operators] def assignKeyed(sub: DataFrame, centroids: DataFrame): DataFrame = {
+    val cost = LongArrayDot.dot(col("cv"), col("cv")) -
+      lit(2L) * LongArrayDot.dot(col("qv"), col("cv"))
+    val w = Window.partitionBy(col("m"), col("vec_id")).orderBy(col("cost"), col("cid"))
+    sub.join(broadcast(centroids), Seq("m"))
+      .select(col("m"), col("vec_id"), col("qv"), col("cid"), cost.as("cost"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("m"), col("vec_id"), col("qv"), col("cid"))
+  }
+
+  private def updateKeyed(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("m"), col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("cid"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("mv"))
+      .groupBy(col("m"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+        s => s.getField("mv")).as("cv"))
+
+  /** Trained (m, cid, cv) codebooks after [[KMeansIters]] keyed Lloyd
+    * iterations — arithmetic identical per group to [[centroidsOn]], so
+    * any per-group oracle replay still matches bit-for-bit.
+    */
+  private[operators] def centroidsKeyed(train: DataFrame, initPred: Column): DataFrame = {
+    val init = train.filter(initPred)
+      .select(col("m"), col("vec_id").cast(IntegerType).as("cid"), col("qv").as("cv"))
+    (1 to KMeansIters).foldLeft(init)((c, _) => updateKeyed(assignKeyed(train, c)))
+  }
+
   /** v04: queries (vec_id < 10) probe their [[NumProbes]] nearest cells,
     * exact cosine + top-5 within the probed cells' members only.
     */

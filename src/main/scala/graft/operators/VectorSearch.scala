@@ -208,19 +208,27 @@ object VectorSearch {
   def annRerankPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = CosineLsh.quantized(spark, dir)
     val coarse = graft.SessionCache.memo(spark, s"pqRecon:$dir") {
-      val recon = (0 until PqSubspaces).map { m =>
-        val sub = emb.select(col("vec_id"),
-          slice(col("qv"), m * PqSubDim + 1, PqSubDim).as("qv"))
-        val codebook = graft.SessionCache.memo(spark, s"pqCodebook:$dir:$m") {
-          Ivf.centroidsOn(sub, col("vec_id") < PqK).persist()
-        }
-        Ivf.assign(sub, codebook)
-          .select(col("vec_id"), col("cid"))
-          .join(broadcast(codebook), "cid")
-          .select(col("vec_id"), col("cv").as(s"sub$m"))
-      }.reduce(_.join(_, "vec_id"))
-      recon.select(col("vec_id"),
-          concat((0 until PqSubspaces).map(m => col(s"sub$m")): _*).as("cv"))
+      // ALL subspaces as one keyed frame (m, vec_id, qv): training and
+      // encoding run every subspace in one pass ([[Ivf.centroidsKeyed]])
+      // — the per-subspace sequential formulation cost 16 Lloyd job
+      // chains (~11 s at sf0.1, pure fixed overhead); keyed it is 2.
+      val subs = emb.select(col("vec_id"), posexplode(
+          array((0 until PqSubspaces).map(m =>
+            slice(col("qv"), m * PqSubDim + 1, PqSubDim)): _*))
+        .as(Seq("m", "qv")))
+      // 8×16 rows; checkpoint cuts the Lloyd lineage out of the encode
+      val codebooks = graft.SessionCache.memo(spark, s"pqCodebooks:$dir") {
+        Ivf.centroidsKeyed(subs, col("vec_id") < PqK).localCheckpoint()
+      }
+      // encode + reconstruct: nearest code per (vec_id, m), regroup the
+      // code centroids in subspace order into one 64-dim reconstruction
+      Ivf.assignKeyed(subs, codebooks)
+        .select(col("m"), col("vec_id"), col("cid"))
+        .join(broadcast(codebooks), Seq("m", "cid"))
+        .groupBy(col("vec_id"))
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("m"), col("cv")))),
+          s => s.getField("cv"))).as("cv"))
         .withColumn("c2", inorm2(col("cv")))
         .filter(col("c2") > 0)
         .persist()
