@@ -178,6 +178,80 @@ object Ivf {
   /** Cosine threshold for the semantic-cluster dedup (d21). */
   val SemDedupThreshold = 0.4
 
+  /** The session's vector-index DATABASE, created once per (session,
+    * dir) — same lifecycle contract as the MinHash signature database:
+    * per-dir name so a second data dir cannot drop the first's tables.
+    */
+  private def vecDb(spark: SparkSession, dir: String): String =
+    graft.SessionCache.memo(spark, s"vecdb:$dir") {
+      val db = s"graft_vec_${graft.Fs.tmpTag(dir)}"
+      val loc = s"${sys.props("java.io.tmpdir")}/graft_vec_${graft.Fs.tmpTag(dir)}"
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      graft.Fs.rmTree(new java.io.File(loc))
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      db
+    }
+
+  /** v11's stored index: the trained centroid table and the assigned
+    * index (vec_id, qv, n2, cid) written ONCE as catalog parquet, the
+    * index PARTITIONED BY cid — so a probe's cell subset maps to
+    * directory-level partition pruning. Returns (centroidTbl, indexTbl).
+    */
+  private[operators] def vectorStore(spark: SparkSession, dir: String): (String, String) =
+    graft.SessionCache.memo(spark, s"v11store:$dir") {
+      val db = vecDb(spark, dir)
+      val cTbl = s"$db.ivf_centroids"
+      val iTbl = s"$db.ivf_index"
+      val emb = CosineLsh.quantized(spark, dir)
+      val c = graft.SessionCache.memo(spark, s"ivfCentroids:$dir") {
+        centroids(emb).persist()
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $cTbl")
+      c.write.mode("overwrite").saveAsTable(cTbl)
+      spark.sql(s"DROP TABLE IF EXISTS $iTbl")
+      assign(emb, c).select(col("vec_id"), col("qv"), col("cid"))
+        .join(emb.select(col("vec_id"), col("n2")), "vec_id")
+        .write.mode("overwrite").partitionBy("cid").saveAsTable(iTbl)
+      (cTbl, iTbl)
+    }
+
+  /** v11: the PERSISTED vector index — the production separation of
+    * index BUILD from query, the d17 signature-store story for vectors:
+    * training and assignment happen once in [[vectorStore]] (the
+    * nightly index build), then queries run with NO training and NO
+    * corpus re-assignment — the tiny stored centroid table is broadcast
+    * to pick probe cells, the stored index is scanned only where
+    * `cid` matches (a join on the PARTITION column, so file-level
+    * pruning bounds the read to probed cells), and exact cosine ranks
+    * the members. Must produce exactly v04's result — same oracle — so
+    * the gate proves the store adds no drift.
+    */
+  def annTopKIvfStored(spark: SparkSession, dir: String): DataFrame = {
+    val (cTbl, iTbl) = vectorStore(spark, dir)
+    val c = spark.table(cTbl)
+    val emb = CosineLsh.quantized(spark, dir)
+    val cost = LongArrayDot.dot(col("cv"), col("cv")) -
+      lit(2L) * LongArrayDot.dot(col("qv"), col("cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cost"), col("cid"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(c))
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2"), col("cid"), cost.as("cost"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NumProbes)
+      .select(col("query_id"), col("q_qv"), col("q_n2"), col("cid"))
+    val idx = spark.table(iTbl).select(col("cid"),
+      col("vec_id").as("neighbor_id"), col("qv").as("n_qv"), col("n2").as("n_n2"))
+    val sim = VectorSearch.qcosine(
+      LongArrayDot.dot(col("q_qv"), col("n_qv")), col("q_n2"), col("n_n2"))
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    probes.join(idx, Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= 5)
+  }
+
   /** d21: SemDeDup-style SEMANTIC dedup — embedding near-dup pairs
     * found WITHIN k-means cells rather than via hash buckets: every
     * vector is assigned to its nearest trained centroid (v04's
@@ -240,6 +314,7 @@ object Ivf {
     "v04_ann_ivf_topk" -> (annTopKIvf _),
     "v06_ann_ivf_sampled" -> (annTopKIvfSampled _),
     "v10_ann_filtered" -> (annTopKIvfFiltered _),
+    "v11_ann_stored" -> (annTopKIvfStored _),
     "d21_semantic_dedup" -> (semanticClusterDedup _))
 
   // ---- DuckDB oracle: full k-means replay, iteration by iteration ----
@@ -304,7 +379,10 @@ object Ivf {
     "v10_ann_filtered" -> ivfOracle("n", s"vec_id < $NumCentroids",
       NumProbes, s"lb.label < $FilterMaxLabel"),
     // k-means replay + within-cell pairs — verifies the trained cells
-    "d21_semantic_dedup" -> semanticOracle)
+    "d21_semantic_dedup" -> semanticOracle,
+    // IDENTICAL to v04's oracle: the stored-index path must reproduce
+    // the in-session result exactly — the store adds no drift
+    "v11_ann_stored" -> ivfOracle("n", s"vec_id < $NumCentroids"))
 
   private def semanticOracle: String = {
     val iters = (1 to KMeansIters).map(iterSql(_, "n")).mkString(",\n")

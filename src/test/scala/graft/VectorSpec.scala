@@ -136,6 +136,16 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("v11 stored-index probe equals the in-session IVF result exactly") {
+    val stored = Ivf.annTopKIvfStored(spark, sfDir)
+    val live = Ivf.annTopKIvf(spark, sfDir)
+    assertSameRows(stored, live)
+    // and the probe really reads the catalog index table, not a
+    // recomputed assignment: the scan appears in the physical plan
+    val plan = stored.queryExecution.executedPlan.toString()
+    assert(plan.contains("ivf_index"), s"stored index table not scanned:\n$plan")
+  }
+
   test("d21 semantic dedup pairs are a brute-force subset with equal sims and real coverage") {
     val sem = Ivf.semanticClusterDedup(spark, sfDir)
     val brute = VectorSearch.dedupEmbedding(spark, sfDir)
