@@ -34,7 +34,8 @@ object Explain {
     "d18_approx_sketch_gate", "d19_evolving_store", "t14_boilerplate",
     "v09_ann_rerank_pq",
     "t17_bpe_pair_counts", "d20_dedup_audit", "v10_ann_filtered",
-    "d21_semantic_dedup", "dq04_fk_report")
+    "d21_semantic_dedup", "dq04_fk_report", "t18_length_mixture",
+    "v11_ann_stored")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

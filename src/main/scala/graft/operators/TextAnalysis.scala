@@ -491,6 +491,42 @@ object TextAnalysis {
           .orderBy(col("n_occ").desc, col("bigram"))))
   }
 
+  /** t18: token-length MIXTURE table — docs bucketed into EXACT global
+    * token-count deciles, rolled up per (source, decile) with corpus
+    * token shares: the table a data-mixing decision reads ("which
+    * sources carry the long-document mass?"). The decile assignment is
+    * the scalable exact-quantile shape: per-row global ntile would be a
+    * single-partition window over the corpus; instead one hash agg
+    * builds the length HISTOGRAM, a window over that tiny aggregate
+    * (|distinct lengths| rows) takes the cumulative count, and the
+    * decile boundary broadcasts back onto the corpus as an equi-join —
+    * ties share a decile by construction (same length ⇒ same cum),
+    * which is also what makes the DuckDB oracle replay exact.
+    */
+  def lengthMixtureReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = docs(spark, dir).select(col("doc_id"), col("source"),
+      size(wordsOf(col("text"))).as("n_tokens"))
+    val h = b.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
+    val wcum = Window.orderBy(col("n_tokens"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cum", sum(col("c")).over(wcum))
+      .select(col("n_tokens"), col("cum"))
+    val totals = b.agg(count(lit(1)).as("n"),
+      sum(col("n_tokens")).as("tot_tokens"))
+    val dec = b.join(cum.hint("broadcast"), "n_tokens")
+      .crossJoin(broadcast(totals))
+      .withColumn("decile",
+        ceil(lit(10.0) * col("cum") / col("n")).cast(IntegerType))
+    dec.groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .crossJoin(broadcast(totals.select(col("tot_tokens"))))
+      .withColumn("token_share",
+        col("total_tokens").cast(DoubleType) / col("tot_tokens"))
+      .drop("tot_tokens")
+      .orderBy(col("source"), col("decile"))
+  }
+
   /** t17: BPE pair statistics — the counting step of one byte-pair-
     * encoding merge round over the corpus: adjacent CHARACTER pairs,
     * weighted by word frequency, top-50. The classic BPE scaling trick
@@ -779,6 +815,7 @@ object TextAnalysis {
     "t14_boilerplate" -> (boilerplateDetect _),
     "t16_mixture_weights" -> (mixtureWeights _),
     "t17_bpe_pair_counts" -> (bpePairCounts _),
+    "t18_length_mixture" -> (lengthMixtureReport _),
     "d16_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "k01_token_packing" -> (tokenPacking _),
     "t11_chunk_overlap" -> (chunkOverlap _),
@@ -805,6 +842,22 @@ object TextAnalysis {
     "m01_binary_meta" -> (binaryMeta _))
 
   val oracles: Map[String, String] = Map(
+    // same value-based decile formula: ceil(10·cum/N) over the length
+    // histogram's cumulative counts — ties share a decile both sides
+    "t18_length_mixture" ->
+      """WITH b AS (SELECT doc_id, source,
+        |   len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
+        |h AS (SELECT n_tokens, COUNT(*) AS c FROM b GROUP BY n_tokens),
+        |cum AS (SELECT n_tokens, SUM(c) OVER (ORDER BY n_tokens
+        |          ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |t AS (SELECT COUNT(*) AS n, CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM b),
+        |d AS (SELECT b.source, b.n_tokens,
+        |   CAST(ceil(10.0 * cum / n) AS INTEGER) AS decile
+        | FROM b JOIN cum USING (n_tokens) CROSS JOIN t)
+        |SELECT source, decile, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_tokens) AS DOUBLE) / (SELECT tot_tokens FROM t) AS token_share
+        |FROM d GROUP BY source, decile ORDER BY source, decile""".stripMargin,
     "t17_bpe_pair_counts" ->
       """WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents),
         |f AS (SELECT word, COUNT(*) AS freq FROM w WHERE len(word) >= 2 GROUP BY word),
