@@ -70,6 +70,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("v10 filtered ANN pushes the label predicate into the parquet scan") {
+    val plan = graft.operators.Ivf.annTopKIvfFiltered(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("LessThan(label,5)"),
+      s"label filter not pushed to the scan:\n$plan")
+  }
+
+  test("d21 semantic dedup pair generation is a hash/merge join on cid, no cartesian") {
+    // the centroid ASSIGNMENT crossJoin (16 broadcast rows) is the
+    // deliberate bounded fan-out every IVF plan carries; the vector×
+    // vector candidate join must never be an unbounded product
+    val plan = graft.operators.Ivf.semanticClusterDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("cid"), plan)
+    val pairJoinIsHashed = plan.contains("SortMergeJoin") ||
+      Seq("BroadcastHashJoin", "ShuffledHashJoin").exists(plan.contains)
+    assert(pairJoinIsHashed, s"cid pair join not a hash/merge join:\n$plan")
+  }
+
   test("d08/d09 candidate generation stays equi-join (no cartesian)") {
     for (df <- Seq(
         graft.operators.TextAnalysis.ngramJaccardCapped(spark, sfDir),

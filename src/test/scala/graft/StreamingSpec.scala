@@ -70,6 +70,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("e20 rate-limit dedup evicts key state once the watermark passes its budget") {
+    val sqlCtx = spark.sqlContext
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Long)]
+    val events = input.toDF().toDF("user_id", "event_type", "ts_ns")
+      .withColumn("ts", col("ts_ns"))
+    // tight 1-minute budget so the test can step the watermark past it
+    val q = StreamingOps.rateLimitDedup(events, watermark = "1 minute").writeStream
+      .format("memory").queryName("rld_evict_out").outputMode("append").start()
+    try {
+      val H = 3600L * 1000 * 1000 * 1000
+      val M = 60L * 1000 * 1000 * 1000
+      val B = 10000L * H
+      input.addData((1L, "view", B))
+      q.processAllAvailable()
+      // advance the watermark far past B + 1 min — key state evicts
+      input.addData((9L, "view", B + 30 * M))
+      q.processAllAvailable()
+      // a LATE duplicate of the same (user,type,hour) after eviction is
+      // NOT suppressed — the bounded-state trade dropDuplicatesWithin-
+      // Watermark makes (suppression is only guaranteed inside the
+      // lateness budget; global dedup is the batch tier's job)
+      input.addData((1L, "view", B + 30 * M))
+      q.processAllAvailable()
+      val n = spark.table("rld_evict_out")
+        .filter(col("user_id") === 1L).count()
+      assert(n == 2, s"expected the post-eviction duplicate to re-emit, got $n rows")
+    } finally q.stop()
+  }
+
   test("e20 rate-limit dedup keeps one row per (user,type,hour) across batches") {
     val sqlCtx = spark.sqlContext
     implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
