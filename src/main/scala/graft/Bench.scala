@@ -73,6 +73,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Expected-warning suppression, scoped to this main and this one
+    // logger: every no-partition WindowExec in the suite runs over a
+    // BOUNDED aggregate by design (t18's length histogram, Keys' per-
+    // partition offsets, r02's weekly frame, layout bounds), and the
+    // per-query repetition of that warning buries any REAL warning in
+    // the harness's tail capture. Queries under test keep WARN.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // JVM/codegen warmup outside the timed loop — otherwise the
     // alphabetically-first query absorbs several seconds of JIT noise
     spark.range(2000000).selectExpr("sum(id * 2)").head()

@@ -22,4 +22,18 @@ object Fs {
     */
   def tmpTag(dir: String): String =
     s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+
+  private val onceDone = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** Run `body` at most once per JVM for `key` — the guard for
+    * PROCESS-wide side effects (catalog DROP/CREATE against the shared
+    * SharedState, tmp-dir wipes) that a per-SESSION memo would re-run
+    * from a second SparkSession in the same JVM, deleting files out from
+    * under the first session's cached references. `computeIfAbsent`
+    * blocks concurrent callers on the same key until the first build
+    * finishes.
+    */
+  def onceInJvm(key: String)(body: => Unit): Unit = {
+    onceDone.computeIfAbsent(key, _ => { body; true }); ()
+  }
 }

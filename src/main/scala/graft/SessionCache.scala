@@ -33,7 +33,17 @@ object SessionCache {
     Option(maps.remove(s)).foreach(_.values.foreach(unpersistAll))
 
   private def unpersistAll(v: Any): Unit = v match {
-    case df: DataFrame => df.unpersist(); ()
+    case df: DataFrame =>
+      df.unpersist()
+      // localCheckpoint()ed frames cache their RDD blocks directly (not
+      // through CacheManager), so Dataset.unpersist alone leaves them to
+      // the ContextCleaner's GC schedule — release the checkpoint blocks
+      // deterministically via the LogicalRDD handles in the plan.
+      df.queryExecution.analyzed.foreach {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.unpersist(blocking = false); ()
+        case _ => ()
+      }
     case p: Product => p.productIterator.foreach(unpersistAll)
     case _ => ()
   }

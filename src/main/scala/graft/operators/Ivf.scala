@@ -182,26 +182,33 @@ object Ivf {
     * dir) — same lifecycle contract as the MinHash signature database:
     * per-dir name so a second data dir cannot drop the first's tables.
     */
-  private def vecDb(spark: SparkSession, dir: String): String =
-    graft.SessionCache.memo(spark, s"vecdb:$dir") {
-      val db = s"graft_vec_${graft.Fs.tmpTag(dir)}"
+  private def vecDb(spark: SparkSession, dir: String): String = {
+    val db = s"graft_vec_${graft.Fs.tmpTag(dir)}"
+    // JVM-wide once (not a session memo): the catalog and the files are
+    // SharedState/process-wide, so a second session in the same JVM must
+    // not DROP CASCADE the index out from under the first session's
+    // cached (cTbl, iTbl) references.
+    graft.Fs.onceInJvm(s"vecdb:$db") {
       val loc = s"${sys.props("java.io.tmpdir")}/graft_vec_${graft.Fs.tmpTag(dir)}"
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
       graft.Fs.rmTree(new java.io.File(loc))
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-      db
     }
+    db
+  }
 
   /** v11's stored index: the trained centroid table and the assigned
     * index (vec_id, qv, n2, cid) written ONCE as catalog parquet, the
     * index PARTITIONED BY cid — so a probe's cell subset maps to
     * directory-level partition pruning. Returns (centroidTbl, indexTbl).
     */
-  private[operators] def vectorStore(spark: SparkSession, dir: String): (String, String) =
-    graft.SessionCache.memo(spark, s"v11store:$dir") {
-      val db = vecDb(spark, dir)
-      val cTbl = s"$db.ivf_centroids"
-      val iTbl = s"$db.ivf_index"
+  private[operators] def vectorStore(spark: SparkSession, dir: String): (String, String) = {
+    val db = vecDb(spark, dir)
+    val cTbl = s"$db.ivf_centroids"
+    val iTbl = s"$db.ivf_index"
+    // JVM-once, same SharedState rationale as vecDb: the stored index is
+    // a pure function of the input dir, so a second session reuses it
+    graft.Fs.onceInJvm(s"v11store:$db") {
       val emb = CosineLsh.quantized(spark, dir)
       val c = graft.SessionCache.memo(spark, s"ivfCentroids:$dir") {
         centroids(emb).persist()
@@ -212,8 +219,9 @@ object Ivf {
       assign(emb, c).select(col("vec_id"), col("qv"), col("cid"))
         .join(emb.select(col("vec_id"), col("n2")), "vec_id")
         .write.mode("overwrite").partitionBy("cid").saveAsTable(iTbl)
-      (cTbl, iTbl)
     }
+    (cTbl, iTbl)
+  }
 
   /** v11: the PERSISTED vector index — the production separation of
     * index BUILD from query, the d17 signature-store story for vectors:

@@ -188,15 +188,20 @@ object MinHash {
     * for a second data dir in the same session must not tear down the
     * first dir's tables while their memoized names are still live.
     */
-  private def sigDb(spark: SparkSession, dir: String): String =
-    graft.SessionCache.memo(spark, s"sigdb:$dir") {
-      val db = s"graft_sigs_${graft.Fs.tmpTag(dir)}"
+  private def sigDb(spark: SparkSession, dir: String): String = {
+    val db = s"graft_sigs_${graft.Fs.tmpTag(dir)}"
+    // JVM-wide once, not a per-session memo: the catalog is SharedState
+    // (process-wide), so a second session in the same JVM must NOT
+    // re-run the drop-and-recreate and delete the files under the first
+    // session's live table references.
+    graft.Fs.onceInJvm(s"sigdb:$db") {
       val loc = s"${sys.props("java.io.tmpdir")}/graft_sigs_${graft.Fs.tmpTag(dir)}"
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
       graft.Fs.rmTree(new java.io.File(loc))
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-      db
     }
+    db
+  }
 
   /** (doc_id, h0..h35, n_sh) — the signature-store row for a shingled
     * (doc_id, sh) frame.
@@ -205,16 +210,20 @@ object MinHash {
     signatures(shingled)
       .join(shingled.select(col("doc_id"), size(col("sh")).as("n_sh")), "doc_id")
 
-  private[graft] def signatureStore(spark: SparkSession, dir: String): String =
-    graft.SessionCache.memo(spark, s"d17store:$dir") {
-      val tbl = s"${sigDb(spark, dir)}.minhash_store"
+  private[graft] def signatureStore(spark: SparkSession, dir: String): String = {
+    val tbl = s"${sigDb(spark, dir)}.minhash_store"
+    // built once per JVM (same SharedState rationale as sigDb): the
+    // store contents are a pure function of the input dir, so a second
+    // session reuses the files instead of clobbering them mid-read
+    graft.Fs.onceInJvm(s"d17store:$tbl") {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       val corpus = TextAnalysis.shingledDocs(spark, dir)
         .filter(col("doc_id") < IncrementalSplit)
         .select(col("doc_id"), col("sh"))
       sigsWithN(corpus).write.mode("overwrite").saveAsTable(tbl)
-      tbl
     }
+    tbl
+  }
 
   /** Candidate (batch_id, corpus_id) pairs where the corpus side comes
     * ENTIRELY from the persisted signature store: band keys are column

@@ -527,16 +527,9 @@ object Relational extends RelationalBase
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     // NOT EXISTS (not NOT IN): matches the anti-join's NULL semantics
     "dq04_fk_report" -> {
-      val edges = Seq(
-        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
-        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
-        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
-        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
-        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
-        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
-      val rows = edges.map { case (name, fact, fk, dim, pk) =>
+      // the edge list is the shared RelationalBase.FkEdges — one
+      // definition feeds both the DataFrame audit and this oracle
+      val rows = FkEdges.map { case (name, fact, fk, dim, pk) =>
         s""" SELECT '$name' AS fk, (SELECT COUNT(*) FROM $fact) AS n_rows,
            |   (SELECT COUNT(*) FROM $fact f
            |    WHERE NOT EXISTS (SELECT 1 FROM $dim d WHERE d.$pk = f.$fk)) AS n_orphans""".stripMargin

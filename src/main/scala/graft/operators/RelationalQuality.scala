@@ -60,17 +60,7 @@ trait RelationalQuality extends RelationalBase {
   // uses NOT EXISTS, which matches, where NOT IN would not.
   def fkIntegrityReport(spark: SparkSession, dir: String): DataFrame = {
     def t(n: String) = Tables.load(spark, dir, n)
-    // edges: (name, fact, fk, dim, pk)
-    val edges = Seq(
-      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
-      ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
-      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
-      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
-      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
-      ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
-    edges.map { case (name, factT, fk, dimT, pk) =>
+    FkEdges.map { case (name, factT, fk, dimT, pk) =>
       val fact = t(factT)
       val orph = fact.select(col(fk))
         .join(broadcast(t(dimT).select(col(pk).as(fk)).distinct()), Seq(fk), "left_anti")

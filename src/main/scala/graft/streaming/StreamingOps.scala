@@ -81,6 +81,16 @@ object StreamingOps {
     * to a true DISTINCT. Output is projected to the KEY columns before
     * emitting, so the result is arrival-order independent — whichever
     * physical row wins the race, the emitted key row is identical.
+    *
+    * Bounded-replay assumption behind the 35-day default: the gate's
+    * events table replays as ONE micro-batch (single parquet split), so
+    * no row is ever late relative to the watermark and the result equals
+    * DISTINCT exactly. A multi-file replay of a table whose event-time
+    * span EXCEEDS the budget would silently drop keys first seen more
+    * than 35 days before the max event time — matching production
+    * semantics (late data is late) but diverging from the e20 DISTINCT
+    * oracle. Callers replaying a wider span must size `watermark` to
+    * cover it (≥ the table's event-time span).
     */
   def rateLimitDedup(events: DataFrame, watermark: String = "35 days"): DataFrame =
     withEventTime(events)

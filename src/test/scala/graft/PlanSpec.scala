@@ -71,10 +71,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("v10 filtered ANN pushes the label predicate into the parquet scan") {
-    val plan = graft.operators.Ivf.annTopKIvfFiltered(spark, sfDir)
-      .queryExecution.executedPlan.toString()
-    assert(plan.contains("LessThan(label,5)"),
-      s"label filter not pushed to the scan:\n$plan")
+    // assert on the scans' PushedFilters metadata mentioning `label`,
+    // not the literal "LessThan(label,5)" rendering — the filter
+    // toString is Spark-version/datasource-format dependent and a
+    // version bump must not fail the test without a behavior change
+    val df = graft.operators.Ivf.annTopKIvfFiltered(spark, sfDir)
+    val pushed = allScans(df.queryExecution.executedPlan)
+      .map(_.metadata.getOrElse("PushedFilters", ""))
+    assert(pushed.exists(_.contains("label")),
+      s"no scan pushes a label predicate: $pushed")
   }
 
   test("d21 semantic dedup pair generation is a hash/merge join on cid, no cartesian") {
