@@ -178,6 +178,23 @@ object Ivf {
   /** Cosine threshold for the semantic-cluster dedup (d21). */
   val SemDedupThreshold = 0.4
 
+  /** d21's hot-cell cap, as a multiple of the MEAN cell size: a cell
+    * keeps at most `factor × ceil(n / NumCentroids)` members. The cap
+    * is a SKEW GUARD, not a candidate-budget knob — the twin of d08's
+    * posting df-cap: pair volume inside one cell is C(members, 2), so
+    * one degenerate cell (a pile of near-identical embeddings — exactly
+    * what a dedup corpus has) is otherwise quadratic on a single
+    * shuffle key. Relative to the mean, NOT absolute, because the
+    * balanced regime is the quantizer's design point (measured
+    * max/mean is ≤ 1.3 at both gate scales — an absolute cap binding
+    * there would trade away recall on healthy cells, and at 100 TB the
+    * centroid count scales with the corpus precisely to keep cells
+    * near the mean). The formula is exact integer arithmetic
+    * (`(n + k−1) div k`), replayed verbatim in the oracle; the
+    * DedupSpec 70%-hot-cell fixture pins the binding behavior.
+    */
+  val SemDedupCellCapFactor = 2
+
   /** The session's vector-index DATABASE, created once per (session,
     * dir) — same lifecycle contract as the MinHash signature database:
     * per-dir name so a second data dir cannot drop the first's tables.
@@ -260,30 +277,76 @@ object Ivf {
       .filter(col("rank") <= 5)
   }
 
+  /** Like [[assign]] but keeps the winning cell's cost term and the
+    * vector's n2 — d21 needs the EXACT squared distance to the assigned
+    * centroid (n2 + cost = qv·qv − 2·qv·cv + cv·cv) as its cap rank key.
+    */
+  private def assignWithCost(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val cost = LongArrayDot.dot(col("cv"), col("cv")) -
+      lit(2L) * LongArrayDot.dot(col("qv"), col("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cost"), col("cid"))
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("qv"), col("n2"), col("cid"), cost.as("cost"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("n2"), col("cid"), col("cost"))
+  }
+
+  /** Hot-cell cap for d21: keep only the `cap` members NEAREST their
+    * cell centroid (exact squared distance `n2 + cost`, ties on
+    * vec_id). One row_number window per cell — O(cell) work, vs the
+    * O(cell²) pair volume it prevents; at extreme skew (a cell too big
+    * even to rank in one window partition) the same cut is a threshold
+    * on a sampled distance quantile, same semantics. Input must carry
+    * (vec_id, qv, n2, cid, cost) as produced by [[assignWithCost]];
+    * `cap` may reference input columns (d21 passes the corpus-count-
+    * derived relative cap).
+    */
+  private[graft] def capCells(assigned: DataFrame, cap: Column): DataFrame = {
+    val wCell = Window.partitionBy(col("cid"))
+      .orderBy(col("d2"), col("vec_id"))
+    assigned
+      .withColumn("d2", col("n2") + col("cost"))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= cap)
+      .select(col("cid"), col("vec_id"), col("qv"))
+  }
+
   /** d21: SemDeDup-style SEMANTIC dedup — embedding near-dup pairs
     * found WITHIN k-means cells rather than via hash buckets: every
     * vector is assigned to its nearest trained centroid (v04's
-    * quantizer, same SessionCache memo), pairs are generated only
-    * inside each cell (one equi-join on cid), and exact cosine keeps
-    * pairs ≥ [[SemDedupThreshold]]. This is the published SemDeDup
-    * recipe at 100 TB: clustering turns candidate generation from
-    * O(n²) into O(Σ cell²) with cells sized by the centroid count, and
-    * every join is an equi-join Catalyst hash-partitions. The recall
-    * trade is pairs straddling a cell boundary — complementary to the
-    * banded-LSH trade d05 makes (hash-bucket misses), which is why a
-    * production pipeline runs one of these per modality and the
-    * brute-force d03 only as a sampled audit. The DuckDB oracle replays
-    * the whole k-means training plus the within-cell pair generation,
-    * so the gate verifies the trained cells, not just the cosine math.
+    * quantizer, same SessionCache memo), each cell is CAPPED to its
+    * `[[SemDedupCellCapFactor]] × mean-cell-size` members nearest the
+    * centroid, pairs are generated only inside each capped cell (one
+    * equi-join on cid), and exact cosine keeps pairs ≥
+    * [[SemDedupThreshold]]. This is the published SemDeDup recipe at
+    * 100 TB: clustering turns candidate generation from O(n²) into
+    * O(Σ cell²), and the cap bounds the worst cell at C(cap, 2) pairs —
+    * without it one degenerate cell of near-identical embeddings is
+    * quadratic on a single shuffle key (the d08 df-cap story for
+    * vectors; DedupSpec pins the bound on a 70%-hot-cell fixture). The
+    * recall trade is twofold and documented: pairs straddling a cell
+    * boundary (complementary to d05's hash-bucket misses) and pairs
+    * touching a capped-out member of a degenerate cell — production
+    * recovers the latter by re-clustering dropped members with more
+    * centroids. The corpus count enters as a broadcast 1-row aggregate
+    * (the j10 scalar shape); the DuckDB oracle replays the k-means
+    * training, the assignment, the cap formula, the cap rank, and the
+    * within-cell pair generation, so the gate verifies the cap
+    * semantics too.
     */
   def semanticClusterDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = CosineLsh.quantized(spark, dir)
     val c = graft.SessionCache.memo(spark, s"ivfCentroids:$dir") {
       centroids(emb).persist()
     }
-    val assigned = assign(emb, c)
-    val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("qv").as("qa"))
-    val b = assigned.select(col("cid"), col("vec_id").as("id_b"), col("qv").as("qb"))
+    val nTot = emb.agg(count(lit(1)).as("n_vecs"))
+    val capped = capCells(
+      assignWithCost(emb, c).crossJoin(broadcast(nTot)),
+      lit(SemDedupCellCapFactor) *
+        expr(s"(n_vecs + ${NumCentroids - 1}) div $NumCentroids"))
+    val a = capped.select(col("cid"), col("vec_id").as("id_a"), col("qv").as("qa"))
+    val b = capped.select(col("cid"), col("vec_id").as("id_b"), col("qv").as("qb"))
     val sim = VectorSearch.qcosine(VectorSearch.idot(col("qa"), col("qb")),
       VectorSearch.inorm2(col("qa")), VectorSearch.inorm2(col("qb")))
     a.join(b, Seq("cid"))
@@ -394,19 +457,30 @@ object Ivf {
 
   private def semanticOracle: String = {
     val iters = (1 to KMeansIters).map(iterSql(_, "n")).mkString(",\n")
+    // idx keeps the winning cost; mem replays the hot-cell cap rank
+    // (exact squared distance n2 + cost, ties on vec_id) so the gate
+    // verifies which members the cap kept, not just the cosine math
     s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
        |n AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS n2 FROM e),
        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cv FROM n WHERE vec_id < $NumCentroids),
        |$iters,
-       |idx AS (SELECT vec_id, cid FROM (
+       |idx AS (SELECT vec_id, cid, cost FROM (
        |  SELECT n.vec_id, c.cid,
+       |    ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")} AS cost,
        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
        |      ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")}, c.cid) AS rn
        |  FROM n, c$KMeansIters c) WHERE rn = 1),
+       |mem AS (SELECT idx.vec_id, idx.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY idx.cid
+       |      ORDER BY n.n2 + idx.cost, idx.vec_id) AS crk
+       |  FROM idx JOIN n USING (vec_id)),
+       |t AS (SELECT COUNT(*) AS n_vecs FROM n),
+       |kept AS (SELECT vec_id, cid FROM mem, t
+       |         WHERE crk <= $SemDedupCellCapFactor * ((n_vecs + ${NumCentroids - 1}) // $NumCentroids)),
        |p AS (SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b,
        |  CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE)
        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
-       | FROM idx x JOIN idx y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       | FROM kept x JOIN kept y ON x.cid = y.cid AND x.vec_id < y.vec_id
        | JOIN n a ON a.vec_id = x.vec_id JOIN n b ON b.vec_id = y.vec_id)
        |SELECT cid, id_a, id_b, sim FROM p WHERE sim >= $SemDedupThreshold""".stripMargin
   }

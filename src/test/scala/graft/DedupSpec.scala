@@ -279,4 +279,32 @@ class DedupSpec extends SparkSpec {
       assert(rate == recomputed, s"rate mismatch for $src: $rate vs $recomputed")
     }
   }
+
+  test("d21 hot-cell cap bounds per-cell pair volume (70%-hot-cell fixture)") {
+    import spark.implicits._
+    // one degenerate cell holds 70% of the vectors — the shape that is
+    // quadratic on a single shuffle key without the cap
+    val cap = 5
+    val rows = (0 until 100).map { i =>
+      val cid = if (i < 70) 0 else 1 + (i % 3)
+      // constant cost, n2 increasing in vec_id → d2 = n2 + cost ranks
+      // members by vec_id, so the expected kept set is exact
+      (i.toLong, Seq(i.toLong), 1000L + i, cid, -500L)
+    }.toDF("vec_id", "qv", "n2", "cid", "cost")
+    val capped = graft.operators.Ivf.capCells(rows, lit(cap))
+    val sizes = capped.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.values.forall(_ <= cap), s"cell over cap: $sizes")
+    assert(sizes(0) == cap, s"hot cell not truncated: $sizes")
+    // the cap keeps the members NEAREST the centroid (lowest d2, ties
+    // on vec_id): vec_ids 0..4 in the hot cell
+    val keptHot = capped.filter(col("cid") === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    assert(keptHot.sameElements(Array(0L, 1L, 2L, 3L, 4L)), keptHot.mkString(","))
+    // pair volume is bounded by cells × C(cap, 2) = 4 × 10, not C(70, 2)
+    val a = capped.select(col("cid"), col("vec_id").as("id_a"))
+    val b = capped.select(col("cid"), col("vec_id").as("id_b"))
+    val nPairs = a.join(b, Seq("cid")).filter(col("id_a") < col("id_b")).count()
+    assert(nPairs <= 40, s"$nPairs pairs — cap not bounding the fan-out")
+  }
 }
