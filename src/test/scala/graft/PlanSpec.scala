@@ -82,6 +82,22 @@ class PlanSpec extends SparkSpec {
       s"no scan pushes a label predicate: $pushed")
   }
 
+  test("v11 stored-index probe prunes to the probed cid partitions") {
+    // the claim in Ivf.vectorStore's scaladoc: the index is
+    // partitionBy(cid), so the probe join must reach the stored table
+    // as directory-level partition pruning, not a full index scan
+    val df = graft.operators.Ivf.annTopKIvfStored(spark, sfDir)
+    df.collect() // force the store build + the runtime filter
+    val idxScans = allScans(df.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("Location", "").contains("ivf_index"))
+    assert(idxScans.nonEmpty, "stored index table not scanned")
+    val parts = idxScans.map(_.metadata.getOrElse("PartitionFilters", "")).mkString
+    assert(parts.contains("cid"),
+      s"index scan carries no cid partition filter: $parts")
+    assert(parts.contains("dynamicpruning"),
+      s"cid filter is not a runtime (probe-derived) pruning filter: $parts")
+  }
+
   test("d21 semantic dedup pair generation is a hash/merge join on cid, no cartesian") {
     // the centroid ASSIGNMENT crossJoin (16 broadcast rows) is the
     // deliberate bounded fan-out every IVF plan carries; the vector×
