@@ -19,6 +19,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracles),
+      (Curation.queries, Curation.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (VectorSearch.queries, VectorSearch.oracles),
       (MinHash.queries, MinHash.oracles),

@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** c01/c02: the LLM-curation operators COMPOSED as one end-to-end
+  * pipeline — the extension-tier analog of the reference's
+  * dependency-ordered ETL (`/root/reference/etl.py:19-29` runs prep →
+  * staging → star → validation as ONE lineage; here the lineage is
+  * quality gate (t05) → near-dup removal keeping cluster
+  * representatives (d04 pairs + d14 convergent components) →
+  * decontamination (d11) → mixture reweighting (t16) → token packing
+  * (k01)). Each stage alone is oracle-green elsewhere; this module
+  * proves they work as a SYSTEM: one DuckDB oracle replays every stage
+  * over the same CTE chain, and PlanSpec pins that the composed plan
+  * reads `documents` exactly once.
+  *
+  * Scale design — the single-scan rule: every stage consumes a shared
+  * per-document FEATURE frame (token counts, stop flag, shingles) built
+  * in ONE pass over the corpus and persisted. At 100 TB this is the
+  * difference between one corpus read and five: without it each stage's
+  * plan re-derives its features from the raw text (the re-scan
+  * explosion composition always risks), with it the corpus text is
+  * touched once and everything downstream moves only ids, counts, and
+  * 8-byte shingle hashes. The stage mechanics inherit each operator's
+  * own scale story: LSH-banded candidates (never all-pairs), convergent
+  * min-label CC with per-round lineage cuts, broadcast bench-shingle
+  * set, source-cardinality mixture table, partition-offset prefix sum
+  * for packing.
+  *
+  * Determinism: stage predicates are integer/exact (token counts,
+  * percentile — bit-exact vs quantile_cont per x10 —, Jaccard as a
+  * ratio of set sizes, md5-free doc_id % bench split); the only floats
+  * are the mixture weight (a fixed expression tree of exact-integer
+  * divisions, mirrored verbatim in the oracle) and the per-doc weighted
+  * tokens, integer-quantized (t13's floor(x·1e6+0.5) trick) BEFORE the
+  * per-bin sum so the aggregation is order-free.
+  */
+object Curation {
+
+  /** Benchmark slice and flag threshold — d11's decontamination params. */
+  private val BenchMod = TextAnalysis.ContaminationBenchMod
+  private val FlagRatio = TextAnalysis.ContaminationFlagRatio
+
+  /** The one corpus scan: per-document features every stage consumes.
+    * (doc_id, lang, source, n_tokens [t05's regex count], has_stop,
+    * n_ws [k01's whitespace count], sh [3-shingles]) — persisted via
+    * SessionCache so c01, c02, and repeat calls share one build.
+    */
+  private[graft] def base(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"c01base:$dir") {
+      graft.functions.WordShingles.register(spark)
+      val w = TextAnalysis.wordsOf(lower(col("text")))
+      Tables.load(spark, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(
+          col("doc_id"), col("lang"), col("source"),
+          size(regexp_extract_all(col("text"), lit(TextAnalysis.tokenRegex), lit(0)))
+            .as("n_tokens"),
+          (size(filter(w, x => x.isin(TextAnalysis.stopwords: _*))) > 0).as("has_stop"),
+          size(TextAnalysis.wordsOf(col("text"))).cast(LongType).as("n_ws"),
+          graft.functions.WordShingles.shingles(col("text")).as("sh"))
+        .persist()
+    }
+
+  /** Stage 1 — quality gate (t05 semantics): keep documents at or above
+    * the corpus-median regex token count that contain a stopword. The
+    * median is a 1-row broadcast scalar over the persisted base.
+    */
+  private def qualitySurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir)
+    val med = b.agg(expr("percentile(n_tokens, 0.5)").as("median_tokens"))
+    b.crossJoin(broadcast(med))
+      .filter(col("n_tokens") >= col("median_tokens") && col("has_stop"))
+      .drop("median_tokens")
+  }
+
+  /** Stage 2 — near-dup removal keeping cluster REPRESENTATIVES:
+    * MinHash-LSH candidates among the quality survivors, exact Jaccard
+    * ≥ 0.5 on candidates only (the d04 recipe — signatures are per-doc,
+    * so subsetting the corpus cannot change a surviving pair's bands or
+    * its Jaccard), convergent connected components over the pair graph
+    * (d14's run-to-fixpoint loop), keep min-id per component. The
+    * oracle replays this as brute-force pairs + a recursive-CTE
+    * transitive closure — verifying the ALGORITHM's result, not its
+    * rounds.
+    */
+  private def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"c01dedup:$dir") {
+      val q = qualitySurvivors(spark, dir)
+      val docsSh = q.select(col("doc_id"), col("sh"))
+      val cand = MinHash.candidatePairs(docsSh)
+      val a = q.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), size(col("sh")).as("na"))
+      val b = q.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), size(col("sh")).as("nb"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val pairs = cand.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"), inter.as("n_inter"),
+          (col("na") + col("nb") - inter).as("n_union"))
+        .filter(col("n_inter").cast(DoubleType) / col("n_union") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val edges = pairs.unionByName(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      val labels = MinHash.connectedComponents(edges)
+      q.join(labels, q("doc_id") === labels("v"), "left")
+        .withColumn("rep", coalesce(col("label"), col("doc_id")))
+        .filter(col("doc_id") === col("rep"))
+        .select(q.columns.map(col): _*)
+        .persist()
+    }
+
+  /** Stage 3 — decontamination (d11 semantics): the benchmark slice is
+    * `doc_id % `[[BenchMod]]` = 0` over the ORIGINAL corpus (the eval
+    * suite is external — it does not shrink when training docs are
+    * dropped); its distinct-shingle set is broadcast. Training docs
+    * that ARE bench docs are dropped outright; survivors with shingle
+    * overlap ≥ [[FlagRatio]] are dropped; shingle-less docs cannot be
+    * contaminated.
+    */
+  private def decontaminated(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"c01decontam:$dir") {
+      val d = dedupSurvivors(spark, dir)
+      val bench = base(spark, dir)
+        .filter(pmod(col("doc_id"), lit(BenchMod)) === 0)
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val train = d.filter(pmod(col("doc_id"), lit(BenchMod)) =!= 0)
+      val hits = train.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(broadcast(bench), "shingle")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      train.join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .filter(size(col("sh")) === 0 ||
+          col("n_hit").cast(DoubleType) / size(col("sh")) < FlagRatio)
+        .drop("n_hit")
+        .persist()
+    }
+
+  /** c01 — the composed pipeline's OUTPUT: packed training bins over
+    * the curated corpus. Mixture weights (t16: uniform target share per
+    * lang over the curated set) attach per doc; per-doc weighted tokens
+    * are integer-quantized before the per-bin sum (order-free); bin
+    * assignment is k01's partition-offset prefix sum in doc_id order at
+    * the shared [[TextAnalysis.PackBudget]].
+    */
+  def curatedPackedBins(spark: SparkSession, dir: String): DataFrame = {
+    val dec = decontaminated(spark, dir)
+    val total = dec.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("lang")).as("n_langs"))
+    val bySrc = dec.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val weight = (lit(1.0) / col("n_langs")) /
+      (col("n_docs").cast(DoubleType) / col("n_total"))
+    val qw = floor(col("n_ws").cast(DoubleType) * weight * lit(1e6) + lit(0.5))
+      .cast(LongType)
+    val weighted = dec.select(col("doc_id"), col("lang"), col("n_ws"))
+      .join(broadcast(bySrc), "lang")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_ws"), qw.as("qw"))
+    Keys.scalablePrefixSum(weighted, Seq(col("doc_id")), col("n_ws"), "cum_before")
+      .withColumn("bin_id", expr(s"cum_before div ${TextAnalysis.PackBudget}"))
+      .groupBy(col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        (sum(col("qw")).cast(DoubleType) / lit(1e6)).as("weighted_tokens"))
+      .orderBy(col("bin_id"))
+  }
+
+  /** c02 — the pipeline FUNNEL: docs and whitespace tokens surviving
+    * each stage, the governance table a curation run publishes (how
+    * much did each gate drop?). Shares every stage frame with c01 via
+    * the session memos — reading the funnel costs four aggregates over
+    * persisted frames, not a pipeline re-run.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    def row(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_ws")).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    row("0_raw", base(spark, dir))
+      .unionAll(row("1_quality", qualitySurvivors(spark, dir)))
+      .unionAll(row("2_neardup_removed", dedupSurvivors(spark, dir)))
+      .unionAll(row("3_decontaminated", decontaminated(spark, dir)))
+      .orderBy(col("stage"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_curated_packed_bins" -> (curatedPackedBins _),
+    "c02_curation_funnel" -> (curationFunnel _))
+
+  /** The shared oracle CTE chain — every stage replayed in DuckDB over
+    * the same raw inputs: features, median gate, brute-force 0.5-Jaccard
+    * pairs, recursive-CTE transitive closure for the true components,
+    * bench-overlap decontamination, mixture weights, and the packing
+    * prefix sum. c01 and c02 SELECT different tails off one chain, so
+    * the two gates cannot drift apart.
+    */
+  /** CTEs are MATERIALIZED where referenced more than once (directly or
+    * from the recursive CTE — DuckDB would otherwise inline the whole
+    * pair-graph computation into EVERY iteration of the transitive
+    * closure), and the pair graph uses the inverted-index co-occurrence
+    * join rather than per-pair list_intersect: pairs with zero shared
+    * shingles cannot reach the 0.5 threshold, so the result is
+    * identical to all-pairs while the cost scales with Σ df², not
+    * n²·|sh| (the d02 argument, applied to the oracle itself — 210 s →
+    * seconds at the 10× coverage scale).
+    */
+  private def stageCtes: String = {
+    val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString(",")
+    s"""w AS (SELECT doc_id, lang, source, text,
+       |   string_split_regex(trim(text), '\\s+') AS words FROM documents),
+       |raw AS MATERIALIZED (SELECT doc_id, lang, source,
+       |   CAST(len(regexp_extract_all(text, '${TextAnalysis.tokenRegex}')) AS INTEGER) AS n_tokens,
+       |   len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |     x -> x IN ($stops))) > 0 AS has_stop,
+       |   CAST(len(words) AS BIGINT) AS n_ws,
+       |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+       |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+       | FROM w),
+       |med AS (SELECT quantile_cont(n_tokens, 0.5) AS m FROM raw),
+       |q AS MATERIALIZED (SELECT raw.* FROM raw, med WHERE n_tokens >= m AND has_stop),
+       |ps AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_sh, unnest(sh) AS shingle FROM q),
+       |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        a.n_sh AS na, b.n_sh AS nb, CAST(COUNT(*) AS INTEGER) AS n_inter
+       |      FROM ps a JOIN ps b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2, 3, 4),
+       |pr AS (SELECT id_a, id_b FROM j
+       |       WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.5),
+       |e AS MATERIALIZED (SELECT id_a, id_b FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+       |verts AS (SELECT DISTINCT id_a AS v FROM e),
+       |r AS (SELECT v AS src, v AS node FROM verts
+       |      UNION
+       |      SELECT r.src, e.id_b AS node FROM r JOIN e ON e.id_a = r.node),
+       |comp AS MATERIALIZED (SELECT node AS v, MIN(src) AS label FROM r GROUP BY node),
+       |d AS MATERIALIZED (SELECT q.* FROM q LEFT JOIN comp ON q.doc_id = comp.v
+       |      WHERE q.doc_id = COALESCE(comp.label, q.doc_id)),
+       |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM raw
+       |          WHERE doc_id % $BenchMod = 0),
+       |p AS (SELECT doc_id, unnest(sh) AS shingle FROM d
+       |      WHERE doc_id % $BenchMod <> 0),
+       |h AS (SELECT doc_id, COUNT(*) AS n_hit FROM p JOIN bench USING (shingle) GROUP BY 1),
+       |dec AS MATERIALIZED (SELECT d.* FROM d LEFT JOIN h USING (doc_id)
+       |        WHERE d.doc_id % $BenchMod <> 0
+       |          AND (len(d.sh) = 0
+       |            OR CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(d.sh) < $FlagRatio))""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "c01_curated_packed_bins" ->
+      s"""WITH RECURSIVE $stageCtes,
+         |t AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT lang) AS n_langs FROM dec),
+         |s AS (SELECT lang, COUNT(*) AS n_docs FROM dec GROUP BY 1),
+         |wt AS (SELECT dec.doc_id, dec.n_ws,
+         |   CAST(floor(CAST(dec.n_ws AS DOUBLE)
+         |     * ((CAST(1 AS DOUBLE) / n_langs) / (CAST(s.n_docs AS DOUBLE) / n_total))
+         |     * 1e6 + 0.5) AS BIGINT) AS qw
+         | FROM dec JOIN s USING (lang) CROSS JOIN t),
+         |c AS (SELECT doc_id, n_ws, qw,
+         |   COALESCE(SUM(n_ws) OVER (ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         | FROM wt)
+         |SELECT CAST(cum_before // ${TextAnalysis.PackBudget} AS BIGINT) AS bin_id,
+         | COUNT(*) AS n_docs,
+         | CAST(SUM(n_ws) AS BIGINT) AS total_tokens,
+         | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+         | CAST(SUM(qw) AS DOUBLE) / 1e6 AS weighted_tokens
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c02_curation_funnel" ->
+      s"""WITH RECURSIVE $stageCtes
+         |SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_ws) AS BIGINT) AS n_tokens FROM raw
+         |UNION ALL
+         |SELECT '1_quality', COUNT(*), CAST(SUM(n_ws) AS BIGINT) FROM q
+         |UNION ALL
+         |SELECT '2_neardup_removed', COUNT(*), CAST(SUM(n_ws) AS BIGINT) FROM d
+         |UNION ALL
+         |SELECT '3_decontaminated', COUNT(*), CAST(SUM(n_ws) AS BIGINT) FROM dec
+         |ORDER BY stage""".stripMargin)
+}

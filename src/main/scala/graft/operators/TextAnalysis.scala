@@ -18,8 +18,10 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  private val tokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+  // shared with the composed curation pipeline (c01) so the stages there
+  // reuse the exact t05/k01 semantics rather than re-defining them
+  private[operators] val tokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private[operators] val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
 
   /** Whitespace tokens of a text column. */
   def wordsOf(c: Column): Column = split(trim(c), "\\s+")
@@ -378,6 +380,38 @@ object TextAnalysis {
       .filter(col("hamming") <= SimHashMaxHamming)
   }
 
+  /** t19 oracle: the K merge rounds as K chained CTE triples (pair
+    * counts → argmax → global merge replace), the k-means-replay
+    * pattern applied to tokenizer training — same `||` symbol encoding,
+    * same regex, same tie-break, so every round's pick is verified.
+    */
+  private def t19OracleSql: String = {
+    val rounds = (1 to BpeMergeRounds).map { r =>
+      s"""p$r AS (SELECT sym[i] || ' ' || sym[i+1] AS pair, freq
+         | FROM (SELECT list_filter(string_split(s, '||'), x -> x <> '') AS sym, freq
+         |       FROM v${r - 1}),
+         |      unnest(range(1, len(sym))) AS u(i)),
+         |c$r AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM p$r GROUP BY 1),
+         |t$r AS (SELECT pair, pair_count FROM c$r ORDER BY pair_count DESC, pair LIMIT 1),
+         |v$r AS (SELECT regexp_replace(v.s,
+         |    '\\|' || replace(t.pair, ' ', '\\|\\|') || '\\|',
+         |    '|' || replace(t.pair, ' ', '') || '|', 'g') AS s, v.freq
+         |  FROM v${r - 1} v, t$r t)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeMergeRounds)
+      .map(r => s"SELECT CAST($r AS INTEGER) AS round, pair, pair_count FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |  FROM documents),
+       |f AS (SELECT word, COUNT(*) AS freq FROM w
+       |      WHERE len(word) >= 2 AND regexp_matches(word, '^[a-z0-9]+${"$"}')
+       |      GROUP BY word),
+       |v0 AS (SELECT '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS s, freq FROM f),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
   private val simhashOracleSql: String = {
     val voteCols = (0 until SimHashBits)
       .map(b => s"SUM((h >> $b) & 1) AS c$b").mkString(",\n   ")
@@ -555,6 +589,71 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** Merge rounds for the iterated BPE trainer (t19). */
+  val BpeMergeRounds = 5
+
+  /** t19: ITERATED BPE merge training — the loop t17 counts one round
+    * of: K rounds of (count adjacent symbol pairs weighted by word
+    * frequency → take the top pair → merge it everywhere), emitting the
+    * merge table (round, pair, pair_count) a tokenizer trainer
+    * publishes. Runs on the DISTINCT word vocabulary (t17's two-level
+    * trick: the corpus is aggregated to word frequencies ONCE; the K
+    * rounds never touch corpus rows again — at 100 TB each round is a
+    * pass over millions of vocab rows, not trillions of tokens).
+    *
+    * Mechanics shared with d14's convergent loop: one driver-side
+    * 1-row collect per round (the argmax pair — the same bounded
+    * driver traffic as a convergence count), `localCheckpoint` per
+    * round so round N's plan stays O(1) deep, early exit when no pair
+    * remains. Words are restricted to `[a-z0-9]+` so every symbol is
+    * regex-literal (the tokenizer-training corpus anyway).
+    *
+    * The merge rule both engines replay bit-identically: a word's
+    * symbols are kept as a `||`-delimited string (`||h||e||y||` — TWO
+    * pipes between symbols, so replacing `|a||b|` with `|ab|` consumes
+    * one pipe from each side and adjacent occurrences still match:
+    * `||a||a||a||a||` → `||aa||aa||`), and the merge is one global
+    * regexp_replace whose left-to-right non-overlapping scan is the
+    * same automaton semantics in Java regex and RE2 — the greedy-left
+    * merge classic BPE uses. Ties on pair_count break on the pair
+    * string (ASCII compare, engine-identical).
+    */
+  def bpeIteratedMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var vocab = docs(spark, dir)
+      .select(explode(wordsOf(lower(col("text")))).as("word"))
+      .filter(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit("||"), regexp_replace(col("word"), "(.)", "$1||")).as("s"),
+        col("freq"))
+      .localCheckpoint()
+    var r = 1
+    var done = false
+    while (r <= BpeMergeRounds && !done) {
+      val syms = filter(split(col("s"), "\\|\\|"), x => x =!= "")
+      val n = size(syms)
+      val pairs = zip_with(slice(syms, lit(1), n - 1), slice(syms, lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b))
+      val top = vocab
+        .select(explode(pairs).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val pair = top(0).getString(0)
+        merges += ((r, pair, top(0).getLong(1)))
+        val Array(a, b) = pair.split(" ", 2)
+        vocab = vocab.withColumn("s",
+            regexp_replace(col("s"), "\\|" + a + "\\|\\|" + b + "\\|", "|" + a + b + "|"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "pair", "pair_count").orderBy(col("round"))
+  }
+
   // T: bigram-LM document scorer — mean ln P(w2 | w1) per document
   // under the corpus's OWN bigram model (MLE; no smoothing needed:
   // every scored bigram is in the counts by construction). This is the
@@ -639,8 +738,8 @@ object TextAnalysis {
       substring(hex(bin), 1, 8).as("magic_hex")) // first-4-bytes magic; hex-then-slice (DuckDB blob substring unsupported)
   }
 
-  /** Tokens per training bin (k01). */
-  private val PackBudget = 2048L
+  /** Tokens per training bin (k01; shared by c01's packing stage). */
+  private[operators] val PackBudget = 2048L
   /** Chunk window / stride in tokens (t11): 25% overlap. */
   private val ChunkW = 64
   private val ChunkS = 48
@@ -815,6 +914,7 @@ object TextAnalysis {
     "t14_boilerplate" -> (boilerplateDetect _),
     "t16_mixture_weights" -> (mixtureWeights _),
     "t17_bpe_pair_counts" -> (bpePairCounts _),
+    "t19_bpe_iterated_merges" -> (bpeIteratedMerges _),
     "t18_length_mixture" -> (lengthMixtureReport _),
     "d16_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "k01_token_packing" -> (tokenPacking _),
@@ -865,6 +965,7 @@ object TextAnalysis {
         |      FROM f, unnest(range(1, len(word))) AS u(i))
         |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM p GROUP BY pair
         |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+    "t19_bpe_iterated_merges" -> t19OracleSql,
     "t16_mixture_weights" ->
       """WITH t AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT lang) AS n_langs FROM documents),
         |s AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)

@@ -82,6 +82,41 @@ class PlanSpec extends SparkSpec {
       s"no scan pushes a label predicate: $pushed")
   }
 
+  /** All plan nodes, recursing through AQE wrappers/query stages. */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p.collect {
+    case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allNodes(q.plan)
+    case n => Seq(n)
+  }.flatten
+
+  test("c01 composed pipeline reads documents exactly once across all stages") {
+    val df = graft.operators.Curation.curatedPackedBins(spark, sfDir)
+    df.collect()
+    // every stage consumes the persisted feature base, so the composed
+    // plan itself must contain NO documents file scan — its leaves are
+    // InMemoryTableScans and checkpointed RDDs
+    val docScans = allScans(df.queryExecution.executedPlan)
+      .count(_.metadata.getOrElse("Location", "").contains("documents"))
+    assert(docScans == 0, s"$docScans documents scans in the composed plan")
+    // ... and across ALL cached stage frames (transitively — stage
+    // caches nest the base cache), the corpus file scan appears exactly
+    // once (the base build) — the bound that rules out a per-stage
+    // re-scan explosion at 100 TB
+    def cachedPlans(p: SparkPlan): Seq[SparkPlan] = {
+      val direct = allNodes(p).collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          s.relation.cachedPlan
+      }
+      direct ++ direct.flatMap(cachedPlans)
+    }
+    val cached = cachedPlans(df.queryExecution.executedPlan).distinct
+    assert(cached.nonEmpty, "no InMemoryTableScan — stages are not sharing the base")
+    val cachedDocScans = cached.flatMap(allScans)
+      .count(_.metadata.getOrElse("Location", "").contains("documents"))
+    assert(cachedDocScans == 1,
+      s"$cachedDocScans documents scans across cached stage frames")
+  }
+
   test("v11 stored-index probe prunes to the probed cid partitions") {
     // the claim in Ivf.vectorStore's scaladoc: the index is
     // partitionBy(cid), so the probe join must reach the stored table
