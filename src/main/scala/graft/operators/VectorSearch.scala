@@ -43,21 +43,63 @@ object VectorSearch {
   /** Brute-force cosine top-k: queries = vec_id < 10, k = 5.
     * The query side is tiny → broadcast; the scan side streams once.
     */
-  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame =
+    bruteTopK(spark, dir, labelMax = None)
+
+  /** The exact-top-k core, with an optional index-side label predicate
+    * — `labelMax = Some(m)` is the ground truth for the FILTERED ANN
+    * (v10): the searchable side is restricted exactly as the index is.
+    */
+  private def bruteTopK(spark: SparkSession, dir: String,
+                        labelMax: Option[Int]): DataFrame = {
     graft.functions.LongArrayDot.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"), col("label"))
       .withColumn("n2", inorm2(col("qv")))
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("n2").as("q_n2"))
+    val idx = labelMax.map(m => emb.filter(col("label") < m)).getOrElse(emb)
     val cand = broadcast(q).join(
-      emb.select(col("vec_id").as("neighbor_id"), col("qv").as("n_qv"), col("n2").as("n_n2")),
+      idx.select(col("vec_id").as("neighbor_id"), col("qv").as("n_qv"), col("n2").as("n_n2")),
       col("neighbor_id") =!= col("query_id"))
     val sim = qcosine(idot(col("q_qv"), col("n_qv")), col("q_n2"), col("n_n2"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     cand.select(col("query_id"), col("neighbor_id"), sim.as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
+  }
+
+  /** v12: ANN RECALL REPORT — recall@5 of every approximate method
+    * (v02 banded LSH, v04 IVF, v09 PQ re-rank, v10 filtered IVF)
+    * against the exact brute-force top-k, as exact hit fractions: the
+    * governance artifact an index owner reads before trusting an
+    * approximate index, promoted from test-only floors (VectorSpec) to
+    * the same oracle gate as everything else. v10 is scored against the
+    * FILTERED exact truth (its index never contained the excluded
+    * vectors). All counts are exact integers; recall is one division —
+    * deterministic in both engines. The oracle composes each method's
+    * FULL replay (training included) as subqueries off the shared
+    * chain, so the report verifies end-to-end, not against cached
+    * Spark results.
+    */
+  def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteForce(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val exactF = bruteTopK(spark, dir, Some(Ivf.FilterMaxLabel))
+      .select(col("query_id"), col("neighbor_id"))
+    def row(name: String, topk: DataFrame, baseline: DataFrame): DataFrame = {
+      val hits = topk.select(col("query_id"), col("neighbor_id"))
+        .join(baseline, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val total = baseline.agg(count(lit(1)).as("n_total"))
+      hits.crossJoin(broadcast(total))
+        .select(lit(name).as("method"), col("n_hits"), col("n_total"),
+          (col("n_hits").cast(DoubleType) / col("n_total")).as("recall"))
+    }
+    row("v02_lsh", CosineLsh.annTopK(spark, dir), exact)
+      .unionAll(row("v04_ivf", Ivf.annTopKIvf(spark, dir), exact))
+      .unionAll(row("v09_pq", annRerankPq(spark, dir), exact))
+      .unionAll(row("v10_ivf_filtered", Ivf.annTopKIvfFiltered(spark, dir), exactF))
+      .orderBy(col("method"))
   }
 
   /** Embedding-cosine near-duplicate pairs (sim >= 0.4), brute force. */
@@ -277,11 +319,62 @@ object VectorSearch {
     "v08_ann_rerank_int8" -> (annRerankInt8 _),
     "v09_ann_rerank_pq" -> (annRerankPq _),
     "v05_label_centroids" -> (labelCentroids _),
+    "v12_ann_recall_report" -> (annRecallReport _),
     "x18_higher_order" -> (higherOrderOps _),
     "d03_dedup_embedding" -> (dedupEmbedding _))
 
   private val qexpr = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4096) AS BIGINT))"
   private val cexpr = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 16) AS BIGINT))"
+
+  /** Exact brute-force top-k with an index-side predicate — "TRUE" is
+    * v01's oracle; "d.label < m" is the filtered ground truth v12
+    * scores v10 against.
+    */
+  private def bruteOracleSql(indexFilter: String): String =
+    s"""WITH e AS (SELECT vec_id, $qexpr AS qv, label FROM embeddings),
+       |n AS (SELECT vec_id, qv, label,
+       |   CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])) AS BIGINT) AS n2 FROM e),
+       |p AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |   CAST(CAST(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*d.qv[i])) AS BIGINT) AS DOUBLE)
+       |     / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(d.n2 AS DOUBLE))) AS sim
+       | FROM n q JOIN n d ON q.vec_id < 10 AND d.vec_id <> q.vec_id AND ($indexFilter)),
+       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM p)
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** v12 oracle: each method's FULL oracle replay (k-means / PQ
+    * training included) nested as a subquery, intersected with the
+    * exact baselines — the whole report derived from raw parquet in one
+    * statement. Baselines are MATERIALIZED (referenced per method).
+    */
+  private def v12OracleSql: String = {
+    def sub(name: String, sql: String): String =
+      s"$name AS (SELECT query_id, neighbor_id FROM (\n$sql\n) t)"
+    def scored(method: String, m: String, baseline: String): String =
+      s"""SELECT '$method' AS method,
+         | (SELECT COUNT(*) FROM $m JOIN $baseline USING (query_id, neighbor_id)) AS n_hits,
+         | (SELECT COUNT(*) FROM $baseline) AS n_total""".stripMargin
+    s"""WITH exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |${bruteOracleSql("TRUE")}
+       |) t),
+       |exactf AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |${bruteOracleSql(s"d.label < ${Ivf.FilterMaxLabel}")}
+       |) t),
+       |${sub("m02", CosineLsh.oracles("v02_ann_lsh_topk"))},
+       |${sub("m04", Ivf.oracles("v04_ann_ivf_topk"))},
+       |${sub("m09", pqOracleSql)},
+       |${sub("m10", Ivf.oracles("v10_ann_filtered"))}
+       |SELECT method, n_hits, n_total,
+       |  CAST(n_hits AS DOUBLE) / n_total AS recall
+       |FROM (
+       |${scored("v02_lsh", "m02", "exact")}
+       |UNION ALL
+       |${scored("v04_ivf", "m04", "exact")}
+       |UNION ALL
+       |${scored("v09_pq", "m09", "exact")}
+       |UNION ALL
+       |${scored("v10_ivf_filtered", "m10", "exactf")}
+       |) ORDER BY method""".stripMargin
+  }
 
   private def pqDot(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) AS BIGINT)"
@@ -370,16 +463,7 @@ object VectorSearch {
          | CAST(MAX(CASE WHEN pos = 0 THEN s END) AS BIGINT) AS dim0_sum,
          | CAST(MAX(CASE WHEN pos = 0 THEN s END) AS DOUBLE) / MAX(n) AS dim0_mean
          |FROM g GROUP BY label ORDER BY label""".stripMargin,
-    "v01_ann_bruteforce_topk" ->
-      s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
-         |n AS (SELECT vec_id, qv,
-         |   CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])) AS BIGINT) AS n2 FROM e),
-         |p AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-         |   CAST(CAST(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*d.qv[i])) AS BIGINT) AS DOUBLE)
-         |     / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(d.n2 AS DOUBLE))) AS sim
-         | FROM n q JOIN n d ON q.vec_id < 10 AND d.vec_id <> q.vec_id),
-         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM p)
-         |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    "v01_ann_bruteforce_topk" -> bruteOracleSql("TRUE"),
     // both stages replicated: the coarse cut (top-RerankCoarseK by
     // ×16-quantized cosine, ties on neighbor_id) and the exact re-rank
     "v07_ann_rerank_topk" ->
@@ -405,6 +489,7 @@ object VectorSearch {
     // the ENTIRE PQ pipeline replayed: 8 subspace k-means trainings,
     // encoding, reconstruction, then the shared two-stage SQL
     "v09_ann_rerank_pq" -> pqOracleSql,
+    "v12_ann_recall_report" -> v12OracleSql,
     // int8 encode replayed exactly: max-abs scale, round(x·127/maxabs),
     // then the same coarse-cut + exact-re-rank pipeline as v07's oracle
     "v08_ann_rerank_int8" ->
