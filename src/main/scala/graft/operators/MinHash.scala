@@ -308,6 +308,61 @@ object MinHash {
     verifyAgainstStore(spark, dir, signatureStore(spark, dir),
       shingledRange(spark, dir, IncrementalSplit, Long.MaxValue))
 
+  /** One micro-batch's novelty probe against the persisted store: the
+    * d17 plan verbatim (band candidates off the stored h-columns, exact
+    * Jaccard verify on candidates only), anti-joined back so only docs
+    * with NO corpus near-dup at ≥ 0.5 survive. Factored out of the
+    * stream so StreamingSpec can pin split-independence: novelty
+    * depends only on the STATIC store, never on other stream docs.
+    */
+  private[graft] def probeNovel(batch: DataFrame, dir: String, storeTbl: String): DataFrame = {
+    val s = batch.sparkSession
+    graft.functions.WordShingles.register(s)
+    val shingled = batch
+      .repartition(col("doc_id"))
+      .filter(size(TextAnalysis.wordsOf(col("text"))) >= 3)
+      .select(col("doc_id"), graft.functions.WordShingles.shingles(col("text")).as("sh"))
+    val matched = verifyAgainstStore(s, dir, storeTbl, shingled)
+      .select(col("batch_id").as("doc_id")).distinct()
+    batch.select(col("doc_id")).join(matched, Seq("doc_id"), "left_anti")
+  }
+
+  /** d22: STREAMING dedup against the PERSISTED signature store — the
+    * continuous-ingest production shape d17's scaladoc promises: a
+    * stream of arriving documents (the d13/d17 batch slice, replayed
+    * from the documents parquet as a file stream) probes the stored
+    * corpus signatures per micro-batch and emits only NOVEL documents.
+    * `foreachBatch`, because the probe is a BATCH join against a
+    * catalog table (stream-static band equi-join + verify) — per-batch
+    * cost is O(batch), the store is never rebuilt, and each batch's
+    * novel ids append to versioned parquet (the e17 file-sink shape).
+    * A doc's novelty is a pure function of the static store, so the
+    * bounded replay equals the batch anti-join the oracle computes
+    * regardless of how the stream was micro-batched (StreamingSpec
+    * drives the same probe through a two-batch MemoryStream).
+    */
+  def streamingNovelDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"d22:$dir") {
+      import org.apache.spark.sql.streaming.Trigger
+      val storeTbl = signatureStore(spark, dir)
+      val docsPath = graft.Tables.path(dir, "documents")
+      val schema = spark.read.parquet(docsPath).schema
+      val stream = spark.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$docsPath*")
+        .filter(col("doc_id") >= IncrementalSplit)
+      val outBase = s"${sys.props("java.io.tmpdir")}/graft_d22_${graft.Fs.tmpTag(dir)}"
+      graft.Fs.rmTree(new java.io.File(outBase))
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          probeNovel(batch, dir, storeTbl)
+            .write.mode("overwrite").parquet(s"$outBase/b$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$outBase/b*")
+    }
+
   /** Day-1 / day-2 boundary for the evolving-store scenario (d19). */
   val Day2Split = 450L
 
@@ -540,7 +595,8 @@ object MinHash {
     "d15_leakage_safe_split" -> (leakageSafeSplit _),
     "d13_incremental_neardup" -> (incrementalNearDup _),
     "d17_stored_incremental" -> (incrementalNearDupStored _),
-    "d19_evolving_store" -> (evolvingStoreDedup _))
+    "d19_evolving_store" -> (evolvingStoreDedup _),
+    "d22_streaming_store_dedup" -> (streamingNovelDocs _))
 
   // Oracle = brute force: the gate checks LSH candidate RECALL at the
   // 0.5 threshold, not only the Jaccard arithmetic.
@@ -600,6 +656,7 @@ object MinHash {
     // IDENTICAL oracle: the stored-signature path must produce exactly
     // the result of re-deriving both sides — the store adds no drift
     "d17_stored_incremental" -> incrementalOracleSql,
+    "d22_streaming_store_dedup" -> d22OracleSql,
     // brute force with each day's probe range: day 1 sees only the
     // corpus, day 2 sees corpus + day 1 — the store-evolution contract
     "d19_evolving_store" ->
@@ -618,6 +675,24 @@ object MinHash {
          |SELECT day, batch_id, corpus_id, n_inter, n_union,
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
          |FROM p WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin)
+
+  /** d22 oracle: the batch complement — arrivals with NO ≥ 0.5-Jaccard
+    * near-dup in the pre-split corpus (NOT EXISTS over the same
+    * brute-force batch×corpus pair graph d13/d17 are gated on).
+    */
+  private def d22OracleSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+       |s AS (SELECT doc_id,
+       |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+       |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+       |m AS (SELECT DISTINCT n.doc_id FROM s c JOIN s n
+       |   ON c.doc_id < $IncrementalSplit AND n.doc_id >= $IncrementalSplit
+       | WHERE len(c.sh) > 0 AND len(n.sh) > 0
+       |   AND CAST(len(list_intersect(c.sh, n.sh)) AS DOUBLE)
+       |     / (len(c.sh) + len(n.sh) - len(list_intersect(c.sh, n.sh))) >= 0.5)
+       |SELECT d.doc_id FROM documents d
+       |WHERE d.doc_id >= $IncrementalSplit
+       |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.doc_id = d.doc_id)""".stripMargin
 
   private def incrementalOracleSql: String =
     s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),

@@ -593,4 +593,33 @@ class StreamingSpec extends SparkSpec {
         s"unmatched view not null-extended: ${rows()}")
     } finally q.stop()
   }
+
+  test("d22 novelty is micro-batch-split independent (two-batch MemoryStream)") {
+    import spark.implicits._
+    import graft.operators.MinHash
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storeTbl = MinHash.signatureStore(spark, sfDir)
+    val arrivals = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") >= MinHash.IncrementalSplit)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(arrivals.length > 2, "vacuous: no arrivals past the split")
+    val (h1, h2) = arrivals.splitAt(arrivals.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[Long]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= MinHash.probeNovel(b, sfDir, storeTbl).collect().map(_.getLong(0))
+        ()
+      }.start()
+    try {
+      input.addData(h1.toIndexedSeq); q.processAllAvailable()
+      input.addData(h2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // the same arrivals replayed as ONE bounded file stream (the gate
+    // query) must emit exactly the same novel set
+    val expected = MinHash.streamingNovelDocs(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.toSet == expected,
+      s"split-dependent novelty: only-two-batch=${got.toSet -- expected} only-single=${expected -- got.toSet}")
+  }
 }
