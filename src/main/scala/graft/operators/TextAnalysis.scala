@@ -618,19 +618,30 @@ object TextAnalysis {
     * merge classic BPE uses. Ties on pair_count break on the pair
     * string (ASCII compare, engine-identical).
     */
-  def bpeIteratedMerges(spark: SparkSession, dir: String): DataFrame = {
+  def bpeIteratedMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesFromWords(
+      docs(spark, dir)
+        .select(explode(wordsOf(lower(col("text")))).as("word"))
+        .filter(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")),
+      BpeMergeRounds)
+
+  /** The merge loop over a (word, freq) vocabulary — exposed so
+    * TextOpsSpec can pin the greedy-left overlap rule on a controlled
+    * fixture (`aaaa` must count pair "a a" three times and merge to
+    * `aa aa`, not `aa a a`).
+    */
+  private[graft] def bpeMergesFromWords(words: DataFrame, rounds: Int): DataFrame = {
+    val spark = words.sparkSession
     import spark.implicits._
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    var vocab = docs(spark, dir)
-      .select(explode(wordsOf(lower(col("text")))).as("word"))
-      .filter(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var vocab = words
       .select(concat(lit("||"), regexp_replace(col("word"), "(.)", "$1||")).as("s"),
         col("freq"))
       .localCheckpoint()
     var r = 1
     var done = false
-    while (r <= BpeMergeRounds && !done) {
+    while (r <= rounds && !done) {
       val syms = filter(split(col("s"), "\\|\\|"), x => x =!= "")
       val n = size(syms)
       val pairs = zip_with(slice(syms, lit(1), n - 1), slice(syms, lit(2), n - 1),
@@ -653,6 +664,7 @@ object TextAnalysis {
     }
     merges.toSeq.toDF("round", "pair", "pair_count").orderBy(col("round"))
   }
+
 
   // T: bigram-LM document scorer — mean ln P(w2 | w1) per document
   // under the corpus's OWN bigram model (MLE; no smoothing needed:

@@ -184,4 +184,18 @@ class TextOpsSpec extends SparkSpec {
       .limit(50)
     assertSameRows(got, direct)
   }
+
+  test("t19 BPE merge rounds: frequency weighting and greedy-left overlap") {
+    import spark.implicits._
+    // round 1: "a b" counts 10 (ab) + 4 (abab, twice per word) = 14
+    // round 2: "a a" counts 3 in aaaa (overlapping pairs all count);
+    //          merging it greedy-left gives aa|aa — NOT aa|a|a, which a
+    //          scan that fails to re-match after a consumed delimiter
+    //          would produce
+    // round 3: only "ab ab" (from abab) and "aa aa" remain; ab ab wins 2>1
+    val words = Seq(("aaaa", 1L), ("ab", 10L), ("abab", 2L)).toDF("word", "freq")
+    val got = graft.operators.TextAnalysis.bpeMergesFromWords(words, 3)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a b", 14L), (2, "a a", 3L), (3, "ab ab", 2L)), got.toString)
+  }
 }
