@@ -35,7 +35,9 @@ object Explain {
     "v09_ann_rerank_pq",
     "t17_bpe_pair_counts", "d20_dedup_audit", "v10_ann_filtered",
     "d21_semantic_dedup", "dq04_fk_report", "t18_length_mixture",
-    "v11_ann_stored")
+    "v11_ann_stored",
+    "c01_curated_packed_bins", "c02_curation_funnel", "v12_ann_recall_report",
+    "d22_streaming_store_dedup", "t19_bpe_iterated_merges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
