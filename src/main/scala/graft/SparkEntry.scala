@@ -27,6 +27,7 @@ object SparkEntry {
       (Ivf.queries, Ivf.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (Skew.queries, Skew.oracles),
+      (Graph.queries, Graph.oracles),
       (Cdc.queries, Cdc.oracles),
       (AsOf.queries, AsOf.oracles),
       (Sketches.queries, Sketches.oracles),

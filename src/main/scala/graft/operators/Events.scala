@@ -230,6 +230,39 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  // E: stream-stream LEFT OUTER join as a GATED query — purchases with
+  // NO qualifying view in the preceding hour must still emit (null
+  // view_id), which in append mode happens only once the global
+  // watermark proves no match can arrive and the row is evicted from
+  // state ([[graft.streaming.StreamingOps.viewPurchaseAttribution]]
+  // with joinType=leftOuter; state eviction itself is pinned under
+  // controlled micro-batches in StreamingSpec). The bounded replay ends
+  // with the watermark at min(max view, max purchase) − 1 h, and rows
+  // near it may or may not have flushed depending on engine eviction
+  // boundaries — so the rollup keeps only purchases STRICTLY older than
+  // that watermark minus a further 1 h join-range margin, a cutoff
+  // derived from the batch data that the oracle applies verbatim. Every
+  // purchase below it has provably either matched (emitted on arrival)
+  // or been evicted with a null — the result is exact, not
+  // approximately-flushed.
+  def streamLeftOuterAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val sink = runAvailableNow(spark,
+      s => graft.streaming.StreamingOps
+        .viewPurchaseAttribution(eventsStream(s, dir), joinType = "leftOuter"),
+      s"e21_mem_${Integer.toHexString(dir.hashCode)}", "append")
+    val cut = eventsUs(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type")).agg(max(col("ts_us")).as("mx"))
+      .agg(min(col("mx")).as("m"))
+      .select((col("m") - 2L * 3600000000L).as("cutoff_us"))
+    sink.crossJoin(broadcast(cut))
+      .filter(col("p_t") < timestamp_micros(col("cutoff_us")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"), count(col("view_id")).as("n_matched"))
+      .withColumn("n_unmatched", col("n_rows") - col("n_matched"))
+      .orderBy(col("user_id"))
+  }
+
   // E: CHAINED stateful streaming — windowed aggregation downstream of
   // the watermarked stream-stream join (multiple stateful operators in
   // one query). Append mode emits a window only once the global
@@ -574,7 +607,8 @@ object Events {
     "e15_gap_fill" -> (gapFill _),
     "e16_stream_file_sink" -> (streamFileSink _),
     "e17_stream_session" -> (streamSessionWindows _),
-    "e20_stream_dedup" -> (streamDedup _))
+    "e20_stream_dedup" -> (streamDedup _),
+    "e21_stream_left_outer" -> (streamLeftOuterAttribution _))
 
   val oracles: Map[String, String] = Map(
     // what the committed sink files must aggregate to: the batch twin
@@ -728,6 +762,20 @@ object Events {
         |  CAST(COALESCE(n, 0) AS BIGINT) AS n_events
         |FROM grid LEFT JOIN counts ON grid.h = counts.h AND grid.event_type = counts.event_type
         |ORDER BY 1, 2""".stripMargin,
+    // batch LEFT interval join under the same below-watermark cutoff
+    // the gated rollup applies (see streamLeftOuterAttribution scaladoc)
+    "e21_stream_left_outer" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, tus AS v_us FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, tus AS p_us FROM e WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT MAX(v_us) FROM v), (SELECT MAX(p_us) FROM p)) - 7200000000 AS cutoff),
+        |pp AS (SELECT p.* FROM p, wm WHERE p_us < cutoff),
+        |j AS (SELECT pp.user_id, pp.purchase_id, v.view_id
+        |      FROM pp LEFT JOIN v ON pp.user_id = v.user_id
+        |        AND v.v_us <= pp.p_us AND v.v_us >= pp.p_us - 3600000000)
+        |SELECT user_id, COUNT(*) AS n_rows, COUNT(view_id) AS n_matched,
+        |  COUNT(*) - COUNT(view_id) AS n_unmatched
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // the streamed first-sighting-per-key rows must equal true DISTINCT
     "e20_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type,

@@ -251,7 +251,37 @@ object Ivf {
     * the members. Must produce exactly v04's result — same oracle — so
     * the gate proves the store adds no drift.
     */
-  def annTopKIvfStored(spark: SparkSession, dir: String): DataFrame = {
+  def annTopKIvfStored(spark: SparkSession, dir: String): DataFrame =
+    storedTopK(spark, dir, deletions = None)
+
+  /** v13's tombstone rule: vectors deleted since the nightly index
+    * build (a deterministic 1-in-7 slice standing in for a delete log).
+    */
+  val TombstoneMod = 7
+
+  /** v13: the stored index under DELETIONS — the index-maintenance gap
+    * every persisted ANN store has between nightly rebuilds: rows
+    * deleted after the build must not surface as neighbors, but
+    * rewriting the index per delete is exactly what the store exists to
+    * avoid. The tombstone set (here the deterministic
+    * `vec_id % `[[TombstoneMod]]` = 0` slice of the corpus; in
+    * production, the delete log since the last build) is LEFT-ANTI
+    * joined against the stored index members before ranking — tombstones
+    * are key-only and broadcast, so the probe plan gains one broadcast
+    * anti-join and keeps v11's partition pruning. Queries are NOT
+    * tombstoned: "nearest live docs to this id" is well-defined for a
+    * deleted query too. Top-5 within the probed cells' LIVE members —
+    * rank k is refilled from live candidates, not left short (the
+    * post-filter-vs-pre-filter point v10 makes, applied to deletes).
+    */
+  def annTopKIvfTombstoned(spark: SparkSession, dir: String): DataFrame = {
+    val tombs = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id")).filter(pmod(col("vec_id"), lit(TombstoneMod)) === 0)
+    storedTopK(spark, dir, deletions = Some(tombs))
+  }
+
+  private def storedTopK(spark: SparkSession, dir: String,
+                         deletions: Option[DataFrame]): DataFrame = {
     val (cTbl, iTbl) = vectorStore(spark, dir)
     val c = spark.table(cTbl)
     val emb = CosineLsh.quantized(spark, dir)
@@ -265,7 +295,10 @@ object Ivf {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= NumProbes)
       .select(col("query_id"), col("q_qv"), col("q_n2"), col("cid"))
-    val idx = spark.table(iTbl).select(col("cid"),
+    val live = deletions.foldLeft(spark.table(iTbl)) { (t, d) =>
+      t.join(broadcast(d), Seq("vec_id"), "left_anti")
+    }
+    val idx = live.select(col("cid"),
       col("vec_id").as("neighbor_id"), col("qv").as("n_qv"), col("n2").as("n_n2"))
     val sim = VectorSearch.qcosine(
       LongArrayDot.dot(col("q_qv"), col("n_qv")), col("q_n2"), col("n_n2"))
@@ -386,6 +419,7 @@ object Ivf {
     "v06_ann_ivf_sampled" -> (annTopKIvfSampled _),
     "v10_ann_filtered" -> (annTopKIvfFiltered _),
     "v11_ann_stored" -> (annTopKIvfStored _),
+    "v13_ann_tombstoned" -> (annTopKIvfTombstoned _),
     "d21_semantic_dedup" -> (semanticClusterDedup _))
 
   // ---- DuckDB oracle: full k-means replay, iteration by iteration ----
@@ -453,7 +487,11 @@ object Ivf {
     "d21_semantic_dedup" -> semanticOracle,
     // IDENTICAL to v04's oracle: the stored-index path must reproduce
     // the in-session result exactly — the store adds no drift
-    "v11_ann_stored" -> ivfOracle("n", s"vec_id < $NumCentroids"))
+    "v11_ann_stored" -> ivfOracle("n", s"vec_id < $NumCentroids"),
+    // v04's replay with the tombstone slice removed from the INDEXED
+    // side only (LEFT ANTI ≡ the modulus predicate on live keys)
+    "v13_ann_tombstoned" -> ivfOracle("n", s"vec_id < $NumCentroids",
+      NumProbes, s"n.vec_id % $TombstoneMod <> 0"))
 
   private def semanticOracle: String = {
     val iters = (1 to KMeansIters).map(iterSql(_, "n")).mkString(",\n")

@@ -922,7 +922,132 @@ object TextAnalysis {
         col("target_share") / col("actual_share"))
   }
 
+  /** All overlapping word-3-gram SPANS of a text, duplicates kept
+    * (positional occurrences, unlike [[shingles3]]'s distinct set).
+    * Same zip_with formulation — O(words), no per-element re-split.
+    */
+  private def spansOf(c: Column): Column = {
+    val w = wordsOf(c)
+    val n = size(w)
+    val grams = zip_with(
+      zip_with(slice(w, lit(1), n - 2), slice(w, lit(2), n - 2),
+        (a, b) => concat_ws(" ", a, b)),
+      slice(w, lit(3), n - 2),
+      (ab, cc) => concat_ws(" ", ab, cc))
+    when(n >= 3, grams).otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  // D: SPAN-level exact-duplicate profile — for every overlapping word
+  // 3-gram occurrence, is that span repeated in ≥ 2 distinct documents?
+  // The "how much of this doc is copied from elsewhere" metric of
+  // substring-level corpus dedup (cf. Lee et al., "Deduplicating
+  // Training Data Makes Language Models Better" — exact substring
+  // matching), complementing d02/d08 (whole-doc Jaccard): a boilerplate
+  // header shared by thousands of docs never lifts doc-level Jaccard
+  // above threshold but lights up here. Plan: explode spans → one
+  // hash-agg for per-span distinct-doc df (the inverted index) → equi-
+  // join back → per-doc agg. A hot span (corpus-wide boilerplate) is
+  // ONE row in the df table, so the join back has no fan-out — cost is
+  // bounded by span occurrences, never pairs. At 100 TB the join key
+  // becomes xxhash64(span) (8-byte shuffle instead of the span text);
+  // kept as text here so the oracle shares the key verbatim.
+  def spanDupReport(spark: SparkSession, dir: String): DataFrame = {
+    val g = docs(spark, dir)
+      .select(col("doc_id"), explode(spansOf(col("text"))).as("span"))
+    val df = g.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val isDup = (col("df") >= 2).cast(IntegerType)
+    g.join(df, "span")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_spans"),
+        sum(isDup).cast(IntegerType).as("n_dup_spans"))
+      .withColumn("dup_span_ratio",
+        col("n_dup_spans").cast(DoubleType) / col("n_spans"))
+  }
+
+  /** Segment width (words) for d24's line-unit corpus dedup. */
+  private val SegW = 8
+
+  // D: corpus-level SEGMENT dedup with keep-first semantics — the
+  // C4-recipe "remove duplicated lines across the corpus, keeping one
+  // occurrence" (the testdata text carries no newlines, so the line
+  // unit is a fixed-width non-overlapping 8-word segment). The FIRST
+  // occurrence in (doc_id, seg_idx) order survives; every later copy is
+  // dropped, and each doc reports what remains plus an md5 of its
+  // retained text (exact reconstruction pinned without shipping it).
+  // Plan: segment fan-out → one hash-agg computing the global first
+  // occurrence as MIN(doc_id·10⁹ + seg_idx) — an integer argmin, no
+  // corpus-wide window — → equi-join back on the segment → per-doc agg.
+  // Keep-first needs no sort: the packed MIN is the order. At 100 TB
+  // the group key becomes a 128-bit hash of the segment and the
+  // retained-text digest moves to a per-doc ordered re-read; the
+  // aggregate shapes are unchanged.
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), wordsOf(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val segs = toks
+      .select(col("doc_id"), col("n"), col("toks"),
+        explode(sequence(lit(0L), expr(s"(n + ${SegW - 1}) div $SegW") - 1)).as("i"))
+      .select(
+        col("doc_id"), col("i").as("seg_idx"),
+        concat_ws(" ", slice(col("toks"), (col("i") * SegW + 1).cast(IntegerType), lit(SegW))).as("seg"),
+        least(lit(SegW.toLong), col("n") - col("i") * SegW).as("seg_tokens"))
+    val first = segs.groupBy(col("seg"))
+      .agg(min(col("doc_id") * 1000000000L + col("seg_idx")).as("first_packed"))
+    segs.join(first, "seg")
+      .withColumn("kept",
+        col("doc_id") * 1000000000L + col("seg_idx") === col("first_packed"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_segments"),
+        sum(col("kept").cast(IntegerType)).cast(IntegerType).as("n_kept"),
+        coalesce(sum(when(col("kept"), col("seg_tokens"))), lit(0L)).as("kept_tokens"),
+        md5(array_join(transform(
+          sort_array(collect_list(when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg")), " ")).as("retained_md5"))
+  }
+
+  // ML: exact distributed ordinary-least-squares — fit chars ≈ b0 + b1·
+  // words over the corpus, the moment-sum formulation: ONE map-side-
+  // combined aggregate produces (n, Σx, Σy, Σx², Σxy, Σy²) as exact
+  // integer sums, and the closed-form coefficients are a fixed double
+  // expression over them. Order-free by construction (integer sums
+  // commute exactly; the float math runs once on the driver-side 1-row
+  // frame over identical inputs in either engine), so a distributed
+  // model FIT lands on the same hash gate as everything else — the
+  // pattern scales to any GLM step whose sufficient statistics are
+  // sums. Long sums hold to ~10⁶ docs of 10³ words (Σxy < 2⁵³ keeps
+  // n·Σxy float-exact too); past that swap the sums to DECIMAL(38,0),
+  // same plan.
+  def olsFit(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(
+      size(wordsOf(col("text"))).cast(LongType).as("x"),
+      col("n_chars").as("y"))
+    val s = d.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast(DoubleType)
+    val covN = n * col("sxy") - col("sx") * col("sy") // n·cov, exact
+    val varXN = n * col("sxx") - col("sx") * col("sx") // n·var, exact
+    val varYN = n * col("syy") - col("sy") * col("sy")
+    val slope = covN / varXN
+    def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    s.select(
+      col("n"),
+      r6(slope).as("slope"),
+      r6((col("sy") - slope * col("sx")) / n).as("intercept"),
+      r6(covN * covN / (varXN * varYN)).as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_span_dups" -> (spanDupReport _),
+    "d24_segment_dedup" -> (segmentDedup _),
+    "ml01_ols_fit" -> (olsFit _),
     "t14_boilerplate" -> (boilerplateDetect _),
     "t16_mixture_weights" -> (mixtureWeights _),
     "t17_bpe_pair_counts" -> (bpePairCounts _),
@@ -954,6 +1079,53 @@ object TextAnalysis {
     "m01_binary_meta" -> (binaryMeta _))
 
   val oracles: Map[String, String] = Map(
+    "d23_span_dups" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+        |   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS span
+        | FROM w WHERE len(words) >= 3),
+        |d AS (SELECT span, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_spans,
+        | CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS INTEGER) AS n_dup_spans,
+        | CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_span_ratio
+        |FROM g JOIN d USING (span) GROUP BY doc_id""".stripMargin,
+    // keep-first replicated as the packed integer argmin; the retained
+    // text is re-joined in seg_idx order and compared by digest
+    "d24_segment_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |s AS (SELECT doc_id, i AS seg_idx,
+         |   array_to_string(words[(i*$SegW+1):((i+1)*$SegW)], ' ') AS seg,
+         |   least($SegW, len(words) - i*$SegW) AS seg_tokens
+         | FROM w, unnest(range(0, (len(words) + ${SegW - 1}) // $SegW)) AS u(i)),
+         |f AS (SELECT seg, MIN(doc_id*1000000000 + seg_idx) AS first_packed
+         |      FROM s GROUP BY 1),
+         |j AS (SELECT s.*, s.doc_id*1000000000 + s.seg_idx = f.first_packed AS kept
+         |      FROM s JOIN f USING (seg))
+         |SELECT doc_id,
+         | CAST(COUNT(*) AS INTEGER) AS n_segments,
+         | CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+         | CAST(COALESCE(SUM(CASE WHEN kept THEN seg_tokens END), 0) AS BIGINT) AS kept_tokens,
+         | md5(COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '')) AS retained_md5
+         |FROM j GROUP BY doc_id""".stripMargin,
+    // identical double expression over identical exact integer sums —
+    // the coefficients hash-match without any tolerance
+    "ml01_ols_fit" ->
+      """WITH d AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS x,
+        |   n_chars AS y FROM documents),
+        |s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |   CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |   CAST(SUM(y*y) AS BIGINT) AS syy FROM d)
+        |SELECT n,
+        | floor((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+        |   / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * 1e6 + 0.5) / 1e6 AS slope,
+        | floor((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+        |     / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * sx)
+        |   / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS intercept,
+        | floor((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+        |   * (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+        |   / ((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+        |    * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)) * 1e6 + 0.5) / 1e6 AS r2
+        |FROM s""".stripMargin,
     // same value-based decile formula: ceil(10·cum/N) over the length
     // histogram's cumulative counts — ties share a decile both sides
     "t18_length_mixture" ->
