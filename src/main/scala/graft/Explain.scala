@@ -37,7 +37,9 @@ object Explain {
     "d21_semantic_dedup", "dq04_fk_report", "t18_length_mixture",
     "v11_ann_stored",
     "c01_curated_packed_bins", "c02_curation_funnel", "v12_ann_recall_report",
-    "d22_streaming_store_dedup", "t19_bpe_iterated_merges")
+    "d22_streaming_store_dedup", "t19_bpe_iterated_merges",
+    "d23_span_dups", "d24_segment_dedup", "ml01_ols_fit", "g01_pagerank",
+    "g02_shortest_paths", "v13_ann_tombstoned")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -65,14 +65,8 @@ object Graph {
     val tele = Scale * 3 / (20 * n)
     var scores = e.select(col("src").as("node")).distinct()
       .withColumn("score", lit(Scale / n))
-    for (_ <- 1 to Iters) {
-      scores = e.join(broadcast(scores), col("src") === col("node"))
-        .select(col("dst"), expr("((score * 17) div 20) * w div wout").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("c"))
-        .select(col("dst").as("node"), (col("c") + tele).as("score"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to Iters)
+      scores = round(e, scores, tele).localCheckpoint()
     scores.orderBy(col("score").desc, col("node")).limit(20)
       .select(
         when(pmod(col("node"), lit(2)) === 0, "customer").otherwise("supplier").as("node_type"),
@@ -80,8 +74,67 @@ object Graph {
         col("score"))
   }
 
+  /** One power-iteration round: edges ⋈ broadcast scores on src → one
+    * hash-agg on dst (+ teleport). Package-visible so PlanSpec can pin
+    * the round's physical shape (the returned loop result is
+    * lineage-cut by localCheckpoint and shows only the final scan).
+    */
+  private[graft] def round(e: DataFrame, scores: DataFrame, tele: Long): DataFrame =
+    e.join(broadcast(scores), col("src") === col("node"))
+      .select(col("dst"), expr("((score * 17) div 20) * w div wout").as("contrib"))
+      .groupBy(col("dst"))
+      .agg(sum(col("contrib")).as("c"))
+      .select(col("dst").as("node"), (col("c") + tele).as("score"))
+
+  /** Test seam: the persisted edge frame for `dir`. */
+  private[graft] def edgesFor(spark: SparkSession, dir: String): DataFrame =
+    tradeEdges(spark, dir)
+
+  // G: single-source shortest path (hop distance) — the min-plus twin
+  // of the PageRank round: relax dist(dst) ≤ dist(src) + 1 over the
+  // edge table until a round changes nothing (exact integer fixpoint →
+  // the d14 early-exit discipline applies, unlike g01's floor
+  // arithmetic), bounded by the node count as a safety rail. Source =
+  // the smallest customer node. Per round: frontier-only join (only
+  // nodes whose distance CHANGED last round propagate — at scale this
+  // is the difference between |frontier|·deg and |V|·deg work per
+  // round), hash-agg min on dst, merge with a full outer + least.
+  // Output: hop-distance histogram plus reachable/unreachable counts —
+  // the "how far is everything from our best customer" audit. The
+  // oracle's recursive CTE explores (node, dist) pairs and takes the
+  // min per node — same fixpoint, different algorithm.
+  def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val e = tradeEdges(spark, dir).select(col("src"), col("dst"))
+    val source = e.agg(min(when(pmod(col("src"), lit(2)) === 0, col("src"))))
+      .head().getLong(0)
+    var dist = e.select(col("src").as("node")).distinct()
+      .withColumn("d", when(col("node") === source, lit(0L)).otherwise(lit(Long.MaxValue)))
+      .localCheckpoint()
+    var frontier = dist.filter(col("d") === 0L)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val relaxed = e.join(broadcast(frontier), col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("d") + 1L).as("nd"))
+      val merged = dist.join(relaxed, col("node") === col("dst"), "left")
+        .select(col("node"),
+          least(col("d"), coalesce(col("nd"), lit(Long.MaxValue))).as("d"),
+          (coalesce(col("nd"), lit(Long.MaxValue)) < col("d")).as("improved"))
+        .localCheckpoint()
+      frontier = merged.filter(col("improved")).select(col("node"), col("d"))
+      changed = frontier.count()
+      dist = merged.select(col("node"), col("d"))
+      rounds += 1
+    }
+    dist
+      .select(when(col("d") === Long.MaxValue, lit(-1L)).otherwise(col("d")).as("hops"))
+      .groupBy(col("hops")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("hops"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g01_pagerank" -> (pagerank _))
+    "g01_pagerank" -> (pagerank _),
+    "g02_shortest_paths" -> (shortestPaths _))
 
   /** The oracle replays the same `Iters` integer rounds as chained
     * CTEs (not a recursive CTE: the recursive term would need GROUP BY).
@@ -106,5 +159,24 @@ object Graph {
          |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
          |  node // 2 AS node_key, score
          |FROM s$Iters ORDER BY score DESC, node LIMIT 20""".stripMargin
-    })
+    },
+    // recursive (node, dist) exploration — the graph is bipartite so a
+    // node recurs at d, d+2, …; the UNION dedup plus the same 64-hop
+    // rail the Spark loop uses bounds the search, MIN picks the true
+    // distance, and both fixpoints agree because BFS relaxation is
+    // monotone and exact
+    "g02_shortest_paths" ->
+      """WITH RECURSIVE b AS (SELECT o_custkey*2 AS cnode, l_suppkey*2+1 AS snode, COUNT(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |e AS MATERIALIZED (SELECT cnode AS src, snode AS dst FROM b
+        |     UNION ALL SELECT snode, cnode FROM b),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |s AS (SELECT MIN(src) AS src0 FROM e WHERE src % 2 = 0),
+        |r AS (SELECT (SELECT src0 FROM s) AS node, 0 AS d
+        |      UNION
+        |      SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node WHERE r.d < 64),
+        |m AS (SELECT node, MIN(d) AS d FROM r GROUP BY node)
+        |SELECT CAST(COALESCE(m.d, -1) AS BIGINT) AS hops, COUNT(*) AS n_nodes
+        |FROM nodes LEFT JOIN m USING (node)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

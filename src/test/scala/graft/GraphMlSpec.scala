@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Ivf, TextAnalysis}
+
+/** Semantics tests for the round-7 additions: PageRank (g01) against a
+  * plain-Scala integer replay, OLS (ml01) against hand-computed moment
+  * sums, span/segment dedup (d23/d24) against collections-based
+  * recomputation, and the tombstoned ANN probe (v13) against its v11
+  * twin. The oracle gate proves cross-engine equality; these pin the
+  * operator semantics against an independent in-JVM path.
+  */
+class GraphMlSpec extends SparkSpec {
+
+  private def texts: Map[Long, String] =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("g01 pagerank equals a plain-Scala integer power iteration") {
+    val out = Graph.pagerank(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // independent replay: collect the raw edge list and iterate with Maps
+    val edges0 = Tables.load(spark, sfDir, "lineitem")
+      .join(Tables.load(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = edges0 ++ edges0.map { case (s, d, w) => (d, s, w) }
+    val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val nodes = wout.keySet
+    val n = nodes.size
+    val scale = 1000000000000L
+    val tele = scale * 3 / (20 * n)
+    var score = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to 8) {
+      val contrib = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) => (score(s) * 17 / 20) * w / wout(s) }.sum
+      }
+      score = nodes.map(v => v -> (tele + contrib.getOrElse(v, 0L))).toMap
+    }
+    val expTop = score.toSeq.sortBy { case (v, s) => (-s, v) }.take(20)
+      .map { case (v, s) =>
+        (if (v % 2 == 0) "customer" else "supplier", v / 2, s)
+      }
+    assert(out == expTop, s"got=$out exp=$expTop")
+  }
+
+  test("g02 hop histogram equals a plain-Scala BFS") {
+    val got = Graph.shortestPaths(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges0 = Tables.load(spark, sfDir, "lineitem")
+      .join(Tables.load(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges0 ++ edges0.map(_.swap)).groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2).toSet }
+    val source = adj.keys.filter(_ % 2 == 0).min
+    var dist = Map(source -> 0L)
+    var frontier = Set(source)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      val d = dist(frontier.head) + 1
+      dist ++= next.map(_ -> d)
+      frontier = next
+    }
+    val exp = adj.keys.toSeq.map(v => dist.getOrElse(v, -1L))
+      .groupBy(identity).map { case (h, xs) => h -> xs.size.toLong }
+    assert(got == exp, s"got=$got exp=$exp")
+  }
+
+  test("ml01 OLS coefficients match the closed form over collected data") {
+    val row = TextAnalysis.olsFit(spark, sfDir).head()
+    val xy = Tables.load(spark, sfDir, "documents")
+      .select(col("text"), col("n_chars"))
+      .collect().map(r => (r.getString(0).trim.split("\\s+").length.toLong, r.getLong(1))).toSeq
+    val n = xy.size.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val covN = n.toDouble * sxy - (sx * sy).toDouble
+    val varXN = n.toDouble * sxx - (sx * sx).toDouble
+    val varYN = n.toDouble * syy - (sy * sy).toDouble
+    val slope = covN / varXN
+    assert(row.getAs[Long]("n") == n)
+    assert(math.abs(row.getAs[Double]("slope") - slope) < 1e-6)
+    assert(math.abs(row.getAs[Double]("intercept") - (sy - slope * sx) / n) < 1e-6)
+    assert(math.abs(row.getAs[Double]("r2") - covN * covN / (varXN * varYN)) < 1e-6)
+    assert(row.getAs[Double]("r2") >= 0 && row.getAs[Double]("r2") <= 1)
+  }
+
+  test("d23 span-dup profile matches a collections recomputation") {
+    val spans = texts.map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSeq
+    }.filter(_._2.nonEmpty)
+    val df = spans.toSeq.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.size }
+    val exp = spans.map { case (id, ss) =>
+      id -> ((ss.size, ss.count(s => df(s) >= 2)))
+    }
+    val got = TextAnalysis.spanDupReport(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got == exp)
+  }
+
+  test("d24 keep-first segment dedup: global and per-doc invariants") {
+    val out = TextAnalysis.segmentDedup(spark, sfDir).cache()
+    val segsByDoc = texts.map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq.grouped(8).map(_.mkString(" ")).toSeq
+    }
+    // every segment survives exactly once corpus-wide
+    val nDistinct = segsByDoc.values.flatten.toSet.size
+    assert(out.agg(sum(col("n_kept"))).head().getLong(0) == nDistinct)
+    assert(out.filter(col("n_kept") > col("n_segments")).count() == 0)
+    // the min doc_id keeps exactly its in-doc first occurrences, in order
+    val minDoc = texts.keys.min
+    val minSegs = segsByDoc(minDoc)
+    val firstOcc = minSegs.zipWithIndex.filter { case (s, i) =>
+      minSegs.indexOf(s) == i
+    }.map(_._1)
+    val row = out.filter(col("doc_id") === minDoc).head()
+    assert(row.getAs[Int]("n_segments") == minSegs.size)
+    assert(row.getAs[Int]("n_kept") == firstOcc.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(firstOcc.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(row.getAs[String]("retained_md5") == md)
+    out.unpersist()
+  }
+
+  test("v13 tombstoned probe: live-only neighbors, never better than v11") {
+    val v13 = Ivf.annTopKIvfTombstoned(spark, sfDir).cache()
+    // no tombstoned vector surfaces; every query still gets a full top-5
+    assert(v13.filter(pmod(col("neighbor_id"), lit(Ivf.TombstoneMod)) === 0).count() == 0)
+    val perQuery = v13.groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+    assert(perQuery.filter(col("n") =!= 5).count() == 0)
+    // removing candidates cannot IMPROVE rank-k similarity
+    val v11 = Ivf.annTopKIvfStored(spark, sfDir)
+      .select(col("query_id"), col("rank"), col("sim").as("sim_full"))
+    val joined = v13.join(v11, Seq("query_id", "rank"))
+    assert(joined.filter(col("sim") > col("sim_full") + 1e-12).count() == 0)
+    v13.unpersist()
+  }
+}

@@ -384,4 +384,51 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"$exchanges exchanges in:\n$plan")
   }
+
+  test("d23/d24 corpus dedup: aggregates only — no window, no cartesian") {
+    // keep-first is an integer argmin AGGREGATE and the span df an
+    // inverted-index aggregate; neither may plan a corpus-wide window
+    // (single-partition sort at scale) or a non-equi join
+    for (df <- Seq(
+        graft.operators.TextAnalysis.spanDupReport(spark, sfDir),
+        graft.operators.TextAnalysis.segmentDedup(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Window"), plan.linesIterator.take(30).mkString("\n"))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        plan.linesIterator.take(30).mkString("\n"))
+    }
+  }
+
+  test("g01 pagerank round: scores broadcast, edges never reshuffled") {
+    // assert on ONE round's plan — the loop result is lineage-cut by
+    // localCheckpoint, so the returned frame shows only the final scan
+    val e = graft.operators.Graph.edgesFor(spark, sfDir)
+    val scores = e.select(col("src").as("node")).distinct()
+      .withColumn("score", org.apache.spark.sql.functions.lit(1000000L))
+    // node-level assertions: toString would also print the cached edge
+    // BUILD subtree (inside InMemoryRelation), which is allowed to
+    // sort-merge once — collect() does not recurse into it
+    val nodes = allNodes(graft.operators.Graph.round(e, scores, 1L)
+      .queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      nodes.map(_.nodeName).mkString(", "))
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
+  test("v13 tombstoned probe keeps cid partition pruning and anti-joins broadcast tombstones") {
+    val df = graft.operators.Ivf.annTopKIvfTombstoned(spark, sfDir)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    val idxScans = allScans(exec)
+      .filter(_.metadata.getOrElse("Location", "").contains("ivf_index"))
+    assert(idxScans.nonEmpty, "stored index table not scanned")
+    assert(idxScans.map(_.metadata.getOrElse("PartitionFilters", "")).mkString.contains("cid"),
+      "tombstone filtering lost the probe's cid partition pruning")
+    assert(exec.toString().contains("BroadcastHashJoin LeftAnti") ||
+      exec.toString().contains("LeftAnti, BuildRight"),
+      s"tombstones not applied as a broadcast anti-join")
+  }
 }
