@@ -39,7 +39,7 @@ object Explain {
     "c01_curated_packed_bins", "c02_curation_funnel", "v12_ann_recall_report",
     "d22_streaming_store_dedup", "t19_bpe_iterated_merges",
     "d23_span_dups", "d24_segment_dedup", "ml01_ols_fit", "g01_pagerank",
-    "g02_shortest_paths", "v13_ann_tombstoned")
+    "g02_shortest_paths", "v13_ann_tombstoned", "c03_incremental_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -87,27 +87,40 @@ object Curation {
     * transitive closure — verifying the ALGORITHM's result, not its
     * rounds.
     */
+  /** LSH candidates verified by exact Jaccard ≥ 0.5 → (id_a, id_b)
+    * pairs (the d04 recipe). Input needs (doc_id, sh); shared by the
+    * c01 batch dedup and c03's within-batch dedup.
+    */
+  private def exactJaccardPairs(docs: DataFrame): DataFrame = {
+    val cand = MinHash.candidatePairs(docs.select(col("doc_id"), col("sh")))
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), size(col("sh")).as("na"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), size(col("sh")).as("nb"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"), inter.as("n_inter"),
+        (col("na") + col("nb") - inter).as("n_union"))
+      .filter(col("n_inter").cast(DoubleType) / col("n_union") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Min-id connected-component representatives of `docs` under the
+    * exact-Jaccard pair graph (c01 stage-2 semantics, reused by c03's
+    * within-batch dedup).
+    */
+  private def ccRepresentatives(docs: DataFrame): DataFrame = {
+    val pairs = exactJaccardPairs(docs)
+    val edges = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val labels = MinHash.connectedComponents(edges)
+    docs.join(labels, docs("doc_id") === labels("v"), "left")
+      .withColumn("rep", coalesce(col("label"), col("doc_id")))
+      .filter(col("doc_id") === col("rep"))
+      .select(docs.columns.map(col): _*)
+  }
+
   private def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.memo(spark, s"c01dedup:$dir") {
-      val q = qualitySurvivors(spark, dir)
-      val docsSh = q.select(col("doc_id"), col("sh"))
-      val cand = MinHash.candidatePairs(docsSh)
-      val a = q.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), size(col("sh")).as("na"))
-      val b = q.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), size(col("sh")).as("nb"))
-      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      val pairs = cand.join(a, "id_a").join(b, "id_b")
-        .select(col("id_a"), col("id_b"), inter.as("n_inter"),
-          (col("na") + col("nb") - inter).as("n_union"))
-        .filter(col("n_inter").cast(DoubleType) / col("n_union") >= 0.5)
-        .select(col("id_a"), col("id_b"))
-      val edges = pairs.unionByName(
-        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      val labels = MinHash.connectedComponents(edges)
-      q.join(labels, q("doc_id") === labels("v"), "left")
-        .withColumn("rep", coalesce(col("label"), col("doc_id")))
-        .filter(col("doc_id") === col("rep"))
-        .select(q.columns.map(col): _*)
-        .persist()
+      ccRepresentatives(qualitySurvivors(spark, dir)).persist()
     }
 
   /** Stage 3 — decontamination (d11 semantics): the benchmark slice is
@@ -185,9 +198,95 @@ object Curation {
       .orderBy(col("stage"))
   }
 
+  /** c03's corpus split: day-2 arrivals are `doc_id % IncrMod = 2`;
+    * everything else is the already-curated day-1 corpus. */
+  private val IncrMod = 3
+
+  /** c03 — INCREMENTAL curation: yesterday's pipeline state is deployed
+    * (frozen day-1 median gate, day-1 dedup representatives as the
+    * signature store) and today's batch flows through WITHOUT
+    * reprocessing the corpus — the d13/d17 incremental-dedup story
+    * applied to the whole composed pipeline. Stages, each over the
+    * shared [[base]] features (still one corpus text scan):
+    *
+    *   0_batch           today's arrivals (doc_id % [[IncrMod]] = 2)
+    *   1_quality         t05 gate with the FROZEN day-1 median (gate
+    *                     params freeze at deploy; recomputing them per
+    *                     batch would drift the pipeline run-to-run)
+    *   2_store_novel     batch docs matching a day-1 REPRESENTATIVE at
+    *                     Jaccard ≥ 0.5 drop (band-key probe against the
+    *                     store — day-1 pairs are never regenerated)
+    *   3_batch_dedup     CC min-id representatives WITHIN the remaining
+    *                     batch (c01 stage-2 semantics, batch-local)
+    *   4_decontaminated  d11 against the same external bench slice
+    *
+    * Emitted as the per-stage funnel (the c02 governance shape for an
+    * incremental run). The oracle replays day-1 curation AND the day-2
+    * incremental pass as one CTE chain — brute-force pairs + recursive
+    * closure on both days — so the gate verifies the frozen-state
+    * semantics, not just the batch math. Scale: the store probe is
+    * band-equi-join + exact Jaccard on candidates only; batch-internal
+    * work is |batch|-sized; the day-1 side enters only through its
+    * (tiny) representative signatures.
+    */
+  def incrementalCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir)
+    val isBatch = pmod(col("doc_id"), lit(IncrMod)) === lit(IncrMod - 1)
+    val day1 = b.filter(!isBatch)
+    val batch = b.filter(isBatch)
+    val med1 = day1.agg(expr("percentile(n_tokens, 0.5)").as("median_tokens"))
+    def gate(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(med1))
+        .filter(col("n_tokens") >= col("median_tokens") && col("has_stop"))
+        .drop("median_tokens")
+    val reps1 = graft.SessionCache.memo(spark, s"c03reps1:$dir") {
+      ccRepresentatives(gate(day1)).persist()
+    }
+    val q2 = gate(batch)
+    val novel2 = graft.SessionCache.memo(spark, s"c03novel:$dir") {
+      val cross = MinHash.bandCandidates(
+        MinHash.signatures(reps1.select(col("doc_id"), col("sh"))),
+        q2.select(col("doc_id"), col("sh")))
+      val bsh = q2.select(col("doc_id").as("batch_id"), col("sh").as("sh_b"),
+        size(col("sh")).as("nb"))
+      val csh = reps1.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"),
+        size(col("sh")).as("nc"))
+      val inter = size(array_intersect(col("sh_b"), col("sh_c")))
+      val matched = cross.join(bsh, "batch_id").join(csh, "corpus_id")
+        .select(col("batch_id"), inter.as("ni"), (col("nb") + col("nc") - inter).as("nu"))
+        .filter(col("ni").cast(DoubleType) / col("nu") >= 0.5)
+        .select(col("batch_id")).distinct()
+      q2.join(matched, q2("doc_id") === matched("batch_id"), "left_anti").persist()
+    }
+    val reps2 = graft.SessionCache.memo(spark, s"c03reps2:$dir") {
+      ccRepresentatives(novel2).persist()
+    }
+    val bench = b.filter(pmod(col("doc_id"), lit(BenchMod)) === 0)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val train = reps2.filter(pmod(col("doc_id"), lit(BenchMod)) =!= 0)
+    val hits = train.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val dec2 = train.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .filter(size(col("sh")) === 0 ||
+        col("n_hit").cast(DoubleType) / size(col("sh")) < FlagRatio)
+      .drop("n_hit")
+    def row(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_ws")).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    row("0_batch", batch)
+      .unionAll(row("1_quality", q2))
+      .unionAll(row("2_store_novel", novel2))
+      .unionAll(row("3_batch_dedup", reps2))
+      .unionAll(row("4_decontaminated", dec2))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_curated_packed_bins" -> (curatedPackedBins _),
-    "c02_curation_funnel" -> (curationFunnel _))
+    "c02_curation_funnel" -> (curationFunnel _),
+    "c03_incremental_funnel" -> (incrementalCurationFunnel _))
 
   /** The shared oracle CTE chain — every stage replayed in DuckDB over
     * the same raw inputs: features, median gate, brute-force 0.5-Jaccard
@@ -246,7 +345,90 @@ object Curation {
        |            OR CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(d.sh) < $FlagRatio))""".stripMargin
   }
 
+  /** c03's oracle chain: day-1 curation (median, gate, brute-force
+    * ≥ 0.5 pairs, recursive closure, min-id reps) then the day-2
+    * incremental pass (frozen gate, store match, batch-local closure,
+    * decontamination) — all from the same raw features CTE.
+    */
+  private def c03OracleSql: String = {
+    val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString(",")
+    s"""WITH RECURSIVE w AS (SELECT doc_id, lang, source, text,
+       |   string_split_regex(trim(text), '\\s+') AS words FROM documents),
+       |raw AS MATERIALIZED (SELECT doc_id, lang, source,
+       |   CAST(len(regexp_extract_all(text, '${TextAnalysis.tokenRegex}')) AS INTEGER) AS n_tokens,
+       |   len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |     x -> x IN ($stops))) > 0 AS has_stop,
+       |   CAST(len(words) AS BIGINT) AS n_ws,
+       |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+       |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+       | FROM w),
+       |d1 AS (SELECT * FROM raw WHERE doc_id % $IncrMod <> ${IncrMod - 1}),
+       |d2 AS (SELECT * FROM raw WHERE doc_id % $IncrMod = ${IncrMod - 1}),
+       |med1 AS (SELECT quantile_cont(n_tokens, 0.5) AS m FROM d1),
+       |q1 AS MATERIALIZED (SELECT d1.* FROM d1, med1 WHERE n_tokens >= m AND has_stop),
+       |ps1 AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_sh, unnest(sh) AS shingle FROM q1),
+       |j1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        a.n_sh AS na, b.n_sh AS nb, CAST(COUNT(*) AS INTEGER) AS n_inter
+       |      FROM ps1 a JOIN ps1 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2, 3, 4),
+       |pr1 AS (SELECT id_a, id_b FROM j1
+       |       WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.5),
+       |e1 AS MATERIALIZED (SELECT id_a, id_b FROM pr1 UNION ALL SELECT id_b, id_a FROM pr1),
+       |v1 AS (SELECT DISTINCT id_a AS v FROM e1),
+       |r1 AS (SELECT v AS src, v AS node FROM v1
+       |      UNION
+       |      SELECT r1.src, e1.id_b AS node FROM r1 JOIN e1 ON e1.id_a = r1.node),
+       |comp1 AS MATERIALIZED (SELECT node AS v, MIN(src) AS label FROM r1 GROUP BY node),
+       |reps1 AS MATERIALIZED (SELECT q1.* FROM q1 LEFT JOIN comp1 ON q1.doc_id = comp1.v
+       |      WHERE q1.doc_id = COALESCE(comp1.label, q1.doc_id)),
+       |q2 AS MATERIALIZED (SELECT d2.* FROM d2, med1 WHERE n_tokens >= m AND has_stop),
+       |ps2 AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_sh, unnest(sh) AS shingle FROM q2),
+       |psr AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_sh, unnest(sh) AS shingle FROM reps1),
+       |jx AS (SELECT b.doc_id AS bid, b.n_sh AS nb, c.n_sh AS nc, CAST(COUNT(*) AS INTEGER) AS ni
+       |      FROM ps2 b JOIN psr c USING (shingle) GROUP BY b.doc_id, c.doc_id, b.n_sh, c.n_sh),
+       |matched AS (SELECT DISTINCT bid FROM jx
+       |      WHERE CAST(ni AS DOUBLE) / (nb + nc - ni) >= 0.5),
+       |novel AS MATERIALIZED (SELECT q2.* FROM q2
+       |      WHERE doc_id NOT IN (SELECT bid FROM matched)),
+       |psn AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_sh, unnest(sh) AS shingle FROM novel),
+       |jn AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        a.n_sh AS na, b.n_sh AS nb, CAST(COUNT(*) AS INTEGER) AS n_inter
+       |      FROM psn a JOIN psn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2, 3, 4),
+       |prn AS (SELECT id_a, id_b FROM jn
+       |       WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.5),
+       |en AS MATERIALIZED (SELECT id_a, id_b FROM prn UNION ALL SELECT id_b, id_a FROM prn),
+       |vn AS (SELECT DISTINCT id_a AS v FROM en),
+       |rn AS (SELECT v AS src, v AS node FROM vn
+       |      UNION
+       |      SELECT rn.src, en.id_b AS node FROM rn JOIN en ON en.id_a = rn.node),
+       |compn AS MATERIALIZED (SELECT node AS v, MIN(src) AS label FROM rn GROUP BY node),
+       |reps2 AS MATERIALIZED (SELECT novel.* FROM novel LEFT JOIN compn ON novel.doc_id = compn.v
+       |      WHERE novel.doc_id = COALESCE(compn.label, novel.doc_id)),
+       |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM raw
+       |          WHERE doc_id % $BenchMod = 0),
+       |p2 AS (SELECT doc_id, unnest(sh) AS shingle FROM reps2
+       |      WHERE doc_id % $BenchMod <> 0),
+       |h2 AS (SELECT doc_id, COUNT(*) AS n_hit FROM p2 JOIN bench USING (shingle) GROUP BY 1),
+       |dec2 AS MATERIALIZED (SELECT reps2.* FROM reps2 LEFT JOIN h2 USING (doc_id)
+       |        WHERE reps2.doc_id % $BenchMod <> 0
+       |          AND (len(reps2.sh) = 0
+       |            OR CAST(COALESCE(h2.n_hit, 0) AS DOUBLE) / len(reps2.sh) < $FlagRatio))
+       |SELECT '0_batch' AS stage, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_ws) AS BIGINT) AS n_tokens FROM d2
+       |UNION ALL
+       |SELECT '1_quality', COUNT(*), CAST(SUM(n_ws) AS BIGINT) FROM q2
+       |UNION ALL
+       |SELECT '2_store_novel', COUNT(*), CAST(SUM(n_ws) AS BIGINT) FROM novel
+       |UNION ALL
+       |SELECT '3_batch_dedup', COUNT(*), CAST(SUM(n_ws) AS BIGINT) FROM reps2
+       |UNION ALL
+       |SELECT '4_decontaminated', COUNT(*), CAST(SUM(n_ws) AS BIGINT) FROM dec2
+       |ORDER BY stage""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "c03_incremental_funnel" -> c03OracleSql,
     "c01_curated_packed_bins" ->
       s"""WITH RECURSIVE $stageCtes,
          |t AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT lang) AS n_langs FROM dec),
