@@ -39,7 +39,8 @@ object Explain {
     "c01_curated_packed_bins", "c02_curation_funnel", "v12_ann_recall_report",
     "d22_streaming_store_dedup", "t19_bpe_iterated_merges",
     "d23_span_dups", "d24_segment_dedup", "ml01_ols_fit", "g01_pagerank",
-    "g02_shortest_paths", "v13_ann_tombstoned", "c03_incremental_funnel")
+    "g02_shortest_paths", "v13_ann_tombstoned", "c03_incremental_funnel",
+    "g03_partner_triangles", "v14_ivf_index_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

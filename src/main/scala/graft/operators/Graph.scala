@@ -132,9 +132,57 @@ object Graph {
       .orderBy(col("hops"))
   }
 
+  /** g03's partner-graph degree bound (top-K strongest partners). */
+  private val PartnerK = 3
+
+  // G: triangle census over the MUTUAL top-K partner graph — suppliers
+  // ranked by shared-part count keep their K strongest partners, an
+  // edge exists when BOTH sides kept it. The raw co-supply graph is
+  // near-complete at every scale (every pair shares some part), so
+  // counting triangles on it is O(n³) noise; the mutual-kNN cut gives
+  // a bounded-degree graph (deg ≤ K) where wedges and triangles are
+  // LINEAR in nodes — the degree-bounding that makes a triangle census
+  // runnable on a billion-node graph, with the graph itself the useful
+  // artifact (strongest-partner communities). Determinism: partner rank
+  // by (shared parts DESC, partner id ASC); every later count is exact
+  // integer; the clustering coefficient is one final integer division.
+  def partnerTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val co = sp.as("a").join(sp.as("b"),
+        col("a.p") === col("b.p") && col("a.s") =!= col("b.s"))
+      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+      .agg(count(lit(1)).as("w"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s1")).orderBy(col("w").desc, col("s2"))
+    val topk = co.withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= PartnerK)
+      .select(col("s1"), col("s2"))
+    val mutual = topk.as("t1").join(topk.as("t2"),
+        col("t1.s1") === col("t2.s2") && col("t1.s2") === col("t2.s1"))
+      .filter(col("t1.s1") < col("t1.s2"))
+      .select(col("t1.s1").as("s1"), col("t1.s2").as("s2"))
+      .persist()
+    val deg = mutual.select(col("s1").as("v")).unionAll(mutual.select(col("s2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_connected"),
+      sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+    val tri = mutual.as("x")
+      .join(mutual.as("y"), col("y.s1") === col("x.s2"))
+      .join(mutual.as("z"),
+        col("z.s1") === col("x.s1") && col("z.s2") === col("y.s2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val edges = mutual.agg(count(lit(1)).as("n_edges"))
+    stats.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+      .select(col("n_connected"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        (lit(3L) * col("n_triangles") / col("n_wedges")).as("clustering"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> (pagerank _),
-    "g02_shortest_paths" -> (shortestPaths _))
+    "g02_shortest_paths" -> (shortestPaths _),
+    "g03_partner_triangles" -> (partnerTriangles _))
 
   /** The oracle replays the same `Iters` integer rounds as chained
     * CTEs (not a recursive CTE: the recursive term would need GROUP BY).
@@ -178,5 +226,27 @@ object Graph {
         |m AS (SELECT node, MIN(d) AS d FROM r GROUP BY node)
         |SELECT CAST(COALESCE(m.d, -1) AS BIGINT) AS hops, COUNT(*) AS n_nodes
         |FROM nodes LEFT JOIN m USING (node)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same rank cut, mutual intersection, and integer census
+    "g03_partner_triangles" ->
+      s"""WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+         |co AS (SELECT a.s AS s1, b.s AS s2, COUNT(*) AS w
+         |      FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s GROUP BY 1, 2),
+         |tk AS (SELECT s1, s2 FROM (SELECT s1, s2,
+         |        ROW_NUMBER() OVER (PARTITION BY s1 ORDER BY w DESC, s2) AS rk FROM co)
+         |      WHERE rk <= $PartnerK),
+         |mu AS MATERIALIZED (SELECT t1.s1, t1.s2 FROM tk t1
+         |      JOIN tk t2 ON t1.s1 = t2.s2 AND t1.s2 = t2.s1
+         |      WHERE t1.s1 < t1.s2),
+         |deg AS (SELECT v, COUNT(*) AS d FROM
+         |       (SELECT s1 AS v FROM mu UNION ALL SELECT s2 FROM mu) GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n_connected,
+         |       CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+         |tri AS (SELECT COUNT(*) AS n_triangles FROM mu x
+         |       JOIN mu y ON y.s1 = x.s2
+         |       JOIN mu z ON z.s1 = x.s1 AND z.s2 = y.s2),
+         |ed AS (SELECT COUNT(*) AS n_edges FROM mu)
+         |SELECT n_connected, n_edges, n_wedges, n_triangles,
+         |  3 * n_triangles / n_wedges AS clustering
+         |FROM st, ed, tri""".stripMargin)
 }

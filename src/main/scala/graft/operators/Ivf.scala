@@ -310,6 +310,33 @@ object Ivf {
       .filter(col("rank") <= 5)
   }
 
+  /** v14: IVF index QUALITY stats — the audit table an index owner
+    * reads before shipping a nightly build: per-cell occupancy (probe
+    * cost balance), exact within-cell inertia (quantizer fit), and the
+    * cell's worst member distance (outlier pressure). All integer —
+    * d2 = n2 + cost is the exact squared distance to the assigned
+    * centroid — so the report hash-gates like everything else. One
+    * assignment pass + one hash-agg; the skew signal here is what
+    * decides d21's cap and v04's probe breadth at scale (a max/mean
+    * occupancy creeping past ~2 means the centroid count stopped
+    * tracking corpus growth). Oracle replays the k-means training and
+    * the same aggregation.
+    */
+  def ivfIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = CosineLsh.quantized(spark, dir)
+    val c = graft.SessionCache.memo(spark, s"ivfCentroids:$dir") {
+      centroids(emb).persist()
+    }
+    assignWithCost(emb, c)
+      .withColumn("d2", col("n2") + col("cost"))
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(col("d2")).as("inertia"),
+        max(col("d2")).as("max_d2"))
+      .orderBy(col("cid"))
+  }
+
   /** Like [[assign]] but keeps the winning cell's cost term and the
     * vector's n2 — d21 needs the EXACT squared distance to the assigned
     * centroid (n2 + cost = qv·qv − 2·qv·cv + cv·cv) as its cap rank key.
@@ -420,6 +447,7 @@ object Ivf {
     "v10_ann_filtered" -> (annTopKIvfFiltered _),
     "v11_ann_stored" -> (annTopKIvfStored _),
     "v13_ann_tombstoned" -> (annTopKIvfTombstoned _),
+    "v14_ivf_index_stats" -> (ivfIndexStats _),
     "d21_semantic_dedup" -> (semanticClusterDedup _))
 
   // ---- DuckDB oracle: full k-means replay, iteration by iteration ----
@@ -491,7 +519,26 @@ object Ivf {
     // v04's replay with the tombstone slice removed from the INDEXED
     // side only (LEFT ANTI ≡ the modulus predicate on live keys)
     "v13_ann_tombstoned" -> ivfOracle("n", s"vec_id < $NumCentroids",
-      NumProbes, s"n.vec_id % $TombstoneMod <> 0"))
+      NumProbes, s"n.vec_id % $TombstoneMod <> 0"),
+    // training replay + the same per-cell integer aggregation
+    "v14_ivf_index_stats" -> {
+      val iters = (1 to KMeansIters).map(iterSql(_, "n")).mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS n2 FROM e),
+         |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cv FROM n WHERE vec_id < $NumCentroids),
+         |$iters,
+         |idx AS (SELECT vec_id, cid, cost FROM (
+         |  SELECT n.vec_id, c.cid,
+         |    ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")} AS cost,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")}, c.cid) AS rn
+         |  FROM n, c$KMeansIters c) WHERE rn = 1)
+         |SELECT idx.cid, COUNT(*) AS n_members,
+         |  CAST(SUM(n.n2 + idx.cost) AS BIGINT) AS inertia,
+         |  CAST(MAX(n.n2 + idx.cost) AS BIGINT) AS max_d2
+         |FROM idx JOIN n USING (vec_id)
+         |GROUP BY idx.cid ORDER BY idx.cid""".stripMargin
+    })
 
   private def semanticOracle: String = {
     val iters = (1 to KMeansIters).map(iterSql(_, "n")).mkString(",\n")

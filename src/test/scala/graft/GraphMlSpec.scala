@@ -70,6 +70,44 @@ class GraphMlSpec extends SparkSpec {
     assert(got == exp, s"got=$got exp=$exp")
   }
 
+  test("g03 partner triangle census matches a collections recomputation") {
+    val row = Graph.partnerTriangles(spark, sfDir).head()
+    val sp = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySupp = sp.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).toSet }
+    val co = (for {
+      (s1, p1) <- bySupp.toSeq; (s2, p2) <- bySupp.toSeq
+      if s1 != s2; w = (p1 & p2).size if w > 0
+    } yield (s1, s2, w))
+    val topk = co.groupBy(_._1).values.flatMap(
+      _.sortBy(e => (-e._3, e._2)).take(3)).map(e => (e._1, e._2)).toSet
+    val mutual = topk.filter { case (a, b) => a < b && topk.contains((b, a)) }
+    val deg = (mutual.toSeq.map(_._1) ++ mutual.toSeq.map(_._2))
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val tri = (for {
+      (a, b) <- mutual.toSeq; (b2, c) <- mutual.toSeq
+      if b2 == b && mutual.contains((a, c))
+    } yield 1).size.toLong
+    assert(row.getAs[Long]("n_connected") == deg.size)
+    assert(row.getAs[Long]("n_edges") == mutual.size)
+    assert(row.getAs[Long]("n_wedges") == wedges)
+    assert(row.getAs[Long]("n_triangles") == tri)
+    assert(row.getAs[Double]("clustering") == 3.0 * tri / wedges)
+  }
+
+  test("v14 index stats: full coverage, inertia consistent with members") {
+    val out = Ivf.ivfIndexStats(spark, sfDir).cache()
+    assert(out.count() <= Ivf.NumCentroids)
+    val nVecs = Tables.load(spark, sfDir, "embeddings").count()
+    assert(out.agg(sum(col("n_members"))).head().getLong(0) == nVecs)
+    // a cell's worst member cannot be under its mean
+    assert(out.filter(col("max_d2") * col("n_members") < col("inertia")).count() == 0)
+    assert(out.filter(col("inertia") < 0).count() == 0)
+    out.unpersist()
+  }
+
   test("ml01 OLS coefficients match the closed form over collected data") {
     val row = TextAnalysis.olsFit(spark, sfDir).head()
     val xy = Tables.load(spark, sfDir, "documents")
@@ -129,6 +167,21 @@ class GraphMlSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(row.getAs[String]("retained_md5") == md)
     out.unpersist()
+  }
+
+  test("c03 incremental funnel: stages shrink monotonically from the true batch size") {
+    val rows = graft.operators.Curation.incrementalCurationFunnel(spark, sfDir)
+      .orderBy(col("stage")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq(
+      "0_batch", "1_quality", "2_store_novel", "3_batch_dedup", "4_decontaminated"))
+    val docs = rows.map(_.getLong(1)).toSeq
+    val toks = rows.map(_.getLong(2)).toSeq
+    assert(docs == docs.sorted.reverse, s"doc funnel not monotone: $docs")
+    assert(toks == toks.sorted.reverse, s"token funnel not monotone: $toks")
+    assert(docs.last > 0, "incremental pipeline dropped everything")
+    val nBatch = Tables.load(spark, sfDir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 2).count()
+    assert(docs.head == nBatch)
   }
 
   test("v13 tombstoned probe: live-only neighbors, never better than v11") {
