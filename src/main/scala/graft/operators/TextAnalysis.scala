@@ -1044,7 +1044,54 @@ object TextAnalysis {
       r6(covN * covN / (varXN * varYN)).as("r2"))
   }
 
+  // DQ: corpus DRIFT report between two snapshots (day-1 corpus vs the
+  // day-2 batch, the same doc_id % 3 split the incremental pipeline
+  // c03 uses) — the monitoring table a continuously-ingesting pipeline
+  // publishes before letting a batch through: per-source share shift
+  // (is the mix moving?), mean-length shift (is a source degrading?),
+  // and the new-vocabulary rate (|day-2 words unseen in day-1| /
+  // |day-2 vocab| — a cheap distribution-shift alarm). Everything is a
+  // ratio/difference of exact integer counts, so the report hash-gates.
+  // Plan: one feature pass split two ways, source-cardinality aggs, a
+  // per-source vocab anti-join (distinct words, posting-list sized —
+  // never document pairs). Sources must appear in both snapshots (inner
+  // join); a source born today is its own alert upstream of this table.
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(
+      col("doc_id"), col("source"),
+      size(wordsOf(col("text"))).cast(LongType).as("n_tok"),
+      wordsOf(col("text")).as("ws"))
+    val isNew = pmod(col("doc_id"), lit(3)) === 2
+    def sideAgg(side: DataFrame, tag: String): DataFrame = {
+      val tot = side.agg(count(lit(1)).as(s"tot_$tag"))
+      side.groupBy(col("source"))
+        .agg(count(lit(1)).as(s"n_docs_$tag"), sum(col("n_tok")).as(s"sum_tok_$tag"))
+        .crossJoin(broadcast(tot))
+    }
+    val a1 = sideAgg(d.filter(!isNew), "1")
+    val a2 = sideAgg(d.filter(isNew), "2")
+    def vocab(side: DataFrame): DataFrame =
+      side.select(col("source"), explode(col("ws")).as("word")).distinct()
+    val v1 = vocab(d.filter(!isNew))
+    val v2 = vocab(d.filter(isNew))
+    val v2Counts = v2.groupBy(col("source")).agg(count(lit(1)).as("n_vocab_2"))
+    val newCounts = v2.join(v1, Seq("source", "word"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_new_vocab"))
+    a1.join(a2, "source")
+      .join(v2Counts, "source")
+      .join(newCounts, Seq("source"), "left")
+      .withColumn("n_new_vocab", coalesce(col("n_new_vocab"), lit(0L)))
+      .select(
+        col("source"), col("n_docs_1"), col("n_docs_2"),
+        (col("n_docs_1").cast(DoubleType) / col("tot_1")).as("share_1"),
+        (col("n_docs_2").cast(DoubleType) / col("tot_2")).as("share_2"),
+        (col("sum_tok_1").cast(DoubleType) / col("n_docs_1")).as("mean_tokens_1"),
+        (col("sum_tok_2").cast(DoubleType) / col("n_docs_2")).as("mean_tokens_2"),
+        (col("n_new_vocab").cast(DoubleType) / col("n_vocab_2")).as("new_vocab_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq05_drift_report" -> (driftReport _),
     "d23_span_dups" -> (spanDupReport _),
     "d24_segment_dedup" -> (segmentDedup _),
     "ml01_ols_fit" -> (olsFit _),
@@ -1079,6 +1126,30 @@ object TextAnalysis {
     "m01_binary_meta" -> (binaryMeta _))
 
   val oracles: Map[String, String] = Map(
+    "dq05_drift_report" ->
+      """WITH d AS (SELECT doc_id, source,
+        |   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |   string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |s1 AS (SELECT * FROM d WHERE doc_id % 3 <> 2),
+        |s2 AS (SELECT * FROM d WHERE doc_id % 3 = 2),
+        |a1 AS (SELECT source, COUNT(*) AS n_docs_1, SUM(n_tok) AS sum_tok_1 FROM s1 GROUP BY 1),
+        |a2 AS (SELECT source, COUNT(*) AS n_docs_2, SUM(n_tok) AS sum_tok_2 FROM s2 GROUP BY 1),
+        |t1 AS (SELECT COUNT(*) AS tot_1 FROM s1),
+        |t2 AS (SELECT COUNT(*) AS tot_2 FROM s2),
+        |v1 AS (SELECT DISTINCT source, unnest(ws) AS word FROM s1),
+        |v2 AS (SELECT DISTINCT source, unnest(ws) AS word FROM s2),
+        |vc AS (SELECT source, COUNT(*) AS n_vocab_2 FROM v2 GROUP BY 1),
+        |nv AS (SELECT v2.source, COUNT(*) AS n_new_vocab FROM v2
+        |       LEFT JOIN v1 ON v1.source = v2.source AND v1.word = v2.word
+        |       WHERE v1.word IS NULL GROUP BY 1)
+        |SELECT a1.source, a1.n_docs_1, a2.n_docs_2,
+        | CAST(a1.n_docs_1 AS DOUBLE) / tot_1 AS share_1,
+        | CAST(a2.n_docs_2 AS DOUBLE) / tot_2 AS share_2,
+        | CAST(a1.sum_tok_1 AS DOUBLE) / a1.n_docs_1 AS mean_tokens_1,
+        | CAST(a2.sum_tok_2 AS DOUBLE) / a2.n_docs_2 AS mean_tokens_2,
+        | CAST(COALESCE(nv.n_new_vocab, 0) AS DOUBLE) / vc.n_vocab_2 AS new_vocab_rate
+        |FROM a1 JOIN a2 USING (source) JOIN vc USING (source)
+        |LEFT JOIN nv USING (source), t1, t2""".stripMargin,
     "d23_span_dups" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),

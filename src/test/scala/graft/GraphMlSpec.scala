@@ -184,6 +184,17 @@ class GraphMlSpec extends SparkSpec {
     assert(docs.head == nBatch)
   }
 
+  test("dq05 drift report: shares sum to 1 per side, rates in [0,1]") {
+    val out = TextAnalysis.driftReport(spark, sfDir).cache()
+    assert(out.count() > 0)
+    val sums = out.agg(sum(col("share_1")), sum(col("share_2"))).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-9, s"share_1 sum ${sums.getDouble(0)}")
+    assert(math.abs(sums.getDouble(1) - 1.0) < 1e-9, s"share_2 sum ${sums.getDouble(1)}")
+    assert(out.filter(col("new_vocab_rate") < 0 || col("new_vocab_rate") > 1).count() == 0)
+    assert(out.filter(col("mean_tokens_1") <= 0 || col("mean_tokens_2") <= 0).count() == 0)
+    out.unpersist()
+  }
+
   test("v13 tombstoned probe: live-only neighbors, never better than v11") {
     val v13 = Ivf.annTopKIvfTombstoned(spark, sfDir).cache()
     // no tombstoned vector surfaces; every query still gets a full top-5
