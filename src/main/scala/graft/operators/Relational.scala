@@ -293,6 +293,7 @@ object Relational extends RelationalBase
     "s16_bloom_filter_join" -> (bloomFilterJoin _),
     "s17_csv_permissive" -> (csvPermissive _),
     "s18_dynamic_overwrite" -> (dynamicPartitionOverwrite _),
+    "s25_time_travel" -> (timeTravel _),
     "s19_schema_evolution" -> (schemaEvolution _),
     "s15_dynamic_pruning" -> (dynamicPruning _),
     "s20_sorted_shards" -> (sortedShards _),
@@ -945,6 +946,20 @@ object Relational extends RelationalBase
     // file-count INVARIANTS are measured Spark-side (exact counts are
     // data-dependent — empty hash partitions emit no file); the oracle
     // pins TRUE for both plus the exact content digest of the source
+    // both snapshots recomputed from the base table: v1 untouched, v2
+    // with the deterministic adjustment — isolation means the pinned
+    // reader's numbers equal the pre-write table exactly
+    "s25_time_travel" ->
+      """SELECT 1 AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+        |  CAST(0 AS BIGINT) AS n_changed_vs_v1
+        |FROM customer
+        |UNION ALL
+        |SELECT 2, COUNT(*),
+        |  CAST(SUM(CAST(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+        |    ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE),
+        |  CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM customer ORDER BY version""".stripMargin,
     "s24_compaction" ->
       """SELECT TRUE AS files_reduced, TRUE AS files_at_most_target,
         |  COUNT(*) AS n_rows,

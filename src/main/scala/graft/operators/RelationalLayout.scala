@@ -343,6 +343,42 @@ trait RelationalLayout extends RelationalBase {
       .orderBy(col("o_year"))
   }
 
+  // S25: TIME TRAVEL over a versioned table — the snapshot-isolation
+  // read every lakehouse format (Delta/Iceberg) sells, on plain
+  // parquet: each version directory is a full consistent snapshot
+  // (write-new-then-swap, the e13 protocol — a writer never mutates a
+  // directory a reader may be pinned to), so a reader pinned "as of
+  // v1" is untouched by v2 landing next to it. v2 applies a
+  // deterministic balance adjustment to 1 in 10 customers; the query
+  // reads BOTH versions side by side — the audit a backfill publishes:
+  // per-version row count, exact decimal-summed balance total, and the
+  // changed-row count vs the pinned v1 (a join the 100 TB version
+  // diffs via the same key equi-join). Proves isolation (v1's numbers
+  // are bit-identical to the pre-write table) and change accounting.
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_time_travel_${tmpTag(dir)}"
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    cust.write.mode("overwrite").parquet(s"$tmp/v=1")
+    cust.withColumn("c_acctbal",
+        when(pmod(col("c_custkey"), lit(10)) === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+      .write.mode("overwrite").parquet(s"$tmp/v=2")
+    val v1 = spark.read.parquet(s"$tmp/v=1")
+      .select(col("c_custkey"), col("c_acctbal").as("bal_v1"))
+    val perVersion = Seq(1, 2).map { v =>
+      val snap = spark.read.parquet(s"$tmp/v=$v")
+      val agg = snap.agg(count(lit(1)).as("n_rows"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+      val changed = snap.join(v1, "c_custkey")
+        .filter(col("c_acctbal") =!= col("bal_v1"))
+        .agg(count(lit(1)).as("n_changed_vs_v1"))
+      agg.crossJoin(changed).select(lit(v).as("version"),
+        col("n_rows"), col("total_acctbal"), col("n_changed_vs_v1"))
+    }
+    perVersion.reduce(_.unionAll(_)).orderBy(col("version"))
+  }
+
   // S19: schema evolution on read — batches written before a column
   // existed coexist with batches written after (mergeSchema=true unions
   // the file footers; old rows surface NULL for the new column). At
