@@ -40,7 +40,8 @@ object Explain {
     "d22_streaming_store_dedup", "t19_bpe_iterated_merges",
     "d23_span_dups", "d24_segment_dedup", "ml01_ols_fit", "g01_pagerank",
     "g02_shortest_paths", "v13_ann_tombstoned", "c03_incremental_funnel",
-    "g03_partner_triangles", "v14_ivf_index_stats", "dq05_drift_report")
+    "g03_partner_triangles", "v14_ivf_index_stats", "dq05_drift_report",
+    "s25_time_travel", "v15_ann_main_delta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -310,6 +310,53 @@ object Ivf {
       .filter(col("rank") <= 5)
   }
 
+  /** v15's delta rule: vectors that ARRIVED after the nightly index
+    * build (a deterministic 1-in-11 slice standing in for the ingest
+    * log since the build). */
+  val DeltaMod = 11
+
+  /** v15: MAIN + DELTA search — the other half of the index-maintenance
+    * story next to v13's deletes: vectors that arrived AFTER the build
+    * aren't in the index, but a search must still see them. The
+    * Lucene/FAISS-segment architecture: the trained MAIN index (built
+    * on the pre-delta corpus — its centroids never saw the arrivals)
+    * answers via cell probes, the small DELTA is scanned exhaustively
+    * per query (at scale: delta ≪ main between rebuilds, or gets its
+    * own small segment index), and one exact-cosine rank merges both
+    * candidate pools into the same top-5. The delta fan-out is
+    * queries × |delta| — bounded by the rebuild cadence, and the
+    * nightly rebuild folds the delta into the main index resetting it
+    * to zero. The oracle replays the old-corpus-only training, the
+    * probe, and the pool union.
+    */
+  def annTopKIvfDelta(spark: SparkSession, dir: String): DataFrame = {
+    val emb = CosineLsh.quantized(spark, dir)
+    val isDelta = pmod(col("vec_id"), lit(DeltaMod)) === 0
+    val oldEmb = emb.filter(!isDelta)
+    val c = graft.SessionCache.memo(spark, s"ivfOldCentroids:$dir") {
+      centroidsOn(oldEmb, col("vec_id") < NumCentroids).persist()
+    }
+    val index = assign(oldEmb, c).select(col("vec_id"), col("cid"))
+    val cost = LongArrayDot.dot(col("cv"), col("cv")) -
+      lit(2L) * LongArrayDot.dot(col("qv"), col("cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cost"), col("cid"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val probes = queries
+      .crossJoin(broadcast(c))
+      .select(col("vec_id").as("query_id"), col("cid"), cost.as("cost"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NumProbes)
+      .select(col("query_id"), col("cid"))
+    val mainCand = probes.join(index, "cid")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val deltaCand = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(broadcast(emb.filter(isDelta).select(col("vec_id").as("neighbor_id"))))
+    val cand = mainCand.unionByName(deltaCand)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .distinct()
+    CosineLsh.rankCandidates(emb, cand)
+  }
+
   /** v14: IVF index QUALITY stats — the audit table an index owner
     * reads before shipping a nightly build: per-cell occupancy (probe
     * cost balance), exact within-cell inertia (quantizer fit), and the
@@ -448,6 +495,7 @@ object Ivf {
     "v11_ann_stored" -> (annTopKIvfStored _),
     "v13_ann_tombstoned" -> (annTopKIvfTombstoned _),
     "v14_ivf_index_stats" -> (ivfIndexStats _),
+    "v15_ann_main_delta" -> (annTopKIvfDelta _),
     "d21_semantic_dedup" -> (semanticClusterDedup _))
 
   // ---- DuckDB oracle: full k-means replay, iteration by iteration ----
@@ -520,6 +568,38 @@ object Ivf {
     // side only (LEFT ANTI ≡ the modulus predicate on live keys)
     "v13_ann_tombstoned" -> ivfOracle("n", s"vec_id < $NumCentroids",
       NumProbes, s"n.vec_id % $TombstoneMod <> 0"),
+    // old-corpus-only training replay; candidate pool = probed old
+    // cells ∪ the whole delta slice, one merged exact rank
+    "v15_ann_main_delta" -> {
+      val iters = (1 to KMeansIters).map(iterSql(_, "no")).mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS n2 FROM e),
+         |no AS (SELECT * FROM n WHERE vec_id % $DeltaMod <> 0),
+         |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cv FROM no WHERE vec_id < $NumCentroids),
+         |$iters,
+         |idx AS (SELECT vec_id, cid FROM (
+         |  SELECT no.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY no.vec_id ORDER BY
+         |      ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("no.qv", "c.cv")}, c.cid) AS rn
+         |  FROM no, c$KMeansIters c) WHERE rn = 1),
+         |pr AS (SELECT vec_id AS query_id, cid FROM (
+         |  SELECT n.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")}, c.cid) AS rn
+         |  FROM n, c$KMeansIters c WHERE n.vec_id < 10) WHERE rn <= $NumProbes),
+         |cand AS (SELECT DISTINCT query_id, neighbor_id FROM (
+         |  SELECT pr.query_id, idx.vec_id AS neighbor_id FROM pr JOIN idx USING (cid)
+         |  UNION ALL
+         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id
+         |  FROM n q, n d WHERE q.vec_id < 10 AND d.vec_id % $DeltaMod = 0)
+         | WHERE neighbor_id <> query_id),
+         |p AS (SELECT cand.query_id, cand.neighbor_id,
+         |  CAST(${dotSql("x.qv", "y.qv")} AS DOUBLE)
+         |    / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS sim
+         | FROM cand JOIN n x ON x.vec_id = cand.query_id JOIN n y ON y.vec_id = cand.neighbor_id),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM p)
+         |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+    },
     // training replay + the same per-cell integer aggregation
     "v14_ivf_index_stats" -> {
       val iters = (1 to KMeansIters).map(iterSql(_, "n")).mkString(",\n")

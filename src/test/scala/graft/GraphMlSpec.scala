@@ -184,6 +184,23 @@ class GraphMlSpec extends SparkSpec {
     assert(docs.head == nBatch)
   }
 
+  test("v15 main+delta: every true-top-5 delta neighbor surfaces (delta scanned exhaustively)") {
+    val v15 = Ivf.annTopKIvfDelta(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truthDelta = graft.operators.VectorSearch.annBruteForce(spark, sfDir)
+      .filter(pmod(col("neighbor_id"), lit(Ivf.DeltaMod)) === 0)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truthDelta.nonEmpty, "fixture has no delta vector in any true top-5 — test is vacuous")
+    assert(truthDelta.subsetOf(v15),
+      s"missing delta neighbors: ${truthDelta -- v15}")
+    // and each query still returns a full top-5
+    val perQuery = Ivf.annTopKIvfDelta(spark, sfDir)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+    assert(perQuery.filter(col("n") =!= 5).count() == 0)
+  }
+
   test("dq05 drift report: shares sum to 1 per side, rates in [0,1]") {
     val out = TextAnalysis.driftReport(spark, sfDir).cache()
     assert(out.count() > 0)
