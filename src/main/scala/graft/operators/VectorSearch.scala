@@ -319,9 +319,45 @@ object VectorSearch {
     "v08_ann_rerank_int8" -> (annRerankInt8 _),
     "v09_ann_rerank_pq" -> (annRerankPq _),
     "v05_label_centroids" -> (labelCentroids _),
+    "ml02_centroid_confusion" -> (centroidConfusion _),
     "v12_ann_recall_report" -> (annRecallReport _),
     "x18_higher_order" -> (higherOrderOps _),
     "d03_dedup_embedding" -> (dedupEmbedding _))
+
+  // ML: nearest-centroid (Rocchio) classifier EVAL — train one
+  // integer-mean centroid per label (one posexplode + hash-agg, the v05
+  // shape with Ivf's truncating-mean arithmetic), classify every
+  // vector to its nearest centroid by exact integer squared distance
+  // (cv·cv − 2·qv·cv rank, ties on label), and publish the confusion
+  // matrix — the resubstitution eval a labeling pipeline reads to see
+  // which classes collapse into each other. All arithmetic integer, so
+  // the whole train→classify→evaluate loop hash-gates exactly; the
+  // oracle replays centroid training and the argmin. Scale: centroids
+  // are label-cardinality (broadcast), classification is one pass, the
+  // matrix is |labels|² rows.
+  def centroidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.LongArrayDot.register(spark)
+    val labeled = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+      .repartition(col("vec_id"))
+    val cents = labeled
+      .select(col("label").as("pred"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("pred"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("m"))
+      .groupBy(col("pred"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+    val cost = idot(col("cv"), col("cv")) - lit(2L) * idot(col("qv"), col("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cost"), col("pred"))
+    labeled.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("pred"), cost.as("cost"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("pred"))
+  }
 
   private val qexpr = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4096) AS BIGINT))"
   private val cexpr = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 16) AS BIGINT))"
@@ -452,6 +488,24 @@ object VectorSearch {
          | CAST(list_sum(list_transform(range(1, len(q)+1),
          |   i -> q[i] * q[len(q)-i+1])) AS BIGINT) AS dot_rev
          |FROM e""".stripMargin,
+    // centroid training replay (truncating integer means) + the same
+    // integer argmin and confusion aggregation
+    "ml02_centroid_confusion" ->
+      s"""WITH e AS (SELECT vec_id, label, $qexpr AS qv FROM embeddings),
+         |d AS (SELECT label AS pred, i AS pos, qv[i] AS v
+         |      FROM e, unnest(range(1, len(qv)+1)) AS u(i)),
+         |c AS (SELECT pred, list(m ORDER BY pos) AS cv FROM (
+         |      SELECT pred, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS m
+         |      FROM d GROUP BY 1, 2) GROUP BY pred),
+         |a AS (SELECT vec_id, label, pred FROM (
+         |  SELECT e.vec_id, e.label, c.pred,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      CAST(list_sum(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*c.cv[i])) AS BIGINT)
+         |      - 2 * CAST(list_sum(list_transform(range(1, len(c.cv)+1), i -> e.qv[i]*c.cv[i])) AS BIGINT),
+         |      c.pred) AS rn
+         |  FROM e, c) WHERE rn = 1)
+         |SELECT label, pred, COUNT(*) AS n_vecs
+         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "v05_label_centroids" ->
       s"""WITH e AS (SELECT label, $qexpr AS qv FROM embeddings),
          |d AS (SELECT label, i-1 AS pos, qv[i] AS v

@@ -201,6 +201,17 @@ class GraphMlSpec extends SparkSpec {
     assert(perQuery.filter(col("n") =!= 5).count() == 0)
   }
 
+  test("ml02 confusion matrix partitions the corpus by true label") {
+    val out = graft.operators.VectorSearch.centroidConfusion(spark, sfDir).cache()
+    val nVecs = Tables.load(spark, sfDir, "embeddings").count()
+    assert(out.agg(sum(col("n_vecs"))).head().getLong(0) == nVecs)
+    val perLabel = out.groupBy(col("label")).agg(sum(col("n_vecs")).as("n"))
+    val expected = Tables.load(spark, sfDir, "embeddings")
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    assertSameRows(perLabel, expected)
+    out.unpersist()
+  }
+
   test("dq05 drift report: shares sum to 1 per side, rates in [0,1]") {
     val out = TextAnalysis.driftReport(spark, sfDir).cache()
     assert(out.count() > 0)
