@@ -38,7 +38,7 @@ object Explain {
     "v11_ann_stored",
     "c01_curated_packed_bins", "c02_curation_funnel", "v12_ann_recall_report",
     "d22_streaming_store_dedup", "t19_bpe_iterated_merges",
-    "d23_span_dups", "d24_segment_dedup", "ml01_ols_fit", "g01_pagerank",
+    "d23_span_dups", "d24_segment_dedup", "ml01_ols_fit", "g01_pagerank", "t22_top_dup_spans",
     "g02_shortest_paths", "v13_ann_tombstoned", "c03_incremental_funnel",
     "g03_partner_triangles", "v14_ivf_index_stats", "dq05_drift_report",
     "s25_time_travel", "v15_ann_main_delta", "ml02_centroid_confusion")

@@ -966,6 +966,22 @@ object TextAnalysis {
         col("n_dup_spans").cast(DoubleType) / col("n_spans"))
   }
 
+  // T: the TOP duplicated spans — d23's companion artifact: the ranked
+  // list of concrete repeated 3-gram spans (df = distinct docs, n_occ =
+  // total occurrences) a curator reads to decide what boilerplate to
+  // strip. One inverted-index agg + TakeOrdered top-20 by
+  // (df, n_occ, span) — no global sort; ties broken lexically so the
+  // cut is deterministic.
+  def topDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+      .select(col("doc_id"), explode(spansOf(col("text"))).as("span"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("n_occ"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("n_occ").desc, col("span"))
+      .limit(20)
+  }
+
   /** Segment width (words) for d24's line-unit corpus dedup. */
   private val SegW = 8
 
@@ -1092,6 +1108,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq05_drift_report" -> (driftReport _),
+    "t22_top_dup_spans" -> (topDupSpans _),
     "d23_span_dups" -> (spanDupReport _),
     "d24_segment_dedup" -> (segmentDedup _),
     "ml01_ols_fit" -> (olsFit _),
@@ -1150,6 +1167,14 @@ object TextAnalysis {
         | CAST(COALESCE(nv.n_new_vocab, 0) AS DOUBLE) / vc.n_vocab_2 AS new_vocab_rate
         |FROM a1 JOIN a2 USING (source) JOIN vc USING (source)
         |LEFT JOIN nv USING (source), t1, t2""".stripMargin,
+    "t22_top_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+        |   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS span
+        | FROM w WHERE len(words) >= 3)
+        |SELECT span, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS n_occ
+        |FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY df DESC, n_occ DESC, span LIMIT 20""".stripMargin,
     "d23_span_dups" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
