@@ -117,6 +117,16 @@ class PlanSpec extends SparkSpec {
       s"$cachedDocScans documents scans across cached stage frames")
   }
 
+  test("c03 incremental funnel never re-scans the documents file") {
+    // both days' stages consume the shared persisted feature base;
+    // the funnel plan's leaves must be cached/checkpointed frames only
+    val df = graft.operators.Curation.incrementalCurationFunnel(spark, sfDir)
+    df.collect()
+    val docScans = allScans(df.queryExecution.executedPlan)
+      .count(_.metadata.getOrElse("Location", "").contains("documents"))
+    assert(docScans == 0, s"$docScans documents scans in the incremental funnel plan")
+  }
+
   test("v11 stored-index probe prunes to the probed cid partitions") {
     // the claim in Ivf.vectorStore's scaladoc: the index is
     // partitionBy(cid), so the probe join must reach the stored table
