@@ -41,7 +41,8 @@ object Explain {
     "d23_span_dups", "d24_segment_dedup", "ml01_ols_fit", "g01_pagerank", "t22_top_dup_spans",
     "g02_shortest_paths", "v13_ann_tombstoned", "c03_incremental_funnel",
     "g03_partner_triangles", "v14_ivf_index_stats", "dq05_drift_report",
-    "s25_time_travel", "v15_ann_main_delta", "ml02_centroid_confusion")
+    "s25_time_travel", "v15_ann_main_delta", "ml02_centroid_confusion",
+    "e22_stream_running_totals")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

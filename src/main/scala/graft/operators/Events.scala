@@ -286,6 +286,34 @@ object Events {
         s"e20_mem_${Integer.toHexString(dir.hashCode)}", "append")
       .orderBy(col("user_id"), col("event_type"), col("hour_start"))
 
+  // E: transformWithState as a GATED query — Spark 4's arbitrary-state
+  // API (typed ValueState on RocksDB, the provider it requires) keeps
+  // ONE (count, cents) pair per user and emits the updated running
+  // total each micro-batch the user appears in (update mode). The
+  // rollup takes each user's FINAL emission — running totals are
+  // monotone in n_events, so max(struct(n_events, total_cents)) is the
+  // last state regardless of how the replay was split into batches —
+  // and that batch-split independence is what makes the query gateable:
+  // the oracle is the plain batch aggregate. Graduates the
+  // StreamingSpec-only TWS machinery onto the correctness gate.
+  def streamRunningTotals(spark: SparkSession, dir: String): DataFrame = {
+    val sink = runAvailableNow(spark, { s =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import s.implicits._
+        val ev = eventsStream(s, dir)
+          .select(col("user_id"),
+            (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+          .as[(Long, Long)]
+        graft.streaming.RunningTotals.runningTotals(ev).toDF()
+      }, s"e22_mem_${Integer.toHexString(dir.hashCode)}", "update")
+    sink.groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.total_cents").as("total_cents"))
+      .orderBy(col("user_id"))
+  }
+
   // E: foreachBatch incremental upsert — the streaming SINK-maintenance
   // pattern: each micro-batch folds into a persistent per-user summary
   // table (latest event + running totals) instead of a memory sink.
@@ -608,7 +636,8 @@ object Events {
     "e16_stream_file_sink" -> (streamFileSink _),
     "e17_stream_session" -> (streamSessionWindows _),
     "e20_stream_dedup" -> (streamDedup _),
-    "e21_stream_left_outer" -> (streamLeftOuterAttribution _))
+    "e21_stream_left_outer" -> (streamLeftOuterAttribution _),
+    "e22_stream_running_totals" -> (streamRunningTotals _))
 
   val oracles: Map[String, String] = Map(
     // what the committed sink files must aggregate to: the batch twin
@@ -762,6 +791,11 @@ object Events {
         |  CAST(COALESCE(n, 0) AS BIGINT) AS n_events
         |FROM grid LEFT JOIN counts ON grid.h = counts.h AND grid.event_type = counts.event_type
         |ORDER BY 1, 2""".stripMargin,
+    // the final TWS state per user must equal the batch aggregate
+    "e22_stream_running_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // batch LEFT interval join under the same below-watermark cutoff
     // the gated rollup applies (see streamLeftOuterAttribution scaladoc)
     "e21_stream_left_outer" ->
