@@ -47,6 +47,17 @@ class GraphMlSpec extends SparkSpec {
     assert(out == expTop, s"got=$out exp=$expTop")
   }
 
+  test("g01 scores are partitioning-invariant (exact integer fixed point)") {
+    // the determinism contract says the rounds are an exact function of
+    // the data in ANY engine/partitioning — run the same query in a
+    // child session with a different shuffle width and compare exactly
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "3")
+    val a = Graph.pagerank(spark, sfDir).collect().map(_.toSeq).toSeq
+    val b = Graph.pagerank(child, sfDir).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("g02 hop histogram equals a plain-Scala BFS") {
     val got = Graph.shortestPaths(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
