@@ -720,21 +720,25 @@ object MinHash {
        |s AS (SELECT doc_id,
        |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
        |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
-       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |pr AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
        | FROM s a JOIN s b ON a.doc_id < b.doc_id
        | WHERE len(a.sh) > 0 AND len(b.sh) > 0
        |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
-       |e AS (SELECT id_a, id_b FROM pr UNION ALL SELECT id_b, id_a FROM pr)""".stripMargin
+       |e AS MATERIALIZED (SELECT id_a, id_b FROM pr UNION ALL SELECT id_b, id_a FROM pr)""".stripMargin
 
   private def clusterCtes: String = {
+    // every l$i is referenced twice by l${i+1} (self + neighbor side)
+    // and e by every round: MATERIALIZED, or DuckDB re-inlines the
+    // all-pairs Jaccard join into each round (the c01-oracle lesson —
+    // quadratic work × rounds at the 10× coverage scale)
     val rounds = (1 to LabelPropIters).map { i =>
-      s"""l$i AS (SELECT l.v, least(l.label, MIN(n.label)) AS label
+      s"""l$i AS MATERIALIZED (SELECT l.v, least(l.label, MIN(n.label)) AS label
          | FROM l${i - 1} l JOIN e ON e.id_a = l.v JOIN l${i - 1} n ON n.v = e.id_b
          | GROUP BY l.v, l.label)""".stripMargin
     }.mkString(",\n")
     s"""$pairGraphCtes,
-       |l0 AS (SELECT DISTINCT id_a AS v, id_a AS label FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT id_a AS v, id_a AS label FROM e),
        |$rounds""".stripMargin
   }
 
