@@ -664,14 +664,15 @@ object MinHash {
          |s AS (SELECT doc_id,
          |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
          |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+         |ps AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_sh, unnest(sh) AS shingle FROM s),
          |p AS (SELECT CASE WHEN n.doc_id < $Day2Split THEN 1 ELSE 2 END AS day,
          |   n.doc_id AS batch_id, c.doc_id AS corpus_id,
-         |   CAST(len(list_intersect(c.sh, n.sh)) AS INTEGER) AS n_inter,
-         |   CAST(len(c.sh) + len(n.sh) - len(list_intersect(c.sh, n.sh)) AS INTEGER) AS n_union
-         | FROM s c JOIN s n
-         |   ON ((n.doc_id >= $IncrementalSplit AND n.doc_id < $Day2Split AND c.doc_id < $IncrementalSplit)
+         |   CAST(COUNT(*) AS INTEGER) AS n_inter,
+         |   CAST(c.n_sh + n.n_sh - COUNT(*) AS INTEGER) AS n_union
+         | FROM ps c JOIN ps n ON c.shingle = n.shingle
+         |   AND ((n.doc_id >= $IncrementalSplit AND n.doc_id < $Day2Split AND c.doc_id < $IncrementalSplit)
          |    OR (n.doc_id >= $Day2Split AND c.doc_id < $Day2Split))
-         | WHERE len(c.sh) > 0 AND len(n.sh) > 0)
+         | GROUP BY n.doc_id, c.doc_id, c.n_sh, n.n_sh)
          |SELECT day, batch_id, corpus_id, n_inter, n_union,
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
          |FROM p WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin)
@@ -685,25 +686,35 @@ object MinHash {
        |s AS (SELECT doc_id,
        |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
        |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
-       |m AS (SELECT DISTINCT n.doc_id FROM s c JOIN s n
-       |   ON c.doc_id < $IncrementalSplit AND n.doc_id >= $IncrementalSplit
-       | WHERE len(c.sh) > 0 AND len(n.sh) > 0
-       |   AND CAST(len(list_intersect(c.sh, n.sh)) AS DOUBLE)
-       |     / (len(c.sh) + len(n.sh) - len(list_intersect(c.sh, n.sh))) >= 0.5)
+       |ps AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_sh, unnest(sh) AS shingle FROM s),
+       |j AS (SELECT n.doc_id, c.n_sh AS nc, n.n_sh AS nn, CAST(COUNT(*) AS INTEGER) AS ni
+       |   FROM ps c JOIN ps n ON c.shingle = n.shingle
+       |     AND c.doc_id < $IncrementalSplit AND n.doc_id >= $IncrementalSplit
+       |   GROUP BY n.doc_id, c.doc_id, c.n_sh, n.n_sh),
+       |m AS (SELECT DISTINCT doc_id FROM j
+       |   WHERE CAST(ni AS DOUBLE) / (nc + nn - ni) >= 0.5)
        |SELECT d.doc_id FROM documents d
        |WHERE d.doc_id >= $IncrementalSplit
        |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.doc_id = d.doc_id)""".stripMargin
 
+  /** Cross-set (corpus × batch) pairs via the posting co-occurrence
+    * join — identical to the half-matrix brute force above 0 shared
+    * shingles, which a ≥ 0.5 threshold always is (see the
+    * [[pairGraphCtes]] note; d04/d07 keep the literal all-pairs
+    * formulation as the independent ground truth).
+    */
   private def incrementalOracleSql: String =
     s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
        |s AS (SELECT doc_id,
        |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
        |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+       |ps AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_sh, unnest(sh) AS shingle FROM s),
        |p AS (SELECT n.doc_id AS batch_id, c.doc_id AS corpus_id,
-       |   CAST(len(list_intersect(c.sh, n.sh)) AS INTEGER) AS n_inter,
-       |   CAST(len(c.sh) + len(n.sh) - len(list_intersect(c.sh, n.sh)) AS INTEGER) AS n_union
-       | FROM s c JOIN s n ON c.doc_id < $IncrementalSplit AND n.doc_id >= $IncrementalSplit
-       | WHERE len(c.sh) > 0 AND len(n.sh) > 0)
+       |   CAST(COUNT(*) AS INTEGER) AS n_inter,
+       |   CAST(c.n_sh + n.n_sh - COUNT(*) AS INTEGER) AS n_union
+       | FROM ps c JOIN ps n ON c.shingle = n.shingle
+       |   AND c.doc_id < $IncrementalSplit AND n.doc_id >= $IncrementalSplit
+       | GROUP BY n.doc_id, c.doc_id, c.n_sh, n.n_sh)
        |SELECT batch_id, corpus_id, n_inter, n_union,
        |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
        |FROM p WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin
@@ -715,16 +726,28 @@ object MinHash {
   /** Brute-force 0.5-threshold symmetric pair graph — the CTE prefix
     * shared by every cluster oracle.
     */
+  /** The 0.5-Jaccard pair graph via the inverted-index co-occurrence
+    * join, NOT per-pair list_intersect: pairs sharing zero shingles
+    * cannot reach the threshold, so the result is identical to
+    * all-pairs while the cost scales with Σ df² instead of n²·|sh|
+    * (the d02 argument applied to the oracle itself, as c01's oracle
+    * already does — the standalone d04 oracle intentionally KEEPS the
+    * all-pairs formulation as the independent brute-force ground
+    * truth; this shared prefix feeds the multi-statement cluster
+    * oracles where that cost would repeat per statement).
+    */
   private def pairGraphCtes: String =
     s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
        |s AS (SELECT doc_id,
        |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
        |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
-       |pr AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       | FROM s a JOIN s b ON a.doc_id < b.doc_id
-       | WHERE len(a.sh) > 0 AND len(b.sh) > 0
-       |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       |ps AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_sh, unnest(sh) AS shingle FROM s),
+       |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        a.n_sh AS na, b.n_sh AS nb, CAST(COUNT(*) AS INTEGER) AS ni
+       |      FROM ps a JOIN ps b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2, 3, 4),
+       |pr AS MATERIALIZED (SELECT id_a, id_b FROM co
+       |      WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.5),
        |e AS MATERIALIZED (SELECT id_a, id_b FROM pr UNION ALL SELECT id_b, id_a FROM pr)""".stripMargin
 
   private def clusterCtes: String = {
