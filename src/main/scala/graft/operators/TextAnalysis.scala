@@ -412,6 +412,57 @@ object TextAnalysis {
        |ORDER BY round""".stripMargin
   }
 
+  /** t20/t21 oracle CTE chain: t19's K training rounds with the `word`
+    * column threaded through (the merge picks depend only on (s, freq),
+    * so training is bit-identical to t19's), ending in `nv` — the
+    * word → symbol-count vocabulary — and `occ`, the in-scope word
+    * occurrences both tails join against.
+    */
+  private def bpeEncodeOracleCtes: String = {
+    val rounds = (1 to BpeMergeRounds).map { r =>
+      s"""p$r AS (SELECT sym[i] || ' ' || sym[i+1] AS pair, freq
+         | FROM (SELECT list_filter(string_split(s, '||'), x -> x <> '') AS sym, freq
+         |       FROM v${r - 1}),
+         |      unnest(range(1, len(sym))) AS u(i)),
+         |c$r AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM p$r GROUP BY 1),
+         |t$r AS (SELECT pair, pair_count FROM c$r ORDER BY pair_count DESC, pair LIMIT 1),
+         |v$r AS (SELECT v.word, regexp_replace(v.s,
+         |    '\\|' || replace(t.pair, ' ', '\\|\\|') || '\\|',
+         |    '|' || replace(t.pair, ' ', '') || '|', 'g') AS s, v.freq
+         |  FROM v${r - 1} v, t$r t)""".stripMargin
+    }.mkString(",\n")
+    s"""wd AS (SELECT doc_id, lang,
+       |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents),
+       |occ AS MATERIALIZED (SELECT doc_id, lang, word FROM wd
+       |      WHERE len(word) >= 2 AND regexp_matches(word, '^[a-z0-9]+${"$"}')),
+       |f AS (SELECT word, COUNT(*) AS freq FROM occ GROUP BY 1),
+       |v0 AS (SELECT word, '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS s, freq FROM f),
+       |$rounds,
+       |nv AS MATERIALIZED (SELECT word,
+       |   CAST(len(list_filter(string_split(s, '||'), x -> x <> '')) AS INTEGER) AS n_sym
+       | FROM v$BpeMergeRounds)""".stripMargin
+  }
+
+  private def t20OracleSql: String =
+    s"""WITH $bpeEncodeOracleCtes
+       |SELECT occ.doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(len(word)) AS BIGINT) AS n_chars
+       |FROM occ JOIN nv USING (word)
+       |GROUP BY 1""".stripMargin
+
+  private def t21OracleSql: String =
+    s"""WITH $bpeEncodeOracleCtes,
+       |a AS (SELECT occ.lang, COUNT(*) AS n_words,
+       |  CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(len(word)) AS BIGINT) AS n_chars
+       | FROM occ JOIN nv USING (word)
+       | GROUP BY 1)
+       |SELECT lang, n_words, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / n_words AS fertility,
+       |  CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token
+       |FROM a""".stripMargin
+
   private val simhashOracleSql: String = {
     val voteCols = (0 until SimHashBits)
       .map(b => s"SUM((h >> $b) & 1) AS c$b").mkString(",\n   ")
@@ -665,6 +716,78 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "pair", "pair_count").orderBy(col("round"))
   }
 
+  /** In-scope word occurrences for the trained tokenizer (t20/t21):
+    * lowercased whitespace words restricted to the same `[a-z0-9]+`
+    * alphabet the trainer used.
+    */
+  private def bpeScopedWords(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(wordsOf(lower(col("text")))).as("word"))
+      .filter(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
+
+  /** The trained tokenizer as a VOCABULARY TABLE: every distinct
+    * in-scope word mapped to its symbol count after the t19 merges are
+    * applied in rank order. Training reuses [[bpeMergesFromWords]]
+    * (driver traffic = one 1-row collect per round plus the ≤
+    * [[BpeMergeRounds]]-row merge table — the published artifact a real
+    * trainer ships); ENCODING is then a static chain of
+    * [[BpeMergeRounds]] regexp_replace calls over the distinct
+    * vocabulary only. That two-level shape is the whole scale story: at
+    * 100 TB the corpus is aggregated to word frequencies once, the
+    * merge chain touches ~10⁻⁶ of the corpus volume, and per-document
+    * token counts come back via one hash equi-join on `word`. Symbols
+    * stay regex-literal because the alphabet is `[a-z0-9]`.
+    */
+  private def bpeVocabEncoded(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"t20vocab:$dir") {
+      val words = bpeScopedWords(spark, dir)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .persist()
+      val merges = bpeMergesFromWords(words, BpeMergeRounds)
+        .orderBy(col("round")).collect()
+      var s: Column =
+        concat(lit("||"), regexp_replace(col("word"), "(.)", "$1||"))
+      merges.foreach { m =>
+        val Array(a, b) = m.getString(1).split(" ", 2)
+        s = regexp_replace(s, "\\|" + a + "\\|\\|" + b + "\\|", "|" + a + b + "|")
+      }
+      words
+        .select(col("word"),
+          size(filter(split(s, "\\|\\|"), x => x =!= "")).as("n_sym"))
+        .persist()
+    }
+
+  // T: BPE ENCODING under the trained tokenizer — per-document token
+  // counts with the t19 merge table applied, the "how long is my corpus
+  // in model tokens" question every training run starts with. One hash
+  // join of word occurrences against the encoded vocabulary, one
+  // hash-agg per doc; all outputs exact integers.
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeScopedWords(spark, dir)
+      .join(bpeVocabEncoded(spark, dir), "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_sym")).cast(LongType).as("n_tokens"),
+        sum(length(col("word"))).cast(LongType).as("n_chars"))
+
+  // T: tokenizer FERTILITY by language — tokens per word and characters
+  // per token under the trained tokenizer, per `lang`. THE acceptance
+  // metric for a multilingual tokenizer (a language with high fertility
+  // is underserved by the learned merges). Same join as t20, aggregated
+  // one level up; the ratios are single IEEE divisions of exact longs.
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame =
+    bpeScopedWords(spark, dir)
+      .join(bpeVocabEncoded(spark, dir), "word")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_sym")).cast(LongType).as("n_tokens"),
+        sum(length(col("word"))).cast(LongType).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast(DoubleType) / col("n_words")).as("fertility"),
+        (col("n_chars").cast(DoubleType) / col("n_tokens")).as("chars_per_token"))
 
   // T: bigram-LM document scorer — mean ln P(w2 | w1) per document
   // under the corpus's OWN bigram model (MLE; no smoothing needed:
@@ -1116,6 +1239,8 @@ object TextAnalysis {
     "t16_mixture_weights" -> (mixtureWeights _),
     "t17_bpe_pair_counts" -> (bpePairCounts _),
     "t19_bpe_iterated_merges" -> (bpeIteratedMerges _),
+    "t20_bpe_encode" -> (bpeEncode _),
+    "t21_bpe_fertility" -> (bpeFertility _),
     "t18_length_mixture" -> (lengthMixtureReport _),
     "d16_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "k01_token_packing" -> (tokenPacking _),
@@ -1246,6 +1371,8 @@ object TextAnalysis {
         |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM p GROUP BY pair
         |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
     "t19_bpe_iterated_merges" -> t19OracleSql,
+    "t20_bpe_encode" -> t20OracleSql,
+    "t21_bpe_fertility" -> t21OracleSql,
     "t16_mixture_weights" ->
       """WITH t AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT lang) AS n_langs FROM documents),
         |s AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)
