@@ -899,6 +899,37 @@ object TextAnalysis {
       .orderBy(col("bin_id"))
   }
 
+  /** Training shard count for k02. */
+  private[operators] val Shards = 8
+
+  // K: deterministic corpus SHUFFLE + balanced shard assignment — the
+  // step between curation and training: order documents by
+  // md5(doc_id) (a content-independent pseudo-random permutation that
+  // is reproducible run-to-run and insensitive to input file order),
+  // deal them round-robin into `Shards` shards, and publish per-shard
+  // stats. Round-robin over the hash order balances doc counts to ±1
+  // and token totals statistically (each shard is an unbiased sample).
+  // The global rank uses Keys.scalableSurrogate (range repartition +
+  // per-partition rank + broadcast offsets) — no single-partition
+  // window at any scale. id_checksum (Σ doc_id) pins the EXACT shard
+  // membership, not just its size, so the gate fails if even one doc
+  // lands in the wrong shard.
+  def shardAssignment(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(
+      col("doc_id"),
+      size(wordsOf(col("text"))).cast(LongType).as("n_tokens"),
+      md5(col("doc_id").cast(StringType).cast(BinaryType)).as("h"))
+    Keys.scalableSurrogate(d, Seq(col("h"), col("doc_id")), "rk")
+      .withColumn("shard", pmod(col("rk") - 1, lit(Shards.toLong)))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("doc_id")).as("id_checksum"),
+        min(col("h")).as("first_hash"))
+      .orderBy(col("shard"))
+  }
+
   // T: overlapping token-window chunking — each document fans out to
   // ceil(n/stride) chunks of ≤ W tokens with W−S overlap (RAG/context
   // windows). One split per row, starts via `sequence`, slices bound to
@@ -1244,6 +1275,7 @@ object TextAnalysis {
     "t18_length_mixture" -> (lengthMixtureReport _),
     "d16_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "k01_token_packing" -> (tokenPacking _),
+    "k02_shard_assignment" -> (shardAssignment _),
     "t11_chunk_overlap" -> (chunkOverlap _),
     "x16_regexp_suite" -> (regexpSuite _),
     "t01_token_count" -> (tokenCount _),
@@ -1408,6 +1440,19 @@ object TextAnalysis {
         | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
         | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k02_shard_assignment" ->
+      s"""WITH t AS (SELECT doc_id,
+         |   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |   md5(CAST(doc_id AS VARCHAR)) AS h
+         | FROM documents),
+         |r AS (SELECT doc_id, n_tokens, h,
+         |   ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rk FROM t)
+         |SELECT CAST((rk - 1) % $Shards AS BIGINT) AS shard,
+         | COUNT(*) AS n_docs,
+         | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         | CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+         | MIN(h) AS first_hash
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "t11_chunk_overlap" ->
       """WITH d AS (SELECT doc_id,
         |   string_split_regex(trim(text), '\s+') AS toks FROM documents),

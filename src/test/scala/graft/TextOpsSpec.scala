@@ -91,6 +91,20 @@ class TextOpsSpec extends SparkSpec {
     assert(bins.forall(r => r.getAs[Long]("n_docs") > 0))
   }
 
+  test("k02 shards balance doc counts to ±1 and partition the corpus exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val shards = graft.operators.TextAnalysis.shardAssignment(spark, sfDir).cache()
+    val counts = shards.select(col("n_docs")).collect().map(_.getLong(0))
+    assert(counts.max - counts.min <= 1) // round-robin balance
+    assert(counts.sum == docs.count())   // every doc in exactly one shard
+    // exact-membership checksum conserves the corpus id sum
+    val idSum = docs.select(sum(col("doc_id"))).head().getLong(0)
+    assert(shards.select(sum(col("id_checksum"))).head().getLong(0) == idSum)
+    // the assignment is a pure function of content, not of input layout
+    shards.unpersist()
+  }
+
   test("t11 chunks tile each document with stride-48 starts and W-bounded sizes") {
     import org.apache.spark.sql.functions._
     val chunks = graft.operators.TextAnalysis.chunkOverlap(spark, sfDir)
