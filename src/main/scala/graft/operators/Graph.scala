@@ -146,23 +146,32 @@ object Graph {
   // artifact (strongest-partner communities). Determinism: partner rank
   // by (shared parts DESC, partner id ASC); every later count is exact
   // integer; the clustering coefficient is one final integer division.
+  /** The mutual top-K partner graph (undirected, s1 < s2) — shared by
+    * the g03 triangle census and the g04 k-core peel. Memoized +
+    * persisted: the expensive co-supply self-join runs once per dir.
+    */
+  private def mutualPartnerEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"g03mutual:$dir") {
+      val sp = Tables.load(spark, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      val co = sp.as("a").join(sp.as("b"),
+          col("a.p") === col("b.p") && col("a.s") =!= col("b.s"))
+        .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+        .agg(count(lit(1)).as("w"))
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s1")).orderBy(col("w").desc, col("s2"))
+      val topk = co.withColumn("rk", row_number().over(wk))
+        .filter(col("rk") <= PartnerK)
+        .select(col("s1"), col("s2"))
+      topk.as("t1").join(topk.as("t2"),
+          col("t1.s1") === col("t2.s2") && col("t1.s2") === col("t2.s1"))
+        .filter(col("t1.s1") < col("t1.s2"))
+        .select(col("t1.s1").as("s1"), col("t1.s2").as("s2"))
+        .persist()
+    }
+
   def partnerTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val sp = Tables.load(spark, dir, "lineitem")
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-    val co = sp.as("a").join(sp.as("b"),
-        col("a.p") === col("b.p") && col("a.s") =!= col("b.s"))
-      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
-      .agg(count(lit(1)).as("w"))
-    val wk = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("s1")).orderBy(col("w").desc, col("s2"))
-    val topk = co.withColumn("rk", row_number().over(wk))
-      .filter(col("rk") <= PartnerK)
-      .select(col("s1"), col("s2"))
-    val mutual = topk.as("t1").join(topk.as("t2"),
-        col("t1.s1") === col("t2.s2") && col("t1.s2") === col("t2.s1"))
-      .filter(col("t1.s1") < col("t1.s2"))
-      .select(col("t1.s1").as("s1"), col("t1.s2").as("s2"))
-      .persist()
+    val mutual = mutualPartnerEdges(spark, dir)
     val deg = mutual.select(col("s1").as("v")).unionAll(mutual.select(col("s2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val stats = deg.agg(
@@ -179,10 +188,60 @@ object Graph {
         (lit(3L) * col("n_triangles") / col("n_wedges")).as("clustering"))
   }
 
+  /** Bounded peel rounds for the g04 k-core (see determinism note). */
+  private val CoreRounds = 8
+
+  // G: k-CORE decomposition of the mutual partner graph — repeatedly
+  // remove nodes of degree < k until none remain; the surviving 2-core
+  // strips pendant chains/trees (suppliers attached to the network by a
+  // single partnership), the 3-core keeps only densely inter-partnered
+  // communities. Per round: one degree hash-agg + two semi joins — the
+  // standard distributed peel, work proportional to the surviving edge
+  // set. Determinism contract: the peel runs at most `CoreRounds`
+  // rounds with an early exit at the fixpoint; the oracle replays
+  // exactly `CoreRounds` chained rounds — identical because peel rounds
+  // are idempotent once converged (GraphMlSpec asserts convergence at
+  // test scale, so the bounded peel IS the true k-core there). The
+  // id-sum checksum pins exact core membership.
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    def peel(edges0: DataFrame, k: Int): DataFrame = {
+      var edges = edges0.localCheckpoint()
+      var prev = edges.count()
+      var r = 0
+      var done = prev == 0
+      while (r < CoreRounds && !done) {
+        val deg = edges.select(col("s1").as("v"))
+          .unionAll(edges.select(col("s2").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("v"))
+        val kept = edges
+          .join(deg.select(col("v").as("s1")), Seq("s1"), "left_semi")
+          .join(deg.select(col("v").as("s2")), Seq("s2"), "left_semi")
+          .localCheckpoint()
+        val n = kept.count()
+        done = n == prev
+        prev = n
+        edges = kept
+        r += 1
+      }
+      edges
+    }
+    def stats(k: Int, e: DataFrame): DataFrame = {
+      val v = e.select(col("s1").as("v")).unionAll(e.select(col("s2").as("v"))).distinct()
+      v.agg(count(lit(1)).as("n_nodes"), sum(col("v")).as("id_checksum"))
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+        .select(lit(k).as("k"), col("n_nodes"), col("n_edges"), col("id_checksum"))
+    }
+    val core2 = peel(mutualPartnerEdges(spark, dir), 2)
+    val core3 = peel(core2, 3) // 3-core ⊆ 2-core: resume from the 2-core
+    stats(2, core2).unionAll(stats(3, core3)).orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> (pagerank _),
     "g02_shortest_paths" -> (shortestPaths _),
-    "g03_partner_triangles" -> (partnerTriangles _))
+    "g03_partner_triangles" -> (partnerTriangles _),
+    "g04_kcore" -> (kCore _))
 
   /** The oracle replays the same `Iters` integer rounds as chained
     * CTEs (not a recursive CTE: the recursive term would need GROUP BY).
@@ -248,5 +307,43 @@ object Graph {
          |ed AS (SELECT COUNT(*) AS n_edges FROM mu)
          |SELECT n_connected, n_edges, n_wedges, n_triangles,
          |  3 * n_triangles / n_wedges AS clustering
-         |FROM st, ed, tri""".stripMargin)
+         |FROM st, ed, tri""".stripMargin,
+    // exactly CoreRounds chained peel rounds per k (idempotent once
+    // converged — matching the Spark loop's early exit; see kCore)
+    "g04_kcore" -> {
+      def peelRounds(prefix: String, from: String, k: Int): String =
+        (1 to CoreRounds).map { r =>
+          val p = if (r == 1) from else s"$prefix${r - 1}"
+          s"""d$prefix$r AS MATERIALIZED (SELECT v FROM (SELECT s1 AS v FROM $p UNION ALL SELECT s2 FROM $p)
+             |      GROUP BY v HAVING COUNT(*) >= $k),
+             |$prefix$r AS MATERIALIZED (SELECT s1, s2 FROM $p
+             |      WHERE s1 IN (SELECT v FROM d$prefix$r)
+             |        AND s2 IN (SELECT v FROM d$prefix$r))""".stripMargin
+        }.mkString(",\n")
+      val last2 = s"a$CoreRounds"
+      val last3 = s"b$CoreRounds"
+      s"""WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+         |co AS (SELECT a.s AS s1, b.s AS s2, COUNT(*) AS w
+         |      FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s GROUP BY 1, 2),
+         |tk AS (SELECT s1, s2 FROM (SELECT s1, s2,
+         |        ROW_NUMBER() OVER (PARTITION BY s1 ORDER BY w DESC, s2) AS rk FROM co)
+         |      WHERE rk <= $PartnerK),
+         |a0 AS MATERIALIZED (SELECT t1.s1, t1.s2 FROM tk t1
+         |      JOIN tk t2 ON t1.s1 = t2.s2 AND t1.s2 = t2.s1
+         |      WHERE t1.s1 < t1.s2),
+         |${peelRounds("a", "a0", 2)},
+         |${peelRounds("b", last2, 3)},
+         |c2 AS (SELECT COUNT(*) AS n_nodes, CAST(SUM(v) AS BIGINT) AS id_checksum
+         |       FROM (SELECT DISTINCT v FROM
+         |             (SELECT s1 AS v FROM $last2 UNION ALL SELECT s2 FROM $last2))),
+         |e2 AS (SELECT COUNT(*) AS n_edges FROM $last2),
+         |c3 AS (SELECT COUNT(*) AS n_nodes, CAST(SUM(v) AS BIGINT) AS id_checksum
+         |       FROM (SELECT DISTINCT v FROM
+         |             (SELECT s1 AS v FROM $last3 UNION ALL SELECT s2 FROM $last3))),
+         |e3 AS (SELECT COUNT(*) AS n_edges FROM $last3)
+         |SELECT CAST(2 AS INTEGER) AS k, n_nodes, n_edges, id_checksum FROM c2, e2
+         |UNION ALL
+         |SELECT CAST(3 AS INTEGER), n_nodes, n_edges, id_checksum FROM c3, e3
+         |ORDER BY k""".stripMargin
+    })
 }

@@ -108,6 +108,44 @@ class GraphMlSpec extends SparkSpec {
     assert(row.getAs[Double]("clustering") == 3.0 * tri / wedges)
   }
 
+  test("g04 k-core equals an in-JVM peel run to TRUE fixpoint (bounded rounds converged)") {
+    val out = Graph.kCore(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("k") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))).toMap
+
+    // rebuild the mutual partner graph in plain Scala (as the g03 test)
+    val sp = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySupp = sp.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).toSet }
+    val co = for {
+      (s1, p1) <- bySupp.toSeq; (s2, p2) <- bySupp.toSeq
+      if s1 != s2; w = (p1 & p2).size if w > 0
+    } yield (s1, s2, w)
+    val topk = co.groupBy(_._1).values.flatMap(
+      _.sortBy(e => (-e._3, e._2)).take(3)).map(e => (e._1, e._2)).toSet
+    var edges = topk.filter { case (a, b) => a < b && topk.contains((b, a)) }
+
+    // peel to the TRUE fixpoint (unbounded) per k — if the operator's
+    // 8-round bound had not converged, these counts would disagree
+    for (k <- Seq(2, 3)) {
+      var changed = true
+      while (changed) {
+        val deg = (edges.toSeq.map(_._1) ++ edges.toSeq.map(_._2))
+          .groupBy(identity).map { case (v, xs) => v -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = edges.filter { case (a, b) => keep(a) && keep(b) }
+        changed = next.size != edges.size
+        edges = next
+      }
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).size
+      assert(out(k) == (nodes.toLong, edges.size.toLong),
+        s"k=$k bounded peel diverged from the true core")
+    }
+    // the peel is monotone: 3-core within the 2-core
+    assert(out(3)._1 <= out(2)._1 && out(3)._2 <= out(2)._2)
+  }
+
   test("v14 index stats: full coverage, inertia consistent with members") {
     val out = Ivf.ivfIndexStats(spark, sfDir).cache()
     assert(out.count() <= Ivf.NumCentroids)
