@@ -899,6 +899,36 @@ object TextAnalysis {
       .orderBy(col("bin_id"))
   }
 
+  // K: CONCAT-AND-CUT sequence packing — the GPT-style dataloader
+  // contract k01 deliberately avoids: all tokens are laid out in
+  // doc_id order as ONE stream and cut every PackBudget tokens, so
+  // documents CROSS sequence boundaries. Each doc occupies the token
+  // interval [s, e) from the scalable prefix sum and fans out to the
+  // ceil((e-s)/B)+1 bins it intersects (bounded fan-out ~n/B per doc —
+  // linear, no window over the corpus). Per sequence: docs touched,
+  // docs starting, docs crossing into the next sequence (the
+  // attention-boundary count a masking dataloader needs), and exact
+  // token occupancy — every full bin must hold exactly B tokens.
+  def packedSequences(spark: SparkSession, dir: String): DataFrame = {
+    val b = PackBudget
+    val counted = docs(spark, dir)
+      .select(col("doc_id"), size(wordsOf(col("text"))).cast(LongType).as("n"))
+    Keys.scalablePrefixSum(counted, Seq(col("doc_id")), col("n"), "s")
+      .filter(col("n") > 0)
+      .withColumn("e", col("s") + col("n"))
+      .withColumn("bin_id", explode(expr(s"sequence(s div $b, (e - 1) div $b)")))
+      .groupBy(col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(col("e"), (col("bin_id") + 1) * b) -
+          greatest(col("s"), col("bin_id") * b)).as("total_tokens"),
+        sum(when(col("s") >= col("bin_id") * b, lit(1L)).otherwise(lit(0L))).as("n_starts"),
+        sum(when(col("e") > (col("bin_id") + 1) * b, lit(1L)).otherwise(lit(0L))).as("n_crossing"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bin_id"))
+  }
+
   /** Training shard count for k02. */
   private[operators] val Shards = 8
 
@@ -1276,6 +1306,7 @@ object TextAnalysis {
     "d16_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "k01_token_packing" -> (tokenPacking _),
     "k02_shard_assignment" -> (shardAssignment _),
+    "k03_packed_sequences" -> (packedSequences _),
     "t11_chunk_overlap" -> (chunkOverlap _),
     "x16_regexp_suite" -> (regexpSuite _),
     "t01_token_count" -> (tokenCount _),
@@ -1453,6 +1484,24 @@ object TextAnalysis {
          | CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
          | MIN(h) AS first_hash
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k03_packed_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+         |   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+         | FROM documents),
+         |c AS (SELECT doc_id, n,
+         |   CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+         | FROM t),
+         |x AS (SELECT doc_id, n, s, s + n AS e,
+         |   unnest(range(s // $PackBudget, (s + n - 1) // $PackBudget + 1)) AS bin_id
+         | FROM c WHERE n > 0)
+         |SELECT CAST(bin_id AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
+         | CAST(SUM(least(e, (bin_id + 1) * $PackBudget)
+         |          - greatest(s, bin_id * $PackBudget)) AS BIGINT) AS total_tokens,
+         | CAST(SUM(CASE WHEN s >= bin_id * $PackBudget THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+         | CAST(SUM(CASE WHEN e > (bin_id + 1) * $PackBudget THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing,
+         | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "t11_chunk_overlap" ->
       """WITH d AS (SELECT doc_id,
         |   string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -105,6 +105,25 @@ class TextOpsSpec extends SparkSpec {
     shards.unpersist()
   }
 
+  test("k03 concat-and-cut: every sequence but the last holds exactly the budget") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val totalTokens = docs
+      .select(sum(size(graft.operators.TextAnalysis.wordsOf(col("text")))).cast("long"))
+      .head().getLong(0)
+    val bins = graft.operators.TextAnalysis.packedSequences(spark, sfDir)
+      .orderBy(col("bin_id")).collect()
+    // exact occupancy: all bins full except possibly the final one
+    bins.init.foreach(r => assert(r.getAs[Long]("total_tokens") == 2048L))
+    assert(bins.map(_.getAs[Long]("total_tokens")).sum == totalTokens)
+    // boundary bookkeeping: a doc crossing out of bin i is not a start in bin i+1
+    bins.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_docs") == b.getAs[Long]("n_starts") + a.getAs[Long]("n_crossing"))
+      case _ =>
+    }
+  }
+
   test("t11 chunks tile each document with stride-48 starts and W-bounded sizes") {
     import org.apache.spark.sql.functions._
     val chunks = graft.operators.TextAnalysis.chunkOverlap(spark, sfDir)
