@@ -280,15 +280,57 @@ object Ivf {
     storedTopK(spark, dir, deletions = Some(tombs))
   }
 
+  /** v16: STREAMING vector serving — a stream of query vectors probes
+    * the persisted v11 index per micro-batch, the d22
+    * continuous-ingest shape applied to ANN: the index builds once
+    * (nightly), then `foreachBatch` runs the stored probe for each
+    * arriving query batch (quantize → broadcast-centroid cell pick →
+    * cid-pruned index join → exact top-5) and appends results to
+    * versioned parquet. Per-batch cost is O(batch × probed cells); the
+    * store is never rebuilt or rescanned outside the probed partitions.
+    * A query's top-5 is a PURE function of (query, store), so the
+    * bounded replay equals the batch probe regardless of
+    * micro-batching — the gate runs v11's oracle verbatim, proving
+    * streaming adds no drift on top of the store adding none.
+    */
+  def annStreamingServe(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"v16:$dir") {
+      import org.apache.spark.sql.streaming.Trigger
+      vectorStore(spark, dir) // nightly build happens before serving
+      val embPath = graft.Tables.path(dir, "embeddings")
+      val schema = spark.read.parquet(embPath).schema
+      val stream = spark.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$embPath*")
+        .filter(col("vec_id") < 10)
+      val outBase = s"${sys.props("java.io.tmpdir")}/graft_v16_${graft.Fs.tmpTag(dir)}"
+      graft.Fs.rmTree(new java.io.File(outBase))
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.functions.LongArrayDot.register(batch.sparkSession)
+          val qs = batch
+            .select(col("vec_id"), VectorSearch.quantize(col("embedding")).as("qv"))
+            .withColumn("n2", graft.functions.LongArrayDot.dot(col("qv"), col("qv")))
+          storedTopK(spark, dir, deletions = None, queries = Some(qs))
+            .write.mode("overwrite").parquet(s"$outBase/b$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$outBase/b*")
+    }
+
   private def storedTopK(spark: SparkSession, dir: String,
-                         deletions: Option[DataFrame]): DataFrame = {
+                         deletions: Option[DataFrame],
+                         queries: Option[DataFrame] = None): DataFrame = {
     val (cTbl, iTbl) = vectorStore(spark, dir)
     val c = spark.table(cTbl)
-    val emb = CosineLsh.quantized(spark, dir)
+    val emb = queries.getOrElse(CosineLsh.quantized(spark, dir))
     val cost = LongArrayDot.dot(col("cv"), col("cv")) -
       lit(2L) * LongArrayDot.dot(col("qv"), col("cv"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cost"), col("cid"))
-    val probes = emb.filter(col("vec_id") < 10)
+    // default query set = the v01 probe ids; a passed frame probes as-is
+    val qset = if (queries.isEmpty) emb.filter(col("vec_id") < 10) else emb
+    val probes = qset
       .crossJoin(broadcast(c))
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("n2").as("q_n2"), col("cid"), cost.as("cost"))
@@ -494,6 +536,7 @@ object Ivf {
     "v10_ann_filtered" -> (annTopKIvfFiltered _),
     "v11_ann_stored" -> (annTopKIvfStored _),
     "v13_ann_tombstoned" -> (annTopKIvfTombstoned _),
+    "v16_ann_stream_serve" -> (annStreamingServe _),
     "v14_ivf_index_stats" -> (ivfIndexStats _),
     "v15_ann_main_delta" -> (annTopKIvfDelta _),
     "d21_semantic_dedup" -> (semanticClusterDedup _))
@@ -564,6 +607,9 @@ object Ivf {
     // IDENTICAL to v04's oracle: the stored-index path must reproduce
     // the in-session result exactly — the store adds no drift
     "v11_ann_stored" -> ivfOracle("n", s"vec_id < $NumCentroids"),
+    // IDENTICAL to v11's oracle: per-query results are a pure function
+    // of (query, store), so micro-batched serving must add no drift
+    "v16_ann_stream_serve" -> ivfOracle("n", s"vec_id < $NumCentroids"),
     // v04's replay with the tombstone slice removed from the INDEXED
     // side only (LEFT ANTI ≡ the modulus predicate on live keys)
     "v13_ann_tombstoned" -> ivfOracle("n", s"vec_id < $NumCentroids",

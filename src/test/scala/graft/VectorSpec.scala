@@ -193,4 +193,15 @@ class VectorSpec extends SparkSpec {
     val recall = (pairs(got) & t).size.toDouble / t.size
     assert(recall >= 0.5, s"filtered recall $recall below floor")
   }
+
+  test("v16 streamed serving equals the v11 batch probe row-for-row") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+    val streamed = rows(Ivf.annStreamingServe(spark, sfDir))
+    val batch = rows(Ivf.annTopKIvfStored(spark, sfDir))
+    assert(streamed == batch, "micro-batched probe drifted from the batch probe")
+  }
 }
