@@ -550,6 +550,34 @@ object Events {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  // DQ: daily VOLUME anomaly report — the ingest-governance twin of
+  // dq02's value outliers: per-day event counts compared against the
+  // sum of the trailing seven OBSERVED days (rows, not calendar days —
+  // gap days don't dilute the baseline), flagging spikes (> 2× the
+  // trailing mean) and drops (< ½×) with pure integer cross-products
+  // (7·n vs 2·Σ), so the flags are engine-exact. Days without a full
+  // trailing week never flag. The corpus collapses to one row per day
+  // before the only window runs — bounded by the time range, not data
+  // volume (the r02 aggregate-first discipline).
+  def volumeAnomalyReport(spark: SparkSession, dir: String): DataFrame = {
+    val days = eventsUs(spark, dir)
+      .select(expr("ts_us div 86400000000").as("epoch_day"))
+      .groupBy(col("epoch_day")).agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("epoch_day")).rowsBetween(-7, -1)
+    days
+      .withColumn("n_prior", count(col("n_events")).over(w))
+      .withColumn("trail_sum", coalesce(sum(col("n_events")).over(w), lit(0L)))
+      .select(
+        date_format(timestamp_micros(col("epoch_day") * 86400000000L),
+          "yyyy-MM-dd").as("day"),
+        col("n_events"), col("n_prior"), col("trail_sum"),
+        (col("n_prior") === 7 &&
+          col("n_events") * 7 > col("trail_sum") * 2).as("spike"),
+        (col("n_prior") === 7 &&
+          col("n_events") * 14 < col("trail_sum")).as("drop"))
+      .orderBy(col("day"))
+  }
+
   // DQ: Tukey-fence outlier report per event_type — exact quartiles
   // over integer cents (quartile interpolation lands on .5 and the
   // 1.5*IQR fences on .25 steps, all exactly representable doubles, so
@@ -618,6 +646,7 @@ object Events {
     "r02_ema_weekly" -> (emaWeekly _),
     "e19_transition_matrix" -> (transitionMatrix _),
     "dq02_outlier_report" -> (outlierReport _),
+    "dq06_volume_anomaly" -> (volumeAnomalyReport _),
     "e18_variant_props" -> (variantProps _),
     "e08_stream_enrich" -> (streamEnrich _),
     "e07_sliding_counts" -> (slidingCounts _),
@@ -764,6 +793,20 @@ object Events {
         |  MAX(CASE WHEN cents > hi THEN cents END) AS worst_high
         |FROM c JOIN b ON c.event_type = b.event_type
         |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
+    "dq06_volume_anomaly" ->
+      """WITH d AS (SELECT epoch_ns(ts) // 1000 // 86400000000 AS epoch_day FROM events),
+        |g AS (SELECT epoch_day, COUNT(*) AS n_events FROM d GROUP BY 1),
+        |t AS (SELECT epoch_day, n_events,
+        |   CAST(COUNT(n_events) OVER (ORDER BY epoch_day
+        |     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_prior,
+        |   CAST(COALESCE(SUM(n_events) OVER (ORDER BY epoch_day
+        |     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS trail_sum
+        | FROM g)
+        |SELECT strftime(to_timestamp(epoch_day * 86400), '%Y-%m-%d') AS day,
+        | n_events, n_prior, trail_sum,
+        | (n_prior = 7 AND n_events * 7 > trail_sum * 2) AS spike,
+        | (n_prior = 7 AND n_events * 14 < trail_sum) AS drop
+        |FROM t ORDER BY day""".stripMargin,
     "e18_variant_props" ->
       """SELECT event_type,
         |  COUNT(DISTINCT k) AS n_distinct_k,
