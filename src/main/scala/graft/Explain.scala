@@ -42,7 +42,10 @@ object Explain {
     "g02_shortest_paths", "v13_ann_tombstoned", "c03_incremental_funnel",
     "g03_partner_triangles", "v14_ivf_index_stats", "dq05_drift_report",
     "s25_time_travel", "v15_ann_main_delta", "ml02_centroid_confusion",
-    "e22_stream_running_totals")
+    "e22_stream_running_totals",
+    "t20_bpe_encode", "t21_bpe_fertility", "k02_shard_assignment",
+    "k03_packed_sequences", "g04_kcore", "v16_ann_stream_serve",
+    "dq06_volume_anomaly", "c04_training_shards")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
