@@ -333,6 +333,38 @@ object TextAnalysis {
   def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
     jaccardFromShingled(shingledDocs(spark, dir), dfCap = Some(JaccardDfCap))
 
+  /** d25's containment threshold. */
+  val ContainmentMin = 0.5
+
+  // D: CONTAINMENT near-dup — the ASYMMETRIC measure Jaccard dedup is
+  // blind to: containment = |A∩B| / min(|A|,|B|) flags a small document
+  // embedded whole in a larger one (quote farms, page-in-page scrapes)
+  // even when the symmetric Jaccard is tiny because the union is
+  // dominated by the big doc. Same inverted-index co-occurrence shape
+  // as d02 (pairs sharing zero shingles never materialize; the join is
+  // an equi-join on shingle), pair stats aggregated once, both measures
+  // emitted so the report shows exactly which pairs Jaccard would have
+  // missed.
+  def containmentNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = shingledDocs(spark, dir).withColumn("n_sh", size(col("sh")))
+    val posts = d.select(col("lang"), col("doc_id"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    posts.as("a").join(posts.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_inter"))
+      .withColumn("n_small", least(col("na"), col("nb")))
+      .withColumn("containment", col("n_inter").cast(DoubleType) / col("n_small"))
+      .filter(col("containment") >= ContainmentMin)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_small"),
+        col("containment"),
+        (col("n_inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
+  }
+
   // ---- D: SimHash near-dup over text ----------------------------------
   // 60-bit majority signature over each document's DISTINCT word set:
   // word hash = first 15 hex chars of md5 (a pure function both engines
@@ -1327,6 +1359,7 @@ object TextAnalysis {
     "d01_dedup_exact" -> (dedupExact _),
     "d02_ngram_jaccard" -> (ngramJaccard _),
     "d08_ngram_jaccard_capped" -> (ngramJaccardCapped _),
+    "d25_containment_neardup" -> (containmentNearDup _),
     "d09_simhash_text" -> (simhashNearDup _),
     "m01_binary_meta" -> (binaryMeta _))
 
@@ -1674,6 +1707,21 @@ object TextAnalysis {
         |SELECT id_a, id_b, n_inter, n_union,
         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
         |FROM p WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.05""".stripMargin,
+    "d25_containment_neardup" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |   string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+         |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_inter,
+         |   CAST(least(len(a.sh), len(b.sh)) AS INTEGER) AS n_small,
+         |   CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_union
+         | FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, n_inter, n_small,
+         |  CAST(n_inter AS DOUBLE) / n_small AS containment,
+         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
+         |FROM p WHERE CAST(n_inter AS DOUBLE) / n_small >= $ContainmentMin""".stripMargin,
     "d09_simhash_text" -> simhashOracleSql,
     // the cap is replicated exactly: postings whose per-lang shingle df
     // exceeds the cap are dropped from the intersection; set sizes stay full

@@ -37,6 +37,19 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b", "n_inter", "n_union", "jaccard"))
   }
 
+  test("d25 containment dominates Jaccard and catches pairs Jaccard misses") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.containmentNearDup(spark, sfDir).cache()
+    assert(out.count() > 0)
+    // containment >= jaccard by construction (min-size denominator)
+    assert(out.filter(col("containment") < col("jaccard")).count() == 0)
+    // every d02-style >= 0.5 Jaccard pair also clears the containment bar
+    val j = TextAnalysis.ngramJaccard(spark, sfDir)
+      .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+    assert(j.join(out.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti").count() == 0)
+    out.unpersist()
+  }
+
   test("d04 MinHash LSH has full recall at threshold 0.5 on this corpus") {
     val lsh = MinHash.nearDupPairs(spark, sfDir)
       .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
