@@ -333,6 +333,41 @@ object TextAnalysis {
   def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
     jaccardFromShingled(shingledDocs(spark, dir), dfCap = Some(JaccardDfCap))
 
+  // T: text NORMALIZATION — the pre-tokenization cleanup pass every
+  // corpus pipeline runs: strip C0/C1 control characters, remove
+  // zero-width code points (ZWSP/ZWNJ/ZWJ/BOM — invisible chars that
+  // poison dedup fingerprints and tokenizers), collapse whitespace
+  // runs, trim. The synthetic corpus is clean, so (the t08 pattern) a
+  // deterministic noise suffix derived from doc_id is planted first —
+  // the operator under test is the normalization. All ops are
+  // codegen'd per-row string work, no shuffle. Output pins the
+  // normalized text by md5 plus the before/after lengths.
+
+  /** The same escape syntax compiles in Java regex AND RE2: `\\x{h}`
+    * code points, `\\x00-\\x1F` ranges — no literal control bytes in
+    * source or in the oracle JSON. */
+  private val ControlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  private val ZeroWidthRe = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val noise = concat(
+      lit("\u0007"), col("doc_id").cast(StringType),
+      lit("\u200B\t\t tail\uFEFF x"))
+    val synth = concat(col("text"), lit(" "), noise)
+    val stripped = regexp_replace(
+      regexp_replace(synth, ControlRe, " "),
+      ZeroWidthRe, "")
+    val norm = trim(regexp_replace(stripped, "\\s+", " "))
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        length(synth).cast(LongType).as("n_raw"),
+        length(norm).cast(LongType).as("n_norm"),
+        regexp_count(synth, lit(ControlRe)).cast(LongType).as("n_control"),
+        regexp_count(synth, lit(ZeroWidthRe)).cast(LongType).as("n_zerowidth"),
+        md5(norm.cast(BinaryType)).as("fp"))
+  }
+
   /** d25's containment threshold. */
   val ContainmentMin = 0.5
 
@@ -1360,6 +1395,7 @@ object TextAnalysis {
     "d02_ngram_jaccard" -> (ngramJaccard _),
     "d08_ngram_jaccard_capped" -> (ngramJaccardCapped _),
     "d25_containment_neardup" -> (containmentNearDup _),
+    "t23_text_normalize" -> (normalizeText _),
     "d09_simhash_text" -> (simhashNearDup _),
     "m01_binary_meta" -> (binaryMeta _))
 
@@ -1722,6 +1758,25 @@ object TextAnalysis {
          |  CAST(n_inter AS DOUBLE) / n_small AS containment,
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
          |FROM p WHERE CAST(n_inter AS DOUBLE) / n_small >= $ContainmentMin""".stripMargin,
+    "t23_text_normalize" ->
+      s"""WITH s AS (SELECT doc_id,
+         |   text || ' ' || chr(7) || CAST(doc_id AS VARCHAR)
+         |        || chr(8203) || chr(9) || chr(9) || ' tail' || chr(65279) || ' x' AS synth
+         | FROM documents),
+         |n AS (SELECT doc_id, synth,
+         |   trim(regexp_replace(
+         |     regexp_replace(
+         |       regexp_replace(synth, '$ControlRe', ' ', 'g'),
+         |       '$ZeroWidthRe', '', 'g'),
+         |     '\\s+', ' ', 'g')) AS norm
+         | FROM s)
+         |SELECT doc_id,
+         | CAST(len(synth) AS BIGINT) AS n_raw,
+         | CAST(len(norm) AS BIGINT) AS n_norm,
+         | CAST(len(regexp_extract_all(synth, '$ControlRe')) AS BIGINT) AS n_control,
+         | CAST(len(regexp_extract_all(synth, '$ZeroWidthRe')) AS BIGINT) AS n_zerowidth,
+         | md5(norm) AS fp
+         |FROM n""".stripMargin,
     "d09_simhash_text" -> simhashOracleSql,
     // the cap is replicated exactly: postings whose per-lang shingle df
     // exceeds the cap are dropped from the intersection; set sizes stay full

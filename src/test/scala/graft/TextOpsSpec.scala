@@ -91,6 +91,20 @@ class TextOpsSpec extends SparkSpec {
     assert(bins.forall(r => r.getAs[Long]("n_docs") > 0))
   }
 
+  test("t23 normalization strips exactly the planted control/zero-width noise") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.normalizeText(spark, sfDir).cache()
+    val n = out.count()
+    assert(n > 0)
+    // planted: one BEL, one ZWSP, one BOM per row (tabs are whitespace,
+    // handled by the collapse pass, not the control class)
+    assert(out.filter(col("n_control") === 1 && col("n_zerowidth") === 2).count() == n)
+    // normalization can only shrink, and removes at least the 3 planted
+    // invisibles plus collapsed runs
+    assert(out.filter(col("n_norm") > col("n_raw") - 3).count() == 0)
+    out.unpersist()
+  }
+
   test("k02 shards balance doc counts to ±1 and partition the corpus exactly") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, sfDir, "documents")
