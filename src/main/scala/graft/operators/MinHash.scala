@@ -469,6 +469,32 @@ object MinHash {
       .orderBy(col("cluster_id"))
   }
 
+  // D: QUALITY-AWARE canonical pick — d10 keeps the min-id member of
+  // each near-dup cluster; production dedup keeps the BEST one (here:
+  // most whitespace tokens — the keep-longest heuristic — with min
+  // doc_id as tiebreak). The argmax is ONE hash aggregate via a
+  // lexicographic struct max (n_tok, −v): no per-cluster window, no
+  // second shuffle, and the choice key is pure integer so the gate is
+  // exact. Same cluster labels as d10 — this is the selection policy
+  // layered on the same graph.
+  def qualityCanonicalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("v"),
+        size(TextAnalysis.wordsOf(col("text"))).cast(LongType).as("n_tok"))
+    propagatedLabels(spark, dir).join(toks, "v")
+      .groupBy(col("label").as("cluster_id"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_members"),
+        max(struct(col("n_tok"), (-col("v")).as("negv"))).as("best"),
+        array_join(transform(array_sort(collect_list(col("v"))),
+          x => x.cast(StringType)), ",").as("members"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.negv")).as("canonical_id"),
+        col("best.n_tok").as("canonical_tokens"),
+        col("members"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Connected components run to CONVERGENCE (not a fixed round count):
     * min-label propagation with a per-round changed-vertex check and
     * early exit. This is the variant d10's scaladoc defers to — on a
@@ -591,6 +617,7 @@ object MinHash {
     "d04_minhash_lsh" -> (nearDupPairs _),
     "d07_editdist_verify" -> (editDistanceVerify _),
     "d10_neardup_clusters" -> (nearDupClusters _),
+    "d26_quality_canonical" -> (qualityCanonicalClusters _),
     "d14_cc_convergent" -> (ccClusters _),
     "d15_leakage_safe_split" -> (leakageSafeSplit _),
     "d13_incremental_neardup" -> (incrementalNearDup _),
@@ -632,6 +659,23 @@ object MinHash {
         |FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
         |WHERE p.jaccard >= 0.5""".stripMargin,
     "d10_neardup_clusters" -> d10OracleSql,
+    // same label rounds as d10; the selection policy is a window argmax
+    "d26_quality_canonical" ->
+      s"""WITH $clusterCtes,
+         |tk AS (SELECT doc_id AS v,
+         |   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+         | FROM documents),
+         |m AS (SELECT l.v, l.label, tk.n_tok
+         |      FROM l$LabelPropIters l JOIN tk USING (v)),
+         |b AS (SELECT label, v, n_tok,
+         |   ROW_NUMBER() OVER (PARTITION BY label ORDER BY n_tok DESC, v) AS rk FROM m),
+         |g AS (SELECT label, CAST(COUNT(*) AS INTEGER) AS n_members,
+         |   array_to_string(list_transform(list_sort(list(v)), x -> CAST(x AS VARCHAR)), ',') AS members
+         | FROM m GROUP BY label)
+         |SELECT b.label AS cluster_id, g.n_members, b.v AS canonical_id,
+         |  b.n_tok AS canonical_tokens, g.members
+         |FROM b JOIN g USING (label) WHERE b.rk = 1
+         |ORDER BY cluster_id""".stripMargin,
     // exact tier = md5 groups, near-dup tier = the same brute-force
     // 0.5-threshold pair graph every cluster oracle shares
     "d20_dedup_audit" ->

@@ -50,6 +50,28 @@ class DedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("d26 canonical is the longest member of each d10 cluster") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), size(TextAnalysis.wordsOf(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d10 = graft.operators.MinHash.nearDupClusters(spark, sfDir)
+      .select("cluster_id", "members").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val d26 = graft.operators.MinHash.qualityCanonicalClusters(spark, sfDir).collect()
+    assert(d26.nonEmpty)
+    d26.foreach { r =>
+      val members = r.getAs[String]("members").split(",").map(_.toLong)
+      val canon = r.getAs[Long]("canonical_id")
+      // same clusters as d10, canonical inside, longest-then-min-id rule
+      assert(r.getAs[String]("members") == d10(r.getAs[Long]("cluster_id")))
+      assert(members.contains(canon))
+      val best = members.map(m => (toks(m), -m)).max
+      assert((toks(canon), -canon) == best, s"cluster ${r.getLong(0)}: wrong canonical")
+      assert(r.getAs[Long]("canonical_tokens") == toks(canon))
+    }
+  }
+
   test("d04 MinHash LSH has full recall at threshold 0.5 on this corpus") {
     val lsh = MinHash.nearDupPairs(spark, sfDir)
       .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
