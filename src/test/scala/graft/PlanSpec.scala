@@ -127,6 +127,31 @@ class PlanSpec extends SparkSpec {
     assert(docScans == 0, s"$docScans documents scans in the incremental funnel plan")
   }
 
+  test("c04 training shards ride the cached curation lineage, not a corpus re-scan") {
+    val df = graft.operators.Curation.trainingShards(spark, sfDir)
+    df.collect()
+    val docScans = allScans(df.queryExecution.executedPlan)
+      .count(_.metadata.getOrElse("Location", "").contains("documents"))
+    assert(docScans == 0, s"$docScans documents scans in the shard-export plan")
+  }
+
+  test("g04 k-core peel round: semi joins only, no cartesian, no window") {
+    // one peel round on a tiny in-memory edge list — the shape every
+    // round of the bounded peel executes at any scale
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s1", "s2")
+    val deg = edges.select(col("s1").as("v"))
+      .unionAll(edges.select(col("s2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2).select(col("v"))
+    val kept = edges
+      .join(deg.select(col("v").as("s1")), Seq("s1"), "left_semi")
+      .join(deg.select(col("v").as("s2")), Seq("s2"), "left_semi")
+    val plan = kept.queryExecution.executedPlan.toString()
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"), plan)
+  }
+
   test("v11 stored-index probe prunes to the probed cid partitions") {
     // the claim in Ivf.vectorStore's scaladoc: the index is
     // partitionBy(cid), so the probe join must reach the stored table
