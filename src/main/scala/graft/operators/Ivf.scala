@@ -280,6 +280,36 @@ object Ivf {
     storedTopK(spark, dir, deletions = Some(tombs))
   }
 
+  /** Smallest id bound containing [[NumCentroids]] live (non-tombstoned)
+    * seed vectors — scale-independent because ids start at 0. */
+  private[operators] val RebuildSeedMax: Int = {
+    var m = 0; var c = 0
+    while (c < NumCentroids) { if (m % TombstoneMod != 0) c += 1; m += 1 }
+    m
+  }
+
+  /** v17: the NIGHTLY REBUILD that closes the index-maintenance loop
+    * v13 (tombstones) and v15 (delta) hold open between builds: retrain
+    * the quantizer FROM SCRATCH on the live corpus (deletes dropped,
+    * arrivals folded in — here live = the non-tombstoned slice of the
+    * full table, which already contains v15's delta), re-assign, and
+    * probe. After this runs, the tombstone anti-join and the delta
+    * exhaustive scan both reset to empty — the segment-merge step of
+    * the Lucene/FAISS architecture. Queries are NOT restricted (a
+    * deleted doc may still ask for its nearest live neighbors, the v13
+    * contract). The oracle replays the live-only training end to end,
+    * so the gate proves the rebuilt index equals a from-scratch index
+    * of the live corpus — the rebuild's entire correctness claim.
+    */
+  def annTopKIvfRebuilt(spark: SparkSession, dir: String): DataFrame = {
+    val emb = CosineLsh.quantized(spark, dir)
+    val live = emb.filter(pmod(col("vec_id"), lit(TombstoneMod)) =!= 0)
+    val c = graft.SessionCache.memo(spark, s"ivfRebuiltCentroids:$dir") {
+      centroidsOn(live, col("vec_id") < RebuildSeedMax).persist()
+    }
+    probeAndRank(emb, c, indexEmb = Some(live))
+  }
+
   /** v16: STREAMING vector serving — a stream of query vectors probes
     * the persisted v11 index per micro-batch, the d22
     * continuous-ingest shape applied to ANN: the index builds once
@@ -537,6 +567,7 @@ object Ivf {
     "v11_ann_stored" -> (annTopKIvfStored _),
     "v13_ann_tombstoned" -> (annTopKIvfTombstoned _),
     "v16_ann_stream_serve" -> (annStreamingServe _),
+    "v17_ann_rebuilt" -> (annTopKIvfRebuilt _),
     "v14_ivf_index_stats" -> (ivfIndexStats _),
     "v15_ann_main_delta" -> (annTopKIvfDelta _),
     "d21_semantic_dedup" -> (semanticClusterDedup _))
@@ -572,6 +603,7 @@ object Ivf {
     s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
        |n AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS n2 FROM e),
        |ns AS (SELECT * FROM n WHERE vec_id % 4 = 0),
+       |nl AS (SELECT * FROM n WHERE vec_id % $TombstoneMod <> 0),
        |lb AS (SELECT vec_id, label FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cv FROM $trainSrc WHERE $initWhere),
        |$iters,
@@ -613,6 +645,10 @@ object Ivf {
     // v04's replay with the tombstone slice removed from the INDEXED
     // side only (LEFT ANTI ≡ the modulus predicate on live keys)
     "v13_ann_tombstoned" -> ivfOracle("n", s"vec_id < $NumCentroids",
+      NumProbes, s"n.vec_id % $TombstoneMod <> 0"),
+    // from-scratch replay on the LIVE corpus: training, seeds, and the
+    // indexed side all exclude tombstones — the rebuild contract
+    "v17_ann_rebuilt" -> ivfOracle("nl", s"vec_id < $RebuildSeedMax",
       NumProbes, s"n.vec_id % $TombstoneMod <> 0"),
     // old-corpus-only training replay; candidate pool = probed old
     // cells ∪ the whole delta slice, one merged exact rank

@@ -194,6 +194,18 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.5, s"filtered recall $recall below floor")
   }
 
+  test("v17 rebuilt index serves only live neighbors with full top-5 fills") {
+    import org.apache.spark.sql.functions._
+    val out = Ivf.annTopKIvfRebuilt(spark, sfDir).cache()
+    // no tombstoned vector survives the rebuild as a neighbor
+    assert(out.filter(pmod(col("neighbor_id"), lit(Ivf.TombstoneMod)) === 0).count() == 0)
+    // every query (tombstoned or not) still gets a full live top-5
+    val perQuery = out.groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+    assert(perQuery.filter(col("n") =!= 5).count() == 0)
+    assert(perQuery.count() == 10)
+    out.unpersist()
+  }
+
   test("v16 streamed serving equals the v11 batch probe row-for-row") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
