@@ -97,4 +97,49 @@ class PropertySpec extends AnyFunSuite {
       if (i == j) assert(math.abs(s - 1.0) < 1e-12)
     }
   }
+
+  test("t23 normalization is idempotent on generated noisy strings") {
+    import spark.implicits._
+    val noisyChar = Gen.oneOf(
+      Gen.alphaNumChar, Gen.const(' '), Gen.const('\t'), Gen.const('\u0007'),
+      Gen.const('\u200B'), Gen.const('\uFEFF'), Gen.const('\u007F'))
+    val strings = Gen.listOfN(200, Gen.listOfN(30, noisyChar).map(_.mkString))
+      .sample.get
+    def normalize(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", " "),
+          "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", ""),
+        "\\s+", " "))
+    val df = strings.toDF("s")
+      .select(normalize(col("s")).as("once"))
+      .withColumn("twice", normalize(col("once")))
+    assert(df.filter(col("once") =!= col("twice")).count() == 0)
+    // fixpoint contains no target characters at all
+    assert(df.filter(
+      col("once").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]") ||
+      col("once").rlike("[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]") ||
+      col("once").rlike("\\s\\s") || col("once").rlike("^\\s|\\s$")).count() == 0)
+  }
+
+  test("k03 packing conserves tokens and fills bins exactly for generated counts") {
+    import spark.implicits._
+    val counts = Gen.listOfN(120, Gen.chooseNum(0L, 600L)).sample.get.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }
+    val b = 256L
+    val df = counts.toDF("doc_id", "n")
+    val pos = graft.operators.Keys
+      .scalablePrefixSum(df, Seq(col("doc_id")), col("n"), "s")
+      .filter(col("n") > 0)
+      .withColumn("e", col("s") + col("n"))
+      .withColumn("bin_id", explode(expr(s"sequence(s div $b, (e - 1) div $b)")))
+      .groupBy(col("bin_id"))
+      .agg(sum(least(col("e"), (col("bin_id") + 1) * b) -
+        greatest(col("s"), col("bin_id") * b)).as("occ"))
+      .orderBy(col("bin_id")).collect()
+    val total = counts.map(_._2).sum
+    assert(pos.map(_.getAs[Long]("occ")).sum == total)
+    pos.init.foreach(r => assert(r.getAs[Long]("occ") == b,
+      s"bin ${r.getLong(0)} holds ${r.getLong(1)} of $b"))
+  }
 }
