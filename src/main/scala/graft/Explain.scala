@@ -46,7 +46,8 @@ object Explain {
     "t20_bpe_encode", "t21_bpe_fertility", "k02_shard_assignment",
     "k03_packed_sequences", "g04_kcore", "v16_ann_stream_serve",
     "dq06_volume_anomaly", "c04_training_shards", "d25_containment_neardup",
-    "t23_text_normalize", "d26_quality_canonical", "v17_ann_rebuilt")
+    "t23_text_normalize", "d26_quality_canonical", "v17_ann_rebuilt",
+    "s26_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -290,6 +290,7 @@ object Relational extends RelationalBase
     "s10_static_values_join" -> (staticValuesJoin _),
     "s11_partitioned_scan" -> (partitionedScan _),
     "s12_bucketed_agg" -> (bucketedAgg _),
+    "s26_bucketed_join" -> (bucketedJoin _),
     "s16_bloom_filter_join" -> (bloomFilterJoin _),
     "s17_csv_permissive" -> (csvPermissive _),
     "s18_dynamic_overwrite" -> (dynamicPartitionOverwrite _),
@@ -1018,6 +1019,11 @@ object Relational extends RelationalBase
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY o_custkey""".stripMargin,
+    "s26_bucketed_join" ->
+      """SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin,
     "s10_static_values_join" ->
       """SELECT r_regionkey, r_name, zone_name
         |FROM region JOIN (VALUES (0,'ZONE-A'),(1,'ZONE-B'),(2,'ZONE-C'),(3,'ZONE-D'),(4,'ZONE-E'))

@@ -518,6 +518,38 @@ trait RelationalLayout extends RelationalBase {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
   }
 
+  // Bucketed CO-LOCATED join: customer and orders BOTH written bucketed
+  // (and sorted) on the join key into the warehouse, then joined — the
+  // sort-merge join runs with ZERO hash exchanges on either side and no
+  // per-query sort, because bucket layout satisfies the join's required
+  // distribution and ordering. s12 showed the agg half of the
+  // co-location story; this is the join half — at 100 TB the difference
+  // between reshuffling two fact tables per query and reading aligned
+  // buckets. The downstream per-customer agg is ALSO exchange-free (agg
+  // key = bucket key). MERGE hints pin SMJ so AQE's broadcast choice at
+  // toy scale doesn't hide the layout contract PlanSpec asserts.
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame =
+    bucketedJoinInner(spark, dir).orderBy(col("c_custkey"))
+
+  private[graft] def bucketedJoinInner(spark: SparkSession, dir: String): DataFrame = {
+    val db = "graft_whbj"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_whbj_${tmpTag(dir)}"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    graft.Fs.rmTree(new java.io.File(loc))
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Tables.load(spark, dir, "customer").write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable(s"$db.customer_bucketed")
+    Tables.load(spark, dir, "orders").write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable(s"$db.orders_bucketed")
+    spark.table(s"$db.customer_bucketed").hint("MERGE")
+      .join(spark.table(s"$db.orders_bucketed").hint("MERGE"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+  }
+
   // S10: static VALUES row source joined against a table.
   def staticValuesJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -234,6 +234,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("s26 co-located bucketed join: sort-merge with zero hash exchanges") {
+    val df = Relational.bucketedJoinInner(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("SortMergeJoin"), plan)
+    // both join inputs AND the downstream agg ride the bucket layout
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("LongArrayDot participates in whole-stage codegen") {
     // quantize (an interpreted higher-order transform) must sit in a
     // SEPARATE projection; over materialized arrays — the hot post-join
