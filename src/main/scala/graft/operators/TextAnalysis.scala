@@ -808,9 +808,13 @@ object TextAnalysis {
     */
   private def bpeVocabEncoded(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.memo(spark, s"t20vocab:$dir") {
-      val words = bpeScopedWords(spark, dir)
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .persist()
+      // the word-frequency frame is memoized separately so clear() can
+      // release it — a bare persist() here would linger past cleanup
+      val words = graft.SessionCache.memo(spark, s"t20words:$dir") {
+        bpeScopedWords(spark, dir)
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+          .persist()
+      }
       val merges = bpeMergesFromWords(words, BpeMergeRounds)
         .orderBy(col("round")).collect()
       var s: Column =
