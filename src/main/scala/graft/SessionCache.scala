@@ -17,8 +17,16 @@ object SessionCache {
   private val maps =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, scala.collection.mutable.Map[String, Any]]()
 
-  /** Build-once-per-(session, key); builders only declare plans and call
-    * persist (lazy), so running them under computeIfAbsent is safe.
+  /** Build-once-per-(session, key). Builders MAY run Spark jobs (the
+    * store builds, label-propagation rounds, and streaming replays all
+    * do — localCheckpoint and awaitTermination are eager), and the
+    * per-session monitor is held for the duration: concurrent memo
+    * calls on the SAME session serialize behind the running builder.
+    * That is the intended semantics — a second thread asking for any
+    * cached frame while a store is mid-build must wait for a consistent
+    * cache, and the harness mains are single-threaded per session — but
+    * it means memo must never be called from inside a Spark task, and
+    * callers must not assume memo is cheap under cross-thread use.
     */
   def memo[T](s: SparkSession, key: String)(build: => T): T = {
     val m = maps.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty[String, Any])

@@ -206,20 +206,9 @@ object Curation {
     * full stage chain and the shard deal, so curation and export
     * cannot drift apart. id_checksum pins exact shard membership.
     */
-  def trainingShards(spark: SparkSession, dir: String): DataFrame = {
-    val d = decontaminated(spark, dir)
-      .select(col("doc_id"), col("n_ws"),
-        md5(col("doc_id").cast(StringType).cast(BinaryType)).as("h"))
-    Keys.scalableSurrogate(d, Seq(col("h"), col("doc_id")), "rk")
-      .withColumn("shard", pmod(col("rk") - 1, lit(TextAnalysis.Shards.toLong)))
-      .groupBy(col("shard"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_ws")).as("total_tokens"),
-        sum(col("doc_id")).as("id_checksum"),
-        min(col("h")).as("first_hash"))
-      .orderBy(col("shard"))
-  }
+  def trainingShards(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.shardDeal(
+      decontaminated(spark, dir).select(col("doc_id"), col("n_ws").as("n_tok")))
 
   /** c03's corpus split: day-2 arrivals are `doc_id % IncrMod = 2`;
     * everything else is the already-curated day-1 corpus. */
@@ -455,15 +444,7 @@ object Curation {
     "c03_incremental_funnel" -> c03OracleSql,
     "c04_training_shards" ->
       s"""WITH RECURSIVE $stageCtes,
-         |sh AS (SELECT doc_id, n_ws, md5(CAST(doc_id AS VARCHAR)) AS h FROM dec),
-         |rr AS (SELECT doc_id, n_ws, h,
-         |   ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rk FROM sh)
-         |SELECT CAST((rk - 1) % ${TextAnalysis.Shards} AS BIGINT) AS shard,
-         | COUNT(*) AS n_docs,
-         | CAST(SUM(n_ws) AS BIGINT) AS total_tokens,
-         | CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
-         | MIN(h) AS first_hash
-         |FROM rr GROUP BY 1 ORDER BY 1""".stripMargin,
+         |${TextAnalysis.shardDealOracleTail("dec", "n_ws")}""".stripMargin,
     "c01_curated_packed_bins" ->
       s"""WITH RECURSIVE $stageCtes,
          |t AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT lang) AS n_langs FROM dec),

@@ -802,7 +802,7 @@ object Events {
         |   CAST(COALESCE(SUM(n_events) OVER (ORDER BY epoch_day
         |     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS trail_sum
         | FROM g)
-        |SELECT strftime(to_timestamp(epoch_day * 86400), '%Y-%m-%d') AS day,
+        |SELECT strftime(make_timestamp(epoch_day * 86400000000), '%Y-%m-%d') AS day,
         | n_events, n_prior, trail_sum,
         | (n_prior = 7 AND n_events * 7 > trail_sum * 2) AS spike,
         | (n_prior = 7 AND n_events * 14 < trail_sum) AS drop

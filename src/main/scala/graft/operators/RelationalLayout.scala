@@ -505,7 +505,7 @@ trait RelationalLayout extends RelationalBase {
   // the co-location story for 100 TB: pay the shuffle once at write
   // time, every keyed agg/join after that is exchange-free.
   def bucketedAgg(spark: SparkSession, dir: String): DataFrame = {
-    val db = "graft_whb"
+    val db = s"graft_whb_${tmpTag(dir)}" // per-dir, same rationale as s26
     val loc = s"${sys.props("java.io.tmpdir")}/graft_whb_${tmpTag(dir)}"
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     graft.Fs.rmTree(new java.io.File(loc))
@@ -532,7 +532,9 @@ trait RelationalLayout extends RelationalBase {
     bucketedJoinInner(spark, dir).orderBy(col("c_custkey"))
 
   private[graft] def bucketedJoinInner(spark: SparkSession, dir: String): DataFrame = {
-    val db = "graft_whbj"
+    // per-dir name (vecDb's contract): a second data dir in the same
+    // JVM must not DROP this dir's tables out from under lazy frames
+    val db = s"graft_whbj_${tmpTag(dir)}"
     val loc = s"${sys.props("java.io.tmpdir")}/graft_whbj_${tmpTag(dir)}"
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     graft.Fs.rmTree(new java.io.File(loc))

@@ -346,18 +346,24 @@ object TextAnalysis {
   /** The same escape syntax compiles in Java regex AND RE2: `\\x{h}`
     * code points, `\\x00-\\x1F` ranges — no literal control bytes in
     * source or in the oracle JSON. */
-  private val ControlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
-  private val ZeroWidthRe = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+  private[graft] val ControlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  private[graft] val ZeroWidthRe = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+
+  /** The normalization itself — exposed so PropertySpec pins the
+    * SHIPPED expression's idempotence, not a private re-implementation. */
+  private[graft] def normalized(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(c, ControlRe, " "),
+        ZeroWidthRe, ""),
+      "\\s+", " "))
 
   def normalizeText(spark: SparkSession, dir: String): DataFrame = {
     val noise = concat(
       lit("\u0007"), col("doc_id").cast(StringType),
       lit("\u200B\t\t tail\uFEFF x"))
     val synth = concat(col("text"), lit(" "), noise)
-    val stripped = regexp_replace(
-      regexp_replace(synth, ControlRe, " "),
-      ZeroWidthRe, "")
-    val norm = trim(regexp_replace(stripped, "\\s+", " "))
+    val norm = normalized(synth)
     docs(spark, dir)
       .select(
         col("doc_id"),
@@ -452,19 +458,31 @@ object TextAnalysis {
     * pattern applied to tokenizer training — same `||` symbol encoding,
     * same regex, same tie-break, so every round's pick is verified.
     */
-  private def t19OracleSql: String = {
-    val rounds = (1 to BpeMergeRounds).map { r =>
+  /** One rendering of the K merge-round CTE triples (pair counts →
+    * argmax → global merge replace), shared by the t19 gate and the
+    * t20/t21 vocabulary chain so the trainer t19 verifies IS the
+    * trainer t20/t21 encode with. `withWord` threads the word column
+    * (merge picks depend only on (s, freq), so both trainings are
+    * identical by construction).
+    */
+  private def bpeRoundCtes(withWord: Boolean): String = {
+    val keep = if (withWord) "v.word, " else ""
+    (1 to BpeMergeRounds).map { r =>
       s"""p$r AS (SELECT sym[i] || ' ' || sym[i+1] AS pair, freq
          | FROM (SELECT list_filter(string_split(s, '||'), x -> x <> '') AS sym, freq
          |       FROM v${r - 1}),
          |      unnest(range(1, len(sym))) AS u(i)),
          |c$r AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM p$r GROUP BY 1),
          |t$r AS (SELECT pair, pair_count FROM c$r ORDER BY pair_count DESC, pair LIMIT 1),
-         |v$r AS (SELECT regexp_replace(v.s,
+         |v$r AS (SELECT ${keep}regexp_replace(v.s,
          |    '\\|' || replace(t.pair, ' ', '\\|\\|') || '\\|',
          |    '|' || replace(t.pair, ' ', '') || '|', 'g') AS s, v.freq
          |  FROM v${r - 1} v, t$r t)""".stripMargin
     }.mkString(",\n")
+  }
+
+  private def t19OracleSql: String = {
+    val rounds = bpeRoundCtes(withWord = false)
     val out = (1 to BpeMergeRounds)
       .map(r => s"SELECT CAST($r AS INTEGER) AS round, pair, pair_count FROM t$r")
       .mkString("\nUNION ALL\n")
@@ -486,18 +504,7 @@ object TextAnalysis {
     * occurrences both tails join against.
     */
   private def bpeEncodeOracleCtes: String = {
-    val rounds = (1 to BpeMergeRounds).map { r =>
-      s"""p$r AS (SELECT sym[i] || ' ' || sym[i+1] AS pair, freq
-         | FROM (SELECT list_filter(string_split(s, '||'), x -> x <> '') AS sym, freq
-         |       FROM v${r - 1}),
-         |      unnest(range(1, len(sym))) AS u(i)),
-         |c$r AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM p$r GROUP BY 1),
-         |t$r AS (SELECT pair, pair_count FROM c$r ORDER BY pair_count DESC, pair LIMIT 1),
-         |v$r AS (SELECT v.word, regexp_replace(v.s,
-         |    '\\|' || replace(t.pair, ' ', '\\|\\|') || '\\|',
-         |    '|' || replace(t.pair, ' ', '') || '|', 'g') AS s, v.freq
-         |  FROM v${r - 1} v, t$r t)""".stripMargin
-    }.mkString(",\n")
+    val rounds = bpeRoundCtes(withWord = true)
     s"""wd AS (SELECT doc_id, lang,
        |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents),
        |occ AS MATERIALIZED (SELECT doc_id, lang, word FROM wd
@@ -1015,21 +1022,41 @@ object TextAnalysis {
   // window at any scale. id_checksum (Σ doc_id) pins the EXACT shard
   // membership, not just its size, so the gate fails if even one doc
   // lands in the wrong shard.
-  def shardAssignment(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(
-      col("doc_id"),
-      size(wordsOf(col("text"))).cast(LongType).as("n_tokens"),
+  def shardAssignment(spark: SparkSession, dir: String): DataFrame =
+    shardDeal(docs(spark, dir).select(col("doc_id"),
+      size(wordsOf(col("text"))).cast(LongType).as("n_tok")))
+
+  /** The shard deal itself, shared by k02 and the c04 pipeline export
+    * so the two gates cannot diverge on policy (hash, tie-break,
+    * round-robin arithmetic, stats). Input: (doc_id, n_tok).
+    */
+  private[operators] def shardDeal(d: DataFrame): DataFrame = {
+    val keyed = d.select(col("doc_id"), col("n_tok"),
       md5(col("doc_id").cast(StringType).cast(BinaryType)).as("h"))
-    Keys.scalableSurrogate(d, Seq(col("h"), col("doc_id")), "rk")
+    Keys.scalableSurrogate(keyed, Seq(col("h"), col("doc_id")), "rk")
       .withColumn("shard", pmod(col("rk") - 1, lit(Shards.toLong)))
       .groupBy(col("shard"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_tok")).as("total_tokens"),
         sum(col("doc_id")).as("id_checksum"),
         min(col("h")).as("first_hash"))
       .orderBy(col("shard"))
   }
+
+  /** Oracle tail replaying [[shardDeal]] over CTE `src` (needs doc_id
+    * and `tokExpr`) — the single SQL rendering of the deal policy. */
+  private[operators] def shardDealOracleTail(src: String, tokExpr: String): String =
+    s"""shd AS (SELECT doc_id, $tokExpr AS n_tok,
+       |   md5(CAST(doc_id AS VARCHAR)) AS h FROM $src),
+       |shr AS (SELECT doc_id, n_tok, h,
+       |   ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rk FROM shd)
+       |SELECT CAST((rk - 1) % $Shards AS BIGINT) AS shard,
+       | COUNT(*) AS n_docs,
+       | CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       | CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       | MIN(h) AS first_hash
+       |FROM shr GROUP BY 1 ORDER BY 1""".stripMargin
 
   // T: overlapping token-window chunking — each document fans out to
   // ceil(n/stride) chunks of ≤ W tokens with W−S overlap (RAG/context
@@ -1545,18 +1572,9 @@ object TextAnalysis {
         | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "k02_shard_assignment" ->
-      s"""WITH t AS (SELECT doc_id,
-         |   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-         |   md5(CAST(doc_id AS VARCHAR)) AS h
-         | FROM documents),
-         |r AS (SELECT doc_id, n_tokens, h,
-         |   ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rk FROM t)
-         |SELECT CAST((rk - 1) % $Shards AS BIGINT) AS shard,
-         | COUNT(*) AS n_docs,
-         | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-         | CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
-         | MIN(h) AS first_hash
-         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, text FROM documents),
+         |${shardDealOracleTail("t",
+            "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)")}""".stripMargin,
     "k03_packed_sequences" ->
       s"""WITH t AS (SELECT doc_id,
          |   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n

@@ -196,9 +196,11 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     // the vec_id < 10 probe filter must be pushed into a scan feeding
     // the broadcast side (the full-table broadcast was a round-2 bug);
-    // match on the column name, not the version-dependent rendering
+    // require the column AND the bound so a pushed IsNotNull(vec_id)
+    // can't satisfy this, without pinning the exact filter rendering
     val probeScan = allScans(df.queryExecution.executedPlan)
-      .exists(_.metadata.getOrElse("PushedFilters", "").contains("vec_id"))
+      .map(_.metadata.getOrElse("PushedFilters", ""))
+      .exists(s => s.contains("vec_id") && s.contains("10"))
     assert(probeScan, "no scan with the probe filter pushed down")
   }
 

@@ -105,20 +105,17 @@ class PropertySpec extends AnyFunSuite {
       Gen.const('\u200B'), Gen.const('\uFEFF'), Gen.const('\u007F'))
     val strings = Gen.listOfN(200, Gen.listOfN(30, noisyChar).map(_.mkString))
       .sample.get
-    def normalize(c: org.apache.spark.sql.Column) =
-      trim(regexp_replace(
-        regexp_replace(
-          regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", " "),
-          "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", ""),
-        "\\s+", " "))
+    // the SHIPPED expression, not a re-implementation — tracks the
+    // production character classes if they ever change
+    import graft.operators.TextAnalysis
     val df = strings.toDF("s")
-      .select(normalize(col("s")).as("once"))
-      .withColumn("twice", normalize(col("once")))
+      .select(TextAnalysis.normalized(col("s")).as("once"))
+      .withColumn("twice", TextAnalysis.normalized(col("once")))
     assert(df.filter(col("once") =!= col("twice")).count() == 0)
     // fixpoint contains no target characters at all
     assert(df.filter(
-      col("once").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]") ||
-      col("once").rlike("[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]") ||
+      col("once").rlike(TextAnalysis.ControlRe) ||
+      col("once").rlike(TextAnalysis.ZeroWidthRe) ||
       col("once").rlike("\\s\\s") || col("once").rlike("^\\s|\\s$")).count() == 0)
   }
 
