@@ -280,6 +280,41 @@ object Ivf {
     storedTopK(spark, dir, deletions = Some(tombs))
   }
 
+  /** The K values the ml03 elbow sweep trains. */
+  private[operators] val ElbowKs = Seq(4, 8, 16)
+
+  /** ml03: k-means ELBOW report — exact inertia (Σ‖x−c‖² in quantized
+    * integer space) for K ∈ [[ElbowKs]], the table an index owner reads
+    * to pick the cell count v04/v11 should use (v14 audits ONE trained
+    * index; this sweeps the hyperparameter). All K values train
+    * SIMULTANEOUSLY in one keyed Lloyd pass: the corpus is replicated
+    * per K under group key `m` (bounded ×|Ks| — at 100 TB, train each
+    * group on the v06 sample instead) and [[centroidsKeyed]] — built
+    * for v09's PQ subspaces — runs every quantizer in the same jobs.
+    * Per-group arithmetic is identical to [[centroidsOn]], so the
+    * oracle replays each K as its own prefixed CTE chain and the gate
+    * is exact.
+    */
+  def kmeansElbow(spark: SparkSession, dir: String): DataFrame = {
+    val emb = CosineLsh.quantized(spark, dir)
+    val rep = ElbowKs
+      .map(k => emb.select(lit(k).as("m"), col("vec_id"), col("qv")))
+      .reduce(_.unionByName(_))
+    val c = centroidsKeyed(rep, col("vec_id") < col("m"))
+    val d2 = LongArrayDot.dot(col("qv"), col("qv")) -
+      lit(2L) * LongArrayDot.dot(col("qv"), col("cv")) +
+      LongArrayDot.dot(col("cv"), col("cv"))
+    assignKeyed(rep, c)
+      .join(broadcast(c), Seq("m", "cid"))
+      .select(col("m"), col("cid"), d2.as("d2"))
+      .groupBy(col("m").as("k"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        countDistinct(col("cid")).as("n_cells"),
+        sum(col("d2")).as("inertia"))
+      .orderBy(col("k"))
+  }
+
   /** Smallest id bound containing [[NumCentroids]] live (non-tombstoned)
     * seed vectors — scale-independent because ids start at 0. */
   private[operators] val RebuildSeedMax: Int = {
@@ -568,6 +603,7 @@ object Ivf {
     "v13_ann_tombstoned" -> (annTopKIvfTombstoned _),
     "v16_ann_stream_serve" -> (annStreamingServe _),
     "v17_ann_rebuilt" -> (annTopKIvfRebuilt _),
+    "ml03_kmeans_elbow" -> (kmeansElbow _),
     "v14_ivf_index_stats" -> (ivfIndexStats _),
     "v15_ann_main_delta" -> (annTopKIvfDelta _),
     "d21_semantic_dedup" -> (semanticClusterDedup _))
@@ -580,16 +616,18 @@ object Ivf {
   private def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) AS BIGINT)"
 
-  /** a{i} = assignment of `src` under c{i-1}; c{i} = integer-mean update. */
-  private def iterSql(i: Int, src: String): String =
-    s"""a$i AS (SELECT vec_id, qv, cid FROM (
+  /** a{i} = assignment of `src` under c{i-1}; c{i} = integer-mean
+    * update. `p` prefixes the CTE names so several independent chains
+    * (the ml03 elbow sweep) can coexist in one oracle. */
+  private def iterSql(i: Int, src: String, p: String = ""): String =
+    s"""a$p$i AS (SELECT vec_id, qv, cid FROM (
        |  SELECT $src.vec_id, $src.qv, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY $src.vec_id ORDER BY
        |      ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql(s"$src.qv", "c.cv")}, c.cid) AS rn
-       |  FROM $src, c${i - 1} c) WHERE rn = 1),
-       |c$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+       |  FROM $src, c$p${i - 1} c) WHERE rn = 1),
+       |c$p$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
        |  SELECT cid, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS m FROM (
-       |    SELECT cid, i AS pos, qv[i] AS v FROM a$i, unnest(range(1, len(qv)+1)) AS u(i))
+       |    SELECT cid, i AS pos, qv[i] AS v FROM a$p$i, unnest(range(1, len(qv)+1)) AS u(i))
        |  GROUP BY cid, pos) GROUP BY cid)""".stripMargin
 
   /** Full replay: train on `trainWhere`-filtered vectors (seeds below
@@ -650,6 +688,31 @@ object Ivf {
     // indexed side all exclude tombstones — the rebuild contract
     "v17_ann_rebuilt" -> ivfOracle("nl", s"vec_id < $RebuildSeedMax",
       NumProbes, s"n.vec_id % $TombstoneMod <> 0"),
+    // each K replayed as its own prefixed Lloyd chain; final assignment
+    // + exact integer inertia per K — the keyed pass trains identically
+    "ml03_kmeans_elbow" -> {
+      val chains = ElbowKs.map { k =>
+        val p = s"k${k}_"
+        val iters = (1 to KMeansIters).map(iterSql(_, "n", p)).mkString(",\n")
+        s"""c${p}0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cv FROM n WHERE vec_id < $k),
+           |$iters,
+           |fin$k AS (SELECT vec_id, cid, d2 FROM (
+           |  SELECT n.vec_id, c.cid,
+           |    ${dotSql("n.qv", "n.qv")} - 2 * ${dotSql("n.qv", "c.cv")} + ${dotSql("c.cv", "c.cv")} AS d2,
+           |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+           |      ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")}, c.cid) AS rn
+           |  FROM n, c$p$KMeansIters c) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val tails = ElbowKs.map(k =>
+        s"""SELECT CAST($k AS INTEGER) AS k, COUNT(*) AS n_vectors,
+           | COUNT(DISTINCT cid) AS n_cells, CAST(SUM(d2) AS BIGINT) AS inertia
+           |FROM fin$k""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
+         |n AS MATERIALIZED (SELECT vec_id, qv FROM e),
+         |$chains
+         |$tails
+         |ORDER BY k""".stripMargin
+    },
     // old-corpus-only training replay; candidate pool = probed old
     // cells ∪ the whole delta slice, one merged exact rank
     "v15_ann_main_delta" -> {

@@ -250,6 +250,25 @@ class GraphMlSpec extends SparkSpec {
     assert(perQuery.filter(col("n") =!= 5).count() == 0)
   }
 
+  test("ml03 elbow: every K covers the corpus and K=16 equals the v14 index audit") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val n = emb.count()
+    val rows = Ivf.kmeansElbow(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("k") ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Long]("n_cells"), r.getAs[Long]("inertia"))).toMap
+    assert(rows.keySet == Set(4, 8, 16))
+    rows.foreach { case (k, (nv, nc, in)) =>
+      assert(nv == n, s"k=$k covers $nv of $n vectors")
+      assert(nc <= k && in >= 0)
+    }
+    // the K=16 sweep point IS v04/v11's trained quantizer: its inertia
+    // must equal the sum of v14's per-cell audit exactly
+    val v14 = Ivf.ivfIndexStats(spark, sfDir)
+      .agg(sum(col("inertia")).cast("long"), sum(col("n_members")).cast("long")).head()
+    assert(rows(16)._3 == v14.getLong(0))
+    assert(rows(16)._1 == v14.getLong(1))
+  }
+
   test("ml02 confusion matrix partitions the corpus by true label") {
     val out = graft.operators.VectorSearch.centroidConfusion(spark, sfDir).cache()
     val nVecs = Tables.load(spark, sfDir, "embeddings").count()
