@@ -469,6 +469,34 @@ object MinHash {
       .orderBy(col("cluster_id"))
   }
 
+  // D: row-level DROP PROVENANCE — the audit published next to the c02
+  // funnel: for every document a dedup/decontamination policy would
+  // remove, WHICH rule fired and which document is kept instead. One
+  // row per (doc_id, reason) — a doc caught by several rules keeps all
+  // its rows, so there is no priority ordering to drift. Composes the
+  // d01 md5 groups, the d10 cluster labels, and the d11 contamination
+  // scan; every input frame is the memoized one the source queries use,
+  // so the report costs three cheap joins, not a pipeline re-run.
+  def dropProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val g = h.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("kept_id"), count(lit(1)).as("n"))
+    val exact = h.join(g, "fp")
+      .filter(col("n") > 1 && col("doc_id") =!= col("kept_id"))
+      .select(col("doc_id"), lit("exact_dup").as("reason"), col("kept_id"))
+    val near = propagatedLabels(spark, dir)
+      .filter(col("v") =!= col("label"))
+      .select(col("v").as("doc_id"), lit("near_dup").as("reason"),
+        col("label").as("kept_id"))
+    val cont = TextAnalysis.contaminationScan(spark, dir)
+      .filter(col("is_contaminated"))
+      .select(col("doc_id"), lit("contaminated").as("reason"),
+        lit(null).cast(LongType).as("kept_id"))
+    exact.unionByName(near).unionByName(cont)
+      .orderBy(col("doc_id"), col("reason"))
+  }
+
   // D: QUALITY-AWARE canonical pick — d10 keeps the min-id member of
   // each near-dup cluster; production dedup keeps the BEST one (here:
   // most whitespace tokens — the keep-longest heuristic — with min
@@ -618,6 +646,7 @@ object MinHash {
     "d07_editdist_verify" -> (editDistanceVerify _),
     "d10_neardup_clusters" -> (nearDupClusters _),
     "d26_quality_canonical" -> (qualityCanonicalClusters _),
+    "d27_drop_provenance" -> (dropProvenance _),
     "d14_cc_convergent" -> (ccClusters _),
     "d15_leakage_safe_split" -> (leakageSafeSplit _),
     "d13_incremental_neardup" -> (incrementalNearDup _),
@@ -659,6 +688,34 @@ object MinHash {
         |FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
         |WHERE p.jaccard >= 0.5""".stripMargin,
     "d10_neardup_clusters" -> d10OracleSql,
+    // d01's md5 groups + d10's label rounds + d11's contamination
+    // fragment, unioned — each tier's rule replayed verbatim
+    "d27_drop_provenance" ->
+      s"""WITH $clusterCtes,
+         |hh AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         |gg AS (SELECT fp, MIN(doc_id) AS kept_id, COUNT(*) AS n FROM hh GROUP BY fp),
+         |ex AS (SELECT hh.doc_id, 'exact_dup' AS reason, gg.kept_id
+         |       FROM hh JOIN gg USING (fp) WHERE gg.n > 1 AND hh.doc_id <> gg.kept_id),
+         |nd AS (SELECT v AS doc_id, 'near_dup' AS reason, label AS kept_id
+         |       FROM l$LabelPropIters WHERE v <> label),
+         |ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |s2 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+         |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+         | FROM ws WHERE len(words) >= 3),
+         |be AS (SELECT DISTINCT unnest(sh) AS shingle FROM s2
+         |       WHERE doc_id % ${TextAnalysis.ContaminationBenchMod} = 0),
+         |pp AS (SELECT doc_id, unnest(sh) AS shingle FROM s2
+         |       WHERE doc_id % ${TextAnalysis.ContaminationBenchMod} <> 0),
+         |ch AS (SELECT doc_id, COUNT(*) AS n_hit FROM pp JOIN be USING (shingle) GROUP BY 1),
+         |ct AS (SELECT s2.doc_id, 'contaminated' AS reason, CAST(NULL AS BIGINT) AS kept_id
+         |       FROM s2 LEFT JOIN ch USING (doc_id)
+         |       WHERE s2.doc_id % ${TextAnalysis.ContaminationBenchMod} <> 0
+         |         AND CAST(COALESCE(ch.n_hit, 0) AS DOUBLE) / len(s2.sh)
+         |               >= ${TextAnalysis.ContaminationFlagRatio})
+         |SELECT doc_id, reason, kept_id FROM ex
+         |UNION ALL SELECT doc_id, reason, kept_id FROM nd
+         |UNION ALL SELECT doc_id, reason, kept_id FROM ct
+         |ORDER BY doc_id, reason""".stripMargin,
     // same label rounds as d10; the selection policy is a window argmax
     "d26_quality_canonical" ->
       s"""WITH $clusterCtes,

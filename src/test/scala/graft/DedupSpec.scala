@@ -72,6 +72,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d27 provenance reconciles with the d10 clusters and d11 scan") {
+    import org.apache.spark.sql.functions._
+    val prov = graft.operators.MinHash.dropProvenance(spark, sfDir).cache()
+    // near-dup rows: one per non-canonical cluster member, kept_id = canonical
+    val clusters = graft.operators.MinHash.nearDupClusters(spark, sfDir).collect()
+    val expectedNear = clusters.map(_.getAs[Int]("n_members") - 1L).sum
+    val near = prov.filter(col("reason") === "near_dup").cache()
+    assert(near.count() == expectedNear)
+    val canon = clusters.map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("canonical_id")).toMap
+    near.collect().foreach(r => assert(canon(r.getAs[Long]("kept_id")) == r.getAs[Long]("kept_id")))
+    // contaminated rows equal the d11 scan's flagged set
+    val flagged = graft.operators.TextAnalysis.contaminationScan(spark, sfDir)
+      .filter(col("is_contaminated")).count()
+    assert(prov.filter(col("reason") === "contaminated").count() == flagged)
+    // a kept doc never appears as dropped under the same reason's keeper id
+    assert(prov.filter(col("doc_id") === col("kept_id")).count() == 0)
+    near.unpersist(); prov.unpersist()
+  }
+
   test("d04 MinHash LSH has full recall at threshold 0.5 on this corpus") {
     val lsh = MinHash.nearDupPairs(spark, sfDir)
       .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
