@@ -47,7 +47,8 @@ object Explain {
     "k03_packed_sequences", "g04_kcore", "v16_ann_stream_serve",
     "dq06_volume_anomaly", "c04_training_shards", "d25_containment_neardup",
     "t23_text_normalize", "d26_quality_canonical", "v17_ann_rebuilt",
-    "s26_bucketed_join", "ml03_kmeans_elbow", "d27_drop_provenance")
+    "s26_bucketed_join", "ml03_kmeans_elbow", "d27_drop_provenance",
+    "c05_streaming_admission")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

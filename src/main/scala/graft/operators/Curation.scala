@@ -51,19 +51,25 @@ object Curation {
     */
   private[graft] def base(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.memo(spark, s"c01base:$dir") {
-      graft.functions.WordShingles.register(spark)
-      val w = TextAnalysis.wordsOf(lower(col("text")))
-      Tables.load(spark, dir, "documents")
-        .repartition(col("doc_id"))
-        .select(
-          col("doc_id"), col("lang"), col("source"),
-          size(regexp_extract_all(col("text"), lit(TextAnalysis.tokenRegex), lit(0)))
-            .as("n_tokens"),
-          (size(filter(w, x => x.isin(TextAnalysis.stopwords: _*))) > 0).as("has_stop"),
-          size(TextAnalysis.wordsOf(col("text"))).cast(LongType).as("n_ws"),
-          graft.functions.WordShingles.shingles(col("text")).as("sh"))
+      featured(spark, Tables.load(spark, dir, "documents").repartition(col("doc_id")))
         .persist()
     }
+
+  /** The one-pass feature projection over raw document rows — shared by
+    * the batch [[base]] scan and c05's per-micro-batch admission (the
+    * stream must derive features with the SAME expressions or the
+    * frozen gate silently measures something else). */
+  private def featured(spark: SparkSession, df: DataFrame): DataFrame = {
+    graft.functions.WordShingles.register(spark)
+    val w = TextAnalysis.wordsOf(lower(col("text")))
+    df.select(
+      col("doc_id"), col("lang"), col("source"),
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.tokenRegex), lit(0)))
+        .as("n_tokens"),
+      (size(filter(w, x => x.isin(TextAnalysis.stopwords: _*))) > 0).as("has_stop"),
+      size(TextAnalysis.wordsOf(col("text"))).cast(LongType).as("n_ws"),
+      graft.functions.WordShingles.shingles(col("text")).as("sh"))
+  }
 
   /** Stage 1 — quality gate (t05 semantics): keep documents at or above
     * the corpus-median regex token count that contain a stopword. The
@@ -241,19 +247,35 @@ object Curation {
     * work is |batch|-sized; the day-1 side enters only through its
     * (tiny) representative signatures.
     */
-  def incrementalCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The FROZEN day-1 deployment state shared by c03's incremental run
+    * and c05's streaming admission: the median gate scalar and the
+    * gated day-1 near-dup representatives. Both memoized — deploy once,
+    * serve many batches. */
+  private def day1State(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val b = base(spark, dir)
     val isBatch = pmod(col("doc_id"), lit(IncrMod)) === lit(IncrMod - 1)
     val day1 = b.filter(!isBatch)
-    val batch = b.filter(isBatch)
-    val med1 = day1.agg(expr("percentile(n_tokens, 0.5)").as("median_tokens"))
-    def gate(df: DataFrame): DataFrame =
-      df.crossJoin(broadcast(med1))
-        .filter(col("n_tokens") >= col("median_tokens") && col("has_stop"))
-        .drop("median_tokens")
-    val reps1 = graft.SessionCache.memo(spark, s"c03reps1:$dir") {
-      ccRepresentatives(gate(day1)).persist()
+    val med1 = graft.SessionCache.memo(spark, s"c03med1:$dir") {
+      day1.agg(expr("percentile(n_tokens, 0.5)").as("median_tokens")).persist()
     }
+    val reps1 = graft.SessionCache.memo(spark, s"c03reps1:$dir") {
+      ccRepresentatives(frozenGate(med1)(day1)).persist()
+    }
+    (med1, reps1)
+  }
+
+  /** t05's gate with a FROZEN (deployed) median scalar. */
+  private def frozenGate(med1: DataFrame)(df: DataFrame): DataFrame =
+    df.crossJoin(broadcast(med1))
+      .filter(col("n_tokens") >= col("median_tokens") && col("has_stop"))
+      .drop("median_tokens")
+
+  def incrementalCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir)
+    val isBatch = pmod(col("doc_id"), lit(IncrMod)) === lit(IncrMod - 1)
+    val batch = b.filter(isBatch)
+    val (med1, reps1) = day1State(spark, dir)
+    def gate(df: DataFrame): DataFrame = frozenGate(med1)(df)
     val q2 = gate(batch)
     val novel2 = graft.SessionCache.memo(spark, s"c03novel:$dir") {
       val cross = MinHash.bandCandidates(
@@ -295,11 +317,108 @@ object Curation {
       .orderBy(col("stage"))
   }
 
+  /** c05: STREAMING admission control — the deployed pipeline as a
+    * continuous filter: arriving documents (the day-2 slice replayed
+    * as a file stream) pass per micro-batch through the FROZEN day-1
+    * state — median quality gate, near-dup probe against the day-1
+    * representative signature store, decontamination against the
+    * external bench set — and only curated-novel rows are ADMITTED.
+    * `foreachBatch`, because every stage is a batch join against
+    * static state; per-batch cost is O(batch). Every rule here is a
+    * PURE function of (doc, frozen state), so the bounded replay
+    * equals one batch pass for ANY micro-batching — c03's batch-local
+    * dedup stage is deliberately absent (a cross-doc rule cannot be
+    * admission control; it belongs to the nightly rebuild, v17's story
+    * applied to documents). The oracle replays day-1 deployment and
+    * the per-doc admission rules as one CTE chain.
+    */
+  def streamingAdmission(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"c05:$dir") {
+      import org.apache.spark.sql.streaming.Trigger
+      // resolve ALL frozen state on this thread BEFORE the stream
+      // starts: foreachBatch runs on the query-execution thread, which
+      // must never call SessionCache.memo while this builder holds the
+      // session monitor (deadlock) — the state rides the closure
+      val st = frozenState(spark, dir)
+      val docsPath = Tables.path(dir, "documents")
+      val schema = spark.read.parquet(docsPath).schema
+      val stream = spark.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$docsPath*")
+        .filter(pmod(col("doc_id"), lit(IncrMod)) === lit(IncrMod - 1))
+      val outBase = s"${sys.props("java.io.tmpdir")}/graft_c05_${graft.Fs.tmpTag(dir)}"
+      graft.Fs.rmTree(new java.io.File(outBase))
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          admitWith(spark, st, batch)
+            .write.mode("overwrite").parquet(s"$outBase/b$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$outBase/b*")
+    }
+
+  /** The resolved frozen deployment state (gate scalar, store
+    * signatures, representative shingles, bench set) — memo-resolved
+    * on the CALLING thread only. */
+  private case class FrozenState(med1: DataFrame, sigs1: DataFrame,
+                                 repsSh: DataFrame, bench: DataFrame)
+
+  private def frozenState(spark: SparkSession, dir: String): FrozenState = {
+    val (med1, reps1) = day1State(spark, dir)
+    val sigs1 = graft.SessionCache.memo(spark, s"c05sigs:$dir") {
+      MinHash.signatures(reps1.select(col("doc_id"), col("sh"))).persist()
+    }
+    val repsSh = reps1.select(col("doc_id").as("corpus_id"),
+      col("sh").as("sh_c"), size(col("sh")).as("nc"))
+    val bench = graft.SessionCache.memo(spark, s"c05bench:$dir") {
+      base(spark, dir).filter(pmod(col("doc_id"), lit(BenchMod)) === 0)
+        .select(explode(col("sh")).as("shingle")).distinct().persist()
+    }
+    FrozenState(med1, sigs1, repsSh, bench)
+  }
+
+  /** One micro-batch of raw document rows through the frozen admission
+    * rules — package-visible so StreamingSpec can prove the admitted
+    * set is invariant under batch splits (per-doc purity). Resolves
+    * the state via memo, so call only from a test/main thread. */
+  private[graft] def admitBatch(spark: SparkSession, dir: String,
+                                batch: DataFrame): DataFrame =
+    admitWith(spark, frozenState(spark, dir), batch)
+
+  private def admitWith(spark: SparkSession, st: FrozenState,
+                        batch: DataFrame): DataFrame = {
+    import st._
+    val gated = frozenGate(med1)(featured(spark, batch))
+    val cand = MinHash.bandCandidates(sigs1,
+      gated.select(col("doc_id"), col("sh")))
+    val bsh = gated.select(col("doc_id").as("batch_id"),
+      col("sh").as("sh_b"), size(col("sh")).as("nb"))
+    val inter = size(array_intersect(col("sh_b"), col("sh_c")))
+    val matched = cand.join(bsh, "batch_id").join(repsSh, "corpus_id")
+      .select(col("batch_id"), inter.as("ni"),
+        (col("nb") + col("nc") - inter).as("nu"))
+      .filter(col("ni").cast(DoubleType) / col("nu") >= 0.5)
+      .select(col("batch_id")).distinct()
+    val novel = gated.join(matched,
+      gated("doc_id") === matched("batch_id"), "left_anti")
+    val train = novel.filter(pmod(col("doc_id"), lit(BenchMod)) =!= 0)
+    val hits = train.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    train.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .filter(size(col("sh")) === 0 ||
+        col("n_hit").cast(DoubleType) / size(col("sh")) < FlagRatio)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_ws"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_curated_packed_bins" -> (curatedPackedBins _),
     "c02_curation_funnel" -> (curationFunnel _),
     "c03_incremental_funnel" -> (incrementalCurationFunnel _),
-    "c04_training_shards" -> (trainingShards _))
+    "c04_training_shards" -> (trainingShards _),
+    "c05_streaming_admission" -> (streamingAdmission _))
 
   /** The shared oracle CTE chain — every stage replayed in DuckDB over
     * the same raw inputs: features, median gate, brute-force 0.5-Jaccard
@@ -363,9 +482,13 @@ object Curation {
     * incremental pass (frozen gate, store match, batch-local closure,
     * decontamination) — all from the same raw features CTE.
     */
-  private def c03OracleSql: String = {
+  /** The day-1-deployment + day-2-admission prefix shared by the c03
+    * and c05 oracles: features, frozen gate, day-1 closure and reps,
+    * gated batch, store match, ending in `novel` — the admitted
+    * pre-dedup set both queries build on. */
+  private def incrChainCtes: String = {
     val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString(",")
-    s"""WITH RECURSIVE w AS (SELECT doc_id, lang, source, text,
+    s"""w AS (SELECT doc_id, lang, source, text,
        |   string_split_regex(trim(text), '\\s+') AS words FROM documents),
        |raw AS MATERIALIZED (SELECT doc_id, lang, source,
        |   CAST(len(regexp_extract_all(text, '${TextAnalysis.tokenRegex}')) AS INTEGER) AS n_tokens,
@@ -402,7 +525,11 @@ object Curation {
        |matched AS (SELECT DISTINCT bid FROM jx
        |      WHERE CAST(ni AS DOUBLE) / (nb + nc - ni) >= 0.5),
        |novel AS MATERIALIZED (SELECT q2.* FROM q2
-       |      WHERE doc_id NOT IN (SELECT bid FROM matched)),
+       |      WHERE doc_id NOT IN (SELECT bid FROM matched))""".stripMargin
+  }
+
+  private def c03OracleSql: String = {
+    s"""WITH RECURSIVE $incrChainCtes,
        |psn AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_sh, unnest(sh) AS shingle FROM novel),
        |jn AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |        a.n_sh AS na, b.n_sh AS nb, CAST(COUNT(*) AS INTEGER) AS n_inter
@@ -442,6 +569,22 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "c03_incremental_funnel" -> c03OracleSql,
+    // the shared admission prefix, then the per-doc decontamination
+    // tail over `novel` directly (no batch-local dedup — see scaladoc)
+    "c05_streaming_admission" ->
+      s"""WITH RECURSIVE $incrChainCtes,
+         |bench5 AS (SELECT DISTINCT unnest(sh) AS shingle FROM raw
+         |           WHERE doc_id % $BenchMod = 0),
+         |p5 AS (SELECT doc_id, unnest(sh) AS shingle FROM novel
+         |       WHERE doc_id % $BenchMod <> 0),
+         |h5 AS (SELECT doc_id, COUNT(*) AS n_hit
+         |       FROM p5 JOIN bench5 USING (shingle) GROUP BY 1)
+         |SELECT novel.doc_id, novel.lang, novel.source, novel.n_ws
+         |FROM novel LEFT JOIN h5 USING (doc_id)
+         |WHERE novel.doc_id % $BenchMod <> 0
+         |  AND (len(novel.sh) = 0
+         |    OR CAST(COALESCE(h5.n_hit, 0) AS DOUBLE) / len(novel.sh) < $FlagRatio)
+         |ORDER BY doc_id""".stripMargin,
     "c04_training_shards" ->
       s"""WITH RECURSIVE $stageCtes,
          |${TextAnalysis.shardDealOracleTail("dec", "n_ws")}""".stripMargin,

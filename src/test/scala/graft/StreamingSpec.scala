@@ -622,4 +622,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == expected,
       s"split-dependent novelty: only-two-batch=${got.toSet -- expected} only-single=${expected -- got.toSet}")
   }
+
+  test("c05 admission is invariant under micro-batch splits (per-doc purity)") {
+    import org.apache.spark.sql.functions._
+    val arrivals = Tables.load(spark, sfDir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+    // two arbitrary halves through the frozen rules...
+    val lo = graft.operators.Curation
+      .admitBatch(spark, sfDir, arrivals.filter(col("doc_id") % 2 === 0))
+    val hi = graft.operators.Curation
+      .admitBatch(spark, sfDir, arrivals.filter(col("doc_id") % 2 === 1))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val twoBatch = ids(lo) ++ ids(hi)
+    // ...must admit exactly what the bounded stream replay admits
+    val streamed = ids(graft.operators.Curation.streamingAdmission(spark, sfDir))
+    assert(twoBatch == streamed,
+      s"split-dependent admission: only-two-batch=${twoBatch -- streamed} only-stream=${streamed -- twoBatch}")
+    assert(streamed.nonEmpty)
+  }
 }
