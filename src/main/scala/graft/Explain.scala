@@ -48,7 +48,7 @@ object Explain {
     "dq06_volume_anomaly", "c04_training_shards", "d25_containment_neardup",
     "t23_text_normalize", "d26_quality_canonical", "v17_ann_rebuilt",
     "s26_bucketed_join", "ml03_kmeans_elbow", "d27_drop_provenance",
-    "c05_streaming_admission")
+    "c05_streaming_admission", "e23_rolling_unique_users")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

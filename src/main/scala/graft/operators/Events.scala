@@ -550,6 +550,34 @@ object Events {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  // E: ROLLING DISTINCT users — WAU by day: for each observed day, the
+  // number of distinct users active in the trailing 7 days. Rolling
+  // DISTINCT cannot be a windowed sum of dailies (users overlap across
+  // days); the exact scalable shape is the bounded fan-out join: the
+  // corpus collapses to distinct (day, user) pairs ONCE, each pair
+  // fans out to the ≤ 7 window days it serves (explode over a
+  // 7-element sequence — an equi-joinable key, never a range/theta
+  // join), dedup, count. Work is 7 × |active pairs| regardless of
+  // event volume — at 100 TB the events table is touched once.
+  def rollingUniqueUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = eventsUs(spark, dir)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val grid = ud.select(col("day")).distinct()
+    val daily = ud.groupBy(col("day")).agg(count(lit(1)).as("n_unique_1d"))
+    val weekly = ud
+      .withColumn("wday", explode(expr("sequence(day, day + 6)")))
+      .select(col("wday"), col("user_id")).distinct()
+      .join(grid.withColumnRenamed("day", "wday"), "wday")
+      .groupBy(col("wday")).agg(count(lit(1)).as("n_unique_7d"))
+    daily.join(weekly, col("day") === col("wday"))
+      .select(
+        date_format(timestamp_micros(col("day") * 86400000000L),
+          "yyyy-MM-dd").as("day"),
+        col("n_unique_1d"), col("n_unique_7d"))
+      .orderBy(col("day"))
+  }
+
   // DQ: daily VOLUME anomaly report — the ingest-governance twin of
   // dq02's value outliers: per-day event counts compared against the
   // sum of the trailing seven OBSERVED days (rows, not calendar days —
@@ -647,6 +675,7 @@ object Events {
     "e19_transition_matrix" -> (transitionMatrix _),
     "dq02_outlier_report" -> (outlierReport _),
     "dq06_volume_anomaly" -> (volumeAnomalyReport _),
+    "e23_rolling_unique_users" -> (rollingUniqueUsers _),
     "e18_variant_props" -> (variantProps _),
     "e08_stream_enrich" -> (streamEnrich _),
     "e07_sliding_counts" -> (slidingCounts _),
@@ -807,6 +836,18 @@ object Events {
         | (n_prior = 7 AND n_events * 7 > trail_sum * 2) AS spike,
         | (n_prior = 7 AND n_events * 14 < trail_sum) AS drop
         |FROM t ORDER BY day""".stripMargin,
+    "e23_rolling_unique_users" ->
+      """WITH d AS (SELECT DISTINCT epoch_ns(ts) // 1000 // 86400000000 AS day, user_id
+        |  FROM events),
+        |g AS (SELECT DISTINCT day FROM d),
+        |x AS (SELECT DISTINCT day + o AS wday, user_id
+        |      FROM d, unnest(range(0, 7)) AS u(o)),
+        |w AS (SELECT wday, COUNT(*) AS n7 FROM x JOIN g ON g.day = x.wday GROUP BY 1),
+        |o1 AS (SELECT day, COUNT(*) AS n1 FROM d GROUP BY 1)
+        |SELECT strftime(make_timestamp(o1.day * 86400000000), '%Y-%m-%d') AS day,
+        | n1 AS n_unique_1d, CAST(n7 AS BIGINT) AS n_unique_7d
+        |FROM o1 JOIN w ON w.wday = o1.day
+        |ORDER BY day""".stripMargin,
     "e18_variant_props" ->
       """SELECT event_type,
         |  COUNT(DISTINCT k) AS n_distinct_k,

@@ -269,6 +269,23 @@ class GraphMlSpec extends SparkSpec {
     assert(rows(16)._1 == v14.getLong(1))
   }
 
+  test("e23 rolling distinct equals a per-day set-union recomputation") {
+    val pairs = Tables.load(spark, sfDir, "events")
+      .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
+        col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = pairs.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val out = graft.operators.Events.rollingUniqueUsers(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = java.time.LocalDate.parse(r.getString(0)).toEpochDay
+      val week = (d - 6 to d).flatMap(byDay.get).foldLeft(Set.empty[Long])(_ ++ _)
+      assert(r.getAs[Long]("n_unique_1d") == byDay(d).size)
+      assert(r.getAs[Long]("n_unique_7d") == week.size,
+        s"day ${r.getString(0)}: rolling union mismatch")
+    }
+  }
+
   test("ml02 confusion matrix partitions the corpus by true label") {
     val out = graft.operators.VectorSearch.centroidConfusion(spark, sfDir).cache()
     val nVecs = Tables.load(spark, sfDir, "embeddings").count()
