@@ -48,7 +48,8 @@ object Explain {
     "dq06_volume_anomaly", "c04_training_shards", "d25_containment_neardup",
     "t23_text_normalize", "d26_quality_canonical", "v17_ann_rebuilt",
     "s26_bucketed_join", "ml03_kmeans_elbow", "d27_drop_provenance",
-    "c05_streaming_admission", "e23_rolling_unique_users")
+    "c05_streaming_admission", "e23_rolling_unique_users",
+    "d28_containment_capped", "e24_stream_full_outer", "e25_stream_asymmetric")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -23,6 +23,16 @@ object Fs {
   def tmpTag(dir: String): String =
     s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
 
+  /** [[tmpTag]] plus a SparkSession-identity token — for scratch dirs
+    * whose contents back a SESSION-memoized lazy frame (c05's admitted
+    * batches, v16's served results). Keyed only by (dir, pid), a second
+    * SparkSession in the same JVM running the same query would rmTree
+    * and rewrite the path out from under the first session's cached
+    * frame; the identity token gives each session its own directory.
+    */
+  def sessionTag(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    s"${tmpTag(dir)}_s${Integer.toHexString(System.identityHashCode(spark))}"
+
   private val onceDone = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
   /** Run `body` at most once per JVM for `key` — the guard for

@@ -263,6 +263,80 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  // E: stream-stream FULL OUTER join as a GATED query — BOTH sides
+  // null-extend once the watermark proves no partner can arrive:
+  // purchases with no view in the preceding hour AND views that never
+  // preceded a purchase (the e21 story, symmetrized — per-side eviction
+  // under controlled micro-batches is pinned in StreamingSpec; this
+  // gates the bounded replay against the batch full-outer twin). The
+  // cutoff is e21's (min of both sides' maxima − 1 h delay − 1 h
+  // join-range margin) applied to WHICHEVER side a row carries:
+  // a matched row's v_t ≤ p_t, so filtering on coalesce(p_t, v_t) is
+  // the purchase time for matched/purchase-only rows and the view time
+  // for view-only rows — below it, every row has provably either
+  // matched on arrival or been evicted with its null extension. The
+  // filter must run AFTER the join (a view whose only match is a
+  // past-cutoff purchase is a MATCHED row that gets filtered, not an
+  // unmatched one), which the oracle replicates.
+  def streamFullOuterAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val sink = runAvailableNow(spark,
+      s => graft.streaming.StreamingOps
+        .viewPurchaseAttribution(eventsStream(s, dir), joinType = "fullOuter"),
+      s"e24_mem_${Integer.toHexString(dir.hashCode)}", "append")
+    val cut = eventsUs(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type")).agg(max(col("ts_us")).as("mx"))
+      .agg(min(col("mx")).as("m"))
+      .select((col("m") - 2L * 3600000000L).as("cutoff_us"))
+    sink.crossJoin(broadcast(cut))
+      .filter(coalesce(col("p_t"), col("v_t")) < timestamp_micros(col("cutoff_us")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("purchase_id").isNotNull && col("view_id").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("view_id").isNull, 1L).otherwise(0L)).as("n_purchase_only"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("n_view_only"))
+      .orderBy(col("user_id"))
+  }
+
+  /** e25's per-side lateness budgets (µs): views lag hours behind the
+    * on-time purchase feed — the CDN-log-vs-order-service deployment
+    * shape ([[graft.streaming.StreamingOps.viewPurchaseAttribution]]'s
+    * `viewWatermark`). */
+  private val ViewLatenessUs = 4L * 3600000000L
+  private val PurchaseLatenessUs = 3600000000L
+
+  // E: ASYMMETRIC watermarks as a GATED query — the lagging view side
+  // gets a 4 h budget while purchases keep 1 h, so the GLOBAL watermark
+  // (min across both operators) trails the view clock by 4 h, and a
+  // purchase can only be null-evicted once that slower watermark passes
+  // it. The left-outer rollup therefore uses the ASYMMETRIC cutoff
+  // min(max_v − 4 h, max_p − 1 h) − 1 h margin: had the engine applied
+  // the symmetric budget, purchases between the two cutoffs would have
+  // flushed too and the hash would differ — the gate pins the per-side
+  // eviction arithmetic, not just the join result (per-batch lateness
+  // drops are pinned in StreamingSpec's controlled-micro-batch case).
+  def streamAsymmetricAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val sink = runAvailableNow(spark,
+      s => graft.streaming.StreamingOps
+        .viewPurchaseAttribution(eventsStream(s, dir), joinType = "leftOuter",
+          viewWatermark = Some("4 hours")),
+      s"e25_mem_${Integer.toHexString(dir.hashCode)}", "append")
+    val cut = eventsUs(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(max(col("ts_us")).as("mx"))
+      .agg(min(when(col("event_type") === "view", col("mx") - ViewLatenessUs)
+        .otherwise(col("mx") - PurchaseLatenessUs)).as("m"))
+      .select((col("m") - 3600000000L).as("cutoff_us"))
+    sink.crossJoin(broadcast(cut))
+      .filter(col("p_t") < timestamp_micros(col("cutoff_us")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"), count(col("view_id")).as("n_matched"))
+      .withColumn("n_unmatched", col("n_rows") - col("n_matched"))
+      .orderBy(col("user_id"))
+  }
+
   // E: CHAINED stateful streaming — windowed aggregation downstream of
   // the watermarked stream-stream join (multiple stateful operators in
   // one query). Append mode emits a window only once the global
@@ -695,7 +769,9 @@ object Events {
     "e17_stream_session" -> (streamSessionWindows _),
     "e20_stream_dedup" -> (streamDedup _),
     "e21_stream_left_outer" -> (streamLeftOuterAttribution _),
-    "e22_stream_running_totals" -> (streamRunningTotals _))
+    "e22_stream_running_totals" -> (streamRunningTotals _),
+    "e24_stream_full_outer" -> (streamFullOuterAttribution _),
+    "e25_stream_asymmetric" -> (streamAsymmetricAttribution _))
 
   val oracles: Map[String, String] = Map(
     // what the committed sink files must aggregate to: the batch twin
@@ -887,6 +963,40 @@ object Events {
         |v AS (SELECT user_id, event_id AS view_id, tus AS v_us FROM e WHERE event_type = 'view'),
         |p AS (SELECT user_id, event_id AS purchase_id, tus AS p_us FROM e WHERE event_type = 'purchase'),
         |wm AS (SELECT least((SELECT MAX(v_us) FROM v), (SELECT MAX(p_us) FROM p)) - 7200000000 AS cutoff),
+        |pp AS (SELECT p.* FROM p, wm WHERE p_us < cutoff),
+        |j AS (SELECT pp.user_id, pp.purchase_id, v.view_id
+        |      FROM pp LEFT JOIN v ON pp.user_id = v.user_id
+        |        AND v.v_us <= pp.p_us AND v.v_us >= pp.p_us - 3600000000)
+        |SELECT user_id, COUNT(*) AS n_rows, COUNT(view_id) AS n_matched,
+        |  COUNT(*) - COUNT(view_id) AS n_unmatched
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // batch FULL OUTER interval join under the coalesced below-watermark
+    // cutoff (see streamFullOuterAttribution scaladoc — the cutoff runs
+    // AFTER the join, on whichever side a row carries)
+    "e24_stream_full_outer" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, tus AS v_us FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, tus AS p_us FROM e WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT MAX(v_us) FROM v), (SELECT MAX(p_us) FROM p)) - 7200000000 AS cutoff),
+        |j AS (SELECT COALESCE(p.user_id, v.user_id) AS user_id, purchase_id, view_id,
+        |        COALESCE(p_us, v_us) AS eff_us
+        |      FROM p FULL JOIN v ON p.user_id = v.user_id
+        |        AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 3600000000)
+        |SELECT user_id, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN purchase_id IS NOT NULL AND view_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(SUM(CASE WHEN view_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_only,
+        |  CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_only
+        |FROM j, wm WHERE eff_us < cutoff
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // e21's rollup under the ASYMMETRIC cutoff: the view side's 4 h
+    // budget drags the global watermark, so fewer purchases have
+    // provably flushed — min(max_v − 4 h, max_p − 1 h) − 1 h margin
+    "e25_stream_asymmetric" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, tus AS v_us FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, tus AS p_us FROM e WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT MAX(v_us) FROM v) - 14400000000,
+        |                    (SELECT MAX(p_us) FROM p) - 3600000000) - 3600000000 AS cutoff),
         |pp AS (SELECT p.* FROM p, wm WHERE p_us < cutoff),
         |j AS (SELECT pp.user_id, pp.purchase_id, v.view_id
         |      FROM pp LEFT JOIN v ON pp.user_id = v.user_id

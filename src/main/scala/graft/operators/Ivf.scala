@@ -367,7 +367,7 @@ object Ivf {
       val stream = spark.readStream.schema(schema).option("basePath", dir)
         .parquet(s"$embPath*")
         .filter(col("vec_id") < 10)
-      val outBase = s"${sys.props("java.io.tmpdir")}/graft_v16_${graft.Fs.tmpTag(dir)}"
+      val outBase = s"${sys.props("java.io.tmpdir")}/graft_v16_${graft.Fs.sessionTag(spark, dir)}"
       graft.Fs.rmTree(new java.io.File(outBase))
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -386,10 +386,53 @@ object TextAnalysis {
   // an equi-join on shingle), pair stats aggregated once, both measures
   // emitted so the report shows exactly which pairs Jaccard would have
   // missed.
-  def containmentNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val d = shingledDocs(spark, dir).withColumn("n_sh", size(col("sh")))
-    val posts = d.select(col("lang"), col("doc_id"), col("n_sh"),
+  //
+  // Scale bound, uncapped (the d02/d08 pairing): the self-join costs
+  // Σ_shingle df² rows — one hot shingle (boilerplate) with df = 10⁶ is
+  // 10¹² join rows, and the small-doc-embedded-in-big-doc regime
+  // containment TARGETS is exactly where hot shingles arise (the quoted
+  // fragment IS a high-df shingle run). d25 stays uncapped as the exact
+  // baseline; d28 is the df-capped production variant ([[containment]]
+  // becomes a LOWER bound — n_inter drops capped postings, n_small
+  // keeps the full set size — so a flagged pair is still a real
+  // containment hit at a possibly higher true score).
+  def containmentNearDup(spark: SparkSession, dir: String): DataFrame =
+    containmentFromShingled(shingledDocs(spark, dir), dfCap = None)
+
+  /** d28's hot-shingle document-frequency cap — deliberately TIGHTER
+    * than [[JaccardDfCap]]: containment-surviving pairs (≥ 0.5) share
+    * mostly pair-exclusive shingles, so df ≤ 4 never changes a
+    * surviving intersection at the gate scales and the oracle would
+    * only prove the cap is a no-op. At df ≤ 3 the capped n_inter
+    * differs from the uncapped one on surviving pairs at sf0.001,
+    * sf0.01, AND sf0.1 while every scale still emits rows — the gate
+    * verifies the lower-bound semantics, not an identity. */
+  val ContainmentDfCap = 3
+
+  def containmentNearDupCapped(spark: SparkSession, dir: String): DataFrame =
+    containmentFromShingled(shingledDocs(spark, dir), dfCap = Some(ContainmentDfCap))
+
+  /** Shared containment core — the capped-postings pattern of
+    * [[jaccardFromShingled]] applied to the asymmetric measure: with
+    * `dfCap = Some(c)`, postings with per-lang df > c are dropped via a
+    * broadcast anti-join BEFORE the self-join (df from a map-side-
+    * combining hash agg, never a window), bounding the join at c·|posts|
+    * rows while n_small/n_union keep the FULL set sizes.
+    */
+  private def containmentFromShingled(
+      shingled: DataFrame, dfCap: Option[Int]): DataFrame = {
+    val d = shingled.withColumn("n_sh", size(col("sh")))
+    val all = d.select(col("lang"), col("doc_id"), col("n_sh"),
       explode(col("sh")).as("shingle"))
+    val posts = dfCap match {
+      case None => all
+      case Some(cap) =>
+        val hot = all.groupBy(col("lang"), col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap)
+          .select(col("lang"), col("shingle"))
+        all.join(broadcast(hot), Seq("lang", "shingle"), "left_anti")
+    }
     posts.as("a").join(posts.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1426,6 +1469,7 @@ object TextAnalysis {
     "d02_ngram_jaccard" -> (ngramJaccard _),
     "d08_ngram_jaccard_capped" -> (ngramJaccardCapped _),
     "d25_containment_neardup" -> (containmentNearDup _),
+    "d28_containment_capped" -> (containmentNearDupCapped _),
     "t23_text_normalize" -> (normalizeText _),
     "d09_simhash_text" -> (simhashNearDup _),
     "m01_binary_meta" -> (binaryMeta _))
@@ -1780,6 +1824,27 @@ object TextAnalysis {
          |  CAST(n_inter AS DOUBLE) / n_small AS containment,
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
          |FROM p WHERE CAST(n_inter AS DOUBLE) / n_small >= $ContainmentMin""".stripMargin,
+    // the d08 capped-postings pattern on the asymmetric measure: df-capped
+    // intersection, FULL set sizes for n_small/n_union
+    "d28_containment_capped" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |   string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+         |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+         |p AS (SELECT doc_id, lang, CAST(len(sh) AS INTEGER) AS n_sh, unnest(sh) AS shingle FROM s),
+         |k AS (SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY lang, shingle) AS df FROM p)
+         |      WHERE df <= $ContainmentDfCap),
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         |        CAST(COUNT(*) AS INTEGER) AS n_inter
+         |      FROM k a JOIN k b ON a.shingle = b.shingle AND a.lang = b.lang
+         |        AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, n_inter,
+         |  CAST(least(na, nb) AS INTEGER) AS n_small,
+         |  CAST(n_inter AS DOUBLE) / least(na, nb) AS containment,
+         |  CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+         |FROM j WHERE CAST(n_inter AS DOUBLE) / least(na, nb) >= $ContainmentMin""".stripMargin,
     "t23_text_normalize" ->
       s"""WITH s AS (SELECT doc_id,
          |   text || ' ' || chr(7) || CAST(doc_id AS VARCHAR)

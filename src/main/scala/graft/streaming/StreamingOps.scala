@@ -134,12 +134,20 @@ object StreamingOps {
     val purchases = base.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("t").as("p_t"))
       .withWatermark("p_t", watermark)
-    purchases.join(views,
+    val joined = purchases.join(views,
       col("p_user") === col("v_user") &&
         col("v_t") <= col("p_t") &&
         col("v_t") >= col("p_t") - expr("INTERVAL 1 HOUR"),
       joinType)
-      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"), col("p_t"))
+    // fullOuter null-extends BOTH sides, so the purchase-side columns
+    // alone can't carry the row identity: coalesce the user and keep
+    // both event times (a view-only row has null p_t — downstream
+    // cutoffs must look at whichever side exists)
+    if (joinType == "fullOuter")
+      joined.select(coalesce(col("p_user"), col("v_user")).as("user_id"),
+        col("purchase_id"), col("view_id"), col("p_t"), col("v_t"))
+    else
+      joined.select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"), col("p_t"))
   }
 
   /** Chained stateful operators: hourly counts of attributed purchases

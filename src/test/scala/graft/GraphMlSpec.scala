@@ -92,7 +92,7 @@ class GraphMlSpec extends SparkSpec {
       if s1 != s2; w = (p1 & p2).size if w > 0
     } yield (s1, s2, w))
     val topk = co.groupBy(_._1).values.flatMap(
-      _.sortBy(e => (-e._3, e._2)).take(3)).map(e => (e._1, e._2)).toSet
+      _.sortBy(e => (-e._3, e._2)).take(Graph.PartnerK)).map(e => (e._1, e._2)).toSet
     val mutual = topk.filter { case (a, b) => a < b && topk.contains((b, a)) }
     val deg = (mutual.toSeq.map(_._1) ++ mutual.toSeq.map(_._2))
       .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
@@ -123,7 +123,7 @@ class GraphMlSpec extends SparkSpec {
       if s1 != s2; w = (p1 & p2).size if w > 0
     } yield (s1, s2, w)
     val topk = co.groupBy(_._1).values.flatMap(
-      _.sortBy(e => (-e._3, e._2)).take(3)).map(e => (e._1, e._2)).toSet
+      _.sortBy(e => (-e._3, e._2)).take(Graph.PartnerK)).map(e => (e._1, e._2)).toSet
     var edges = topk.filter { case (a, b) => a < b && topk.contains((b, a)) }
 
     // peel to the TRUE fixpoint (unbounded) per k — if the operator's

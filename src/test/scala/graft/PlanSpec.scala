@@ -446,23 +446,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("g01 pagerank round: scores broadcast, edges never reshuffled") {
+  test("g01 pagerank round: co-partitioned shuffle join — no score broadcast, no edge exchange") {
     // assert on ONE round's plan — the loop result is lineage-cut by
-    // localCheckpoint, so the returned frame shows only the final scan
+    // localCheckpoint, so the returned frame shows only the final scan.
+    // The contract (Graph.round scaladoc): scores are node-cardinality,
+    // so a broadcast is an OOM at 10⁸ nodes; the persisted edge frame
+    // is hash-partitioned by src once and must join with ZERO per-round
+    // exchange on its side.
     val e = graft.operators.Graph.edgesFor(spark, sfDir)
     val scores = e.select(col("src").as("node")).distinct()
       .withColumn("score", org.apache.spark.sql.functions.lit(1000000L))
     // node-level assertions: toString would also print the cached edge
     // BUILD subtree (inside InMemoryRelation), which is allowed to
     // sort-merge once — collect() does not recurse into it
-    val nodes = allNodes(graft.operators.Graph.round(e, scores, 1L)
-      .queryExecution.executedPlan)
-    assert(nodes.exists(_.isInstanceOf[
+    val plan = graft.operators.Graph.round(e, scores, 1L)
+      .queryExecution.executedPlan
+    val nodes = allNodes(plan)
+    assert(!nodes.exists(_.isInstanceOf[
       org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
       nodes.map(_.nodeName).mkString(", "))
     assert(!nodes.exists(_.isInstanceOf[
-      org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
       nodes.map(_.nodeName).mkString(", "))
+    val join = nodes.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(join.isDefined, s"no shuffled hash join: ${nodes.map(_.nodeName).mkString(", ")}")
+    // the edge side (the subtree scanning the persisted frame, whose
+    // non-adaptive cached plan pins HashPartitioning(src)) moves no
+    // data; the score side is allowed its single co-partitioning
+    // exchange
+    val edgeSides = join.get.children.filter(c => allNodes(c).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]))
+    assert(edgeSides.nonEmpty, "no cached edge scan under the join")
+    for (s <- edgeSides)
+      assert(!allNodes(s).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+        s"edge side reshuffled:\n$s")
   }
 
   test("v13 tombstoned probe keeps cid partition pruning and anti-joins broadcast tombstones") {
