@@ -112,6 +112,18 @@ object Graph {
       .agg(sum(col("contrib")).as("c"))
       .select(col("dst").as("node"), (col("c") + tele).as("score"))
 
+  /** One BFS relaxation round: edges ⋈ frontier on src → hash-agg min
+    * on dst. Frontier is |changed-last-round| ≤ |V| rows — the same
+    * co-partitioned shuffle join as the pagerank [[round]] (edge side
+    * pre-partitioned by src, zero per-round edge exchange), never a
+    * node-cardinality broadcast: early BFS rounds on a small-diameter
+    * graph carry most of the node set in the frontier. Package-visible
+    * so PlanSpec pins the shape.
+    */
+  private[graft] def relaxRound(e: DataFrame, frontier: DataFrame): DataFrame =
+    e.join(frontier.hint("shuffle_hash"), col("src") === col("node"))
+      .groupBy(col("dst")).agg(min(col("d") + 1L).as("nd"))
+
   /** Test seam: the persisted edge frame for `dir`. */
   private[graft] def edgesFor(spark: SparkSession, dir: String): DataFrame =
     tradeEdges(spark, dir)
@@ -140,13 +152,7 @@ object Graph {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {
-      // frontier is |changed-last-round| ≤ |V| rows — same co-partitioned
-      // shuffle join as the pagerank round (edge side pre-partitioned by
-      // src, zero per-round edge exchange), never a node-cardinality
-      // broadcast: early BFS rounds on a small-diameter graph carry
-      // most of the node set in the frontier.
-      val relaxed = e.join(frontier.hint("shuffle_hash"), col("src") === col("node"))
-        .groupBy(col("dst")).agg(min(col("d") + 1L).as("nd"))
+      val relaxed = relaxRound(e, frontier)
       val merged = dist.join(relaxed, col("node") === col("dst"), "left")
         .select(col("node"),
           least(col("d"), coalesce(col("nd"), lit(Long.MaxValue))).as("d"),

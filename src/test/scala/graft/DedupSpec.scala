@@ -50,6 +50,25 @@ class DedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("d28 df cap is a lower bound on d25: capped intersections shrink, survivors are a subset") {
+    import org.apache.spark.sql.functions._
+    val uncapped = TextAnalysis.containmentNearDup(spark, sfDir)
+      .select(col("id_a"), col("id_b"), col("n_inter").as("ni_u")).cache()
+    val capped = TextAnalysis.containmentNearDupCapped(spark, sfDir)
+      .select(col("id_a"), col("id_b"), col("n_inter").as("ni_c")).cache()
+    assert(capped.count() > 0)
+    // capped survivors ⊆ uncapped survivors (dropping postings can only
+    // lower containment, and n_small keeps the full set size)
+    assert(capped.join(uncapped, Seq("id_a", "id_b"), "left_anti").count() == 0)
+    // per shared pair, the capped intersection never exceeds the exact one
+    val joined = capped.join(uncapped, Seq("id_a", "id_b"))
+    assert(joined.filter(col("ni_c") > col("ni_u")).count() == 0)
+    // and the cap is not a no-op at test scale: some intersection shrank
+    assert(joined.filter(col("ni_c") < col("ni_u")).count() > 0,
+      "ContainmentDfCap dropped no postings — gate would verify an identity")
+    uncapped.unpersist(); capped.unpersist()
+  }
+
   test("d26 canonical is the longest member of each d10 cluster") {
     import org.apache.spark.sql.functions._
     val toks = Tables.load(spark, sfDir, "documents")

@@ -485,6 +485,33 @@ class PlanSpec extends SparkSpec {
         s"edge side reshuffled:\n$s")
   }
 
+  test("g02 BFS relax round: frontier never broadcast, edges never reshuffled") {
+    // same contract as the g01 round: the frontier is worst-case
+    // node-cardinality (early rounds of a small-diameter graph), so it
+    // must arrive via a co-partitioned shuffle, and the pre-partitioned
+    // edge side must add zero exchange
+    val e = graft.operators.Graph.edgesFor(spark, sfDir)
+      .select(col("src"), col("dst"))
+    val frontier = e.select(col("src").as("node")).distinct()
+      .withColumn("d", org.apache.spark.sql.functions.lit(0L))
+    val nodes = allNodes(graft.operators.Graph.relaxRound(e, frontier)
+      .queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      nodes.map(_.nodeName).mkString(", "))
+    val join = nodes.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(join.isDefined, s"no shuffled hash join: ${nodes.map(_.nodeName).mkString(", ")}")
+    val edgeSides = join.get.children.filter(c => allNodes(c).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]))
+    assert(edgeSides.nonEmpty, "no cached edge scan under the join")
+    for (s <- edgeSides)
+      assert(!allNodes(s).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+        s"edge side reshuffled:\n$s")
+  }
+
   test("v13 tombstoned probe keeps cid partition pruning and anti-joins broadcast tombstones") {
     val df = graft.operators.Ivf.annTopKIvfTombstoned(spark, sfDir)
     df.collect()
