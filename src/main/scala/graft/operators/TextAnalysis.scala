@@ -449,6 +449,37 @@ object TextAnalysis {
           (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
   }
 
+  // D: dedup-method OVERLAP matrix — which near-dup detector finds
+  // what: the pair sets of the three text detectors (exact n-gram
+  // Jaccard ≥ 0.5, containment ≥ [[ContainmentMin]], SimHash Hamming ≤
+  // 3) full-outer-joined on (id_a, id_b) and rolled up into the 2³
+  // membership combinations. This is the tuning artifact a dedup
+  // operator reads before picking thresholds at 100 TB: pairs only
+  // SimHash finds are word-frequency twins with disjoint shingles,
+  // pairs only containment finds are small-doc-in-big-doc embeds, and
+  // the all-three core is the safe-to-drop set. Each input is the
+  // detector's own bounded pipeline (banded/inverted-index equi-joins
+  // — nothing all-pairs is added here); the overlap itself is two
+  // equi-joins on pair ids. The oracle replays all three detectors and
+  // the same full-outer rollup in one CTE chain.
+  def dedupMethodOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val j = ngramJaccard(spark, dir).filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), lit(true).as("in_j"))
+    val c = containmentNearDup(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(true).as("in_c"))
+    val s = simhashNearDup(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(true).as("in_s"))
+    j.join(c, Seq("id_a", "id_b"), "full")
+      .join(s, Seq("id_a", "id_b"), "full")
+      .select(
+        coalesce(col("in_j"), lit(false)).as("in_jaccard"),
+        coalesce(col("in_c"), lit(false)).as("in_containment"),
+        coalesce(col("in_s"), lit(false)).as("in_simhash"))
+      .groupBy(col("in_jaccard"), col("in_containment"), col("in_simhash"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("in_jaccard"), col("in_containment"), col("in_simhash"))
+  }
+
   // ---- D: SimHash near-dup over text ----------------------------------
   // 60-bit majority signature over each document's DISTINCT word set:
   // word hash = first 15 hex chars of md5 (a pure function both engines
@@ -580,7 +611,12 @@ object TextAnalysis {
        |  CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token
        |FROM a""".stripMargin
 
-  private val simhashOracleSql: String = {
+  /** The d09 SimHash pair chain as prefixed CTEs ending in
+    * `<p>pairs (id_a, id_b, hamming)` — shared by the d09 oracle and
+    * d29's method-overlap oracle so the two gates replay the SAME
+    * detector (hash slice, vote rule, banding, Hamming cut).
+    */
+  private def simhashPairCtes(p: String): String = {
     val voteCols = (0 until SimHashBits)
       .map(b => s"SUM((h >> $b) & 1) AS c$b").mkString(",\n   ")
     val sigExpr = (0 until SimHashBits)
@@ -588,21 +624,25 @@ object TextAnalysis {
       .mkString(" + ")
     val bandIdx = (0 until SimHashBands).mkString("[", ",", "]")
     val mask = (1L << SimHashBandBits) - 1
-    s"""WITH w AS (SELECT doc_id,
+    s"""${p}w AS (SELECT doc_id,
        |   unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS word
        | FROM documents),
-       |h AS (SELECT doc_id, CAST(('0x' || substring(md5(word), 1, 15)) AS BIGINT) AS h FROM w),
-       |c AS (SELECT doc_id, COUNT(*) AS n,
+       |${p}h AS (SELECT doc_id, CAST(('0x' || substring(md5(word), 1, 15)) AS BIGINT) AS h FROM ${p}w),
+       |${p}c AS (SELECT doc_id, COUNT(*) AS n,
        |   $voteCols
-       | FROM h GROUP BY doc_id),
-       |s AS (SELECT doc_id, $sigExpr AS sig FROM c),
-       |b AS (SELECT doc_id, sig, i AS bi, (sig >> (i * $SimHashBandBits)) & $mask AS k
-       |      FROM s, unnest($bandIdx) AS u(i)),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, a.sig AS sa, b2.sig AS sb
-       |         FROM b a JOIN b b2 ON a.bi = b2.bi AND a.k = b2.k AND a.doc_id < b2.doc_id)
-       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-       |FROM cand WHERE bit_count(xor(sa, sb)) <= $SimHashMaxHamming""".stripMargin
+       | FROM ${p}h GROUP BY doc_id),
+       |${p}s AS (SELECT doc_id, $sigExpr AS sig FROM ${p}c),
+       |${p}b AS (SELECT doc_id, sig, i AS bi, (sig >> (i * $SimHashBandBits)) & $mask AS k
+       |      FROM ${p}s, unnest($bandIdx) AS u(i)),
+       |${p}cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, a.sig AS sa, b2.sig AS sb
+       |         FROM ${p}b a JOIN ${p}b b2 ON a.bi = b2.bi AND a.k = b2.k AND a.doc_id < b2.doc_id),
+       |${p}pairs AS (SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |         FROM ${p}cand WHERE bit_count(xor(sa, sb)) <= $SimHashMaxHamming)""".stripMargin
   }
+
+  private val simhashOracleSql: String =
+    s"""WITH ${simhashPairCtes("")}
+       |SELECT id_a, id_b, hamming FROM pairs""".stripMargin
 
   // ---- T: PII redaction -----------------------------------------------
   // Scrub emails / phone numbers / IPv4 addresses before training — a
@@ -1050,6 +1090,43 @@ object TextAnalysis {
       .orderBy(col("bin_id"))
   }
 
+  /** k04's candidate context lengths (tokens per training sequence).
+    * The grid straddles the gate corpus's length distribution (~54
+    * whitespace tokens median) so BOTH waste modes are non-zero and the
+    * oracle verifies truncation AND padding arithmetic — a grid of
+    * production-sized lengths would pad-only on synthetic docs and gate
+    * half the operator. */
+  private val ContextLengths = Seq(16L, 32L, 64L, 128L, 1024L)
+
+  // K: CONTEXT-LENGTH waste sweep — for each candidate sequence length
+  // L, the one-doc-per-sequence dataloader cost: a doc longer than L
+  // loses (n − L) tokens to truncation, a shorter one pays (L − n)
+  // padding; per L the report totals kept/truncated/padding tokens and
+  // the utilization kept/(n_docs·L), so the training context length is
+  // chosen from the corpus's own length distribution instead of
+  // folklore (the concat-and-cut alternative k03 wastes nothing but
+  // pays cross-doc attention leakage — this report quantifies the
+  // other side of that trade). One corpus scan; the candidate fan-out
+  // is a bounded 5-element explode; the aggregate is a map-side-
+  // combining hash agg on L. Utilization is ONE bigint division —
+  // IEEE-identical in both engines.
+  def contextWasteSweep(spark: SparkSession, dir: String): DataFrame = {
+    val counted = docs(spark, dir)
+      .select(col("doc_id"), size(wordsOf(col("text"))).cast(LongType).as("n"))
+    counted
+      .withColumn("ctx_len", explode(array(ContextLengths.map(lit): _*)))
+      .groupBy(col("ctx_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(least(col("n"), col("ctx_len"))).as("kept_tokens"),
+        sum(greatest(col("n") - col("ctx_len"), lit(0L))).as("truncated_tokens"),
+        sum(greatest(col("ctx_len") - col("n"), lit(0L))).as("padding_tokens"))
+      .withColumn("utilization",
+        col("kept_tokens").cast(DoubleType) / (col("n_docs") * col("ctx_len")))
+      .orderBy(col("ctx_len"))
+  }
+
   /** Training shard count for k02. */
   private[operators] val Shards = 8
 
@@ -1470,6 +1547,8 @@ object TextAnalysis {
     "d08_ngram_jaccard_capped" -> (ngramJaccardCapped _),
     "d25_containment_neardup" -> (containmentNearDup _),
     "d28_containment_capped" -> (containmentNearDupCapped _),
+    "d29_method_overlap" -> (dedupMethodOverlap _),
+    "k04_context_waste" -> (contextWasteSweep _),
     "t23_text_normalize" -> (normalizeText _),
     "d09_simhash_text" -> (simhashNearDup _),
     "m01_binary_meta" -> (binaryMeta _))
@@ -1865,6 +1944,46 @@ object TextAnalysis {
          | md5(norm) AS fp
          |FROM n""".stripMargin,
     "d09_simhash_text" -> simhashOracleSql,
+    // all three detectors replayed in one chain; the brute-force pair
+    // stats CTE feeds both the Jaccard and containment cuts, so it is
+    // MATERIALIZED (DuckDB re-inlines multiply-referenced CTEs)
+    "d29_method_overlap" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |   string_split_regex(trim(text), '\\s+') AS words FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |   list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+         |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+         |p AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_inter,
+         |   CAST(least(len(a.sh), len(b.sh)) AS INTEGER) AS n_small,
+         |   CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_union
+         | FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+         |jp AS (SELECT id_a, id_b FROM p WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |cp AS (SELECT id_a, id_b FROM p WHERE CAST(n_inter AS DOUBLE) / n_small >= $ContainmentMin),
+         |${simhashPairCtes("sx")},
+         |jc AS (SELECT COALESCE(jp.id_a, cp.id_a) AS id_a, COALESCE(jp.id_b, cp.id_b) AS id_b,
+         |        jp.id_a IS NOT NULL AS in_j, cp.id_a IS NOT NULL AS in_c
+         |       FROM jp FULL JOIN cp ON jp.id_a = cp.id_a AND jp.id_b = cp.id_b),
+         |al AS (SELECT COALESCE(jc.in_j, FALSE) AS in_jaccard,
+         |        COALESCE(jc.in_c, FALSE) AS in_containment,
+         |        sxpairs.id_a IS NOT NULL AS in_simhash
+         |       FROM jc FULL JOIN sxpairs
+         |         ON jc.id_a = sxpairs.id_a AND jc.id_b = sxpairs.id_b)
+         |SELECT in_jaccard, in_containment, in_simhash, COUNT(*) AS n_pairs
+         |FROM al GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "k04_context_waste" ->
+      """WITH t AS (SELECT doc_id,
+        |   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        | FROM documents),
+        |x AS (SELECT n, CAST(L AS BIGINT) AS ctx_len
+        |      FROM t, unnest([16, 32, 64, 128, 1024]) AS u(L))
+        |SELECT ctx_len, COUNT(*) AS n_docs,
+        | CAST(SUM(n) AS BIGINT) AS total_tokens,
+        | CAST(SUM(least(n, ctx_len)) AS BIGINT) AS kept_tokens,
+        | CAST(SUM(greatest(n - ctx_len, 0)) AS BIGINT) AS truncated_tokens,
+        | CAST(SUM(greatest(ctx_len - n, 0)) AS BIGINT) AS padding_tokens,
+        | CAST(SUM(least(n, ctx_len)) AS DOUBLE) / (COUNT(*) * ctx_len) AS utilization
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     // the cap is replicated exactly: postings whose per-lang shingle df
     // exceeds the cap are dropped from the intersection; set sizes stay full
     "d08_ngram_jaccard_capped" ->
