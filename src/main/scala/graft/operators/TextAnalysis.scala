@@ -1127,6 +1127,41 @@ object TextAnalysis {
       .orderBy(col("ctx_len"))
   }
 
+  /** k05's sample rate, in per-mille (100 = 10%). */
+  private val SampleRatePerMille = 100L
+
+  // K: EXACT-allocation stratified sample — an exact, reproducible 10%
+  // carve-out per source (held-out eval split, ablation subset): docs
+  // are ranked per source by (md5(doc_id), doc_id) — the k02
+  // content-independent permutation, stable across runs and input file
+  // order — and the first ceil(n_source · rate) are taken. EXACT
+  // per-stratum allocation is what distinguishes this from t07's
+  // hash-THRESHOLD sampling ([[stratifiedSample]]): the threshold
+  // filter is windowless but binomially distributed, so a small
+  // stratum can land far off its quota; the exact variant hits the
+  // quota to the document at the cost of one window PER SOURCE
+  // (parallel across sources, and within one giant source this becomes
+  // the k02 scalable-rank shape if ever needed). The ceil is integer
+  // arithmetic — (n·rate + 999) div 1000 — and the id-sum checksum
+  // pins exact sample membership, not just its size.
+  def exactStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(spark, dir).select(col("doc_id"), col("source"),
+      md5(col("doc_id").cast(StringType).cast(BinaryType)).as("h"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val counts = keyed.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    keyed.withColumn("rk", row_number().over(w).cast(LongType))
+      .join(broadcast(counts), "source")
+      // `div`, not `/`: slash on longs is double division in Spark
+      .filter(col("rk") <= expr(s"(n_docs * $SampleRatePerMille + 999) div 1000"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_sampled"),
+        sum(col("doc_id")).as("id_checksum"),
+        min(col("h")).as("first_hash"))
+      .orderBy(col("source"))
+  }
+
   /** Training shard count for k02. */
   private[operators] val Shards = 8
 
@@ -1549,6 +1584,7 @@ object TextAnalysis {
     "d28_containment_capped" -> (containmentNearDupCapped _),
     "d29_method_overlap" -> (dedupMethodOverlap _),
     "k04_context_waste" -> (contextWasteSweep _),
+    "k05_stratified_sample" -> (exactStratifiedSample _),
     "t23_text_normalize" -> (normalizeText _),
     "d09_simhash_text" -> (simhashNearDup _),
     "m01_binary_meta" -> (binaryMeta _))
@@ -1984,6 +2020,16 @@ object TextAnalysis {
         | CAST(SUM(greatest(ctx_len - n, 0)) AS BIGINT) AS padding_tokens,
         | CAST(SUM(least(n, ctx_len)) AS DOUBLE) / (COUNT(*) * ctx_len) AS utilization
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k05_stratified_sample" ->
+      s"""WITH k AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |r AS (SELECT doc_id, source, h,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk,
+         |   CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+         | FROM k)
+         |SELECT source, MAX(n_docs) AS n_docs, COUNT(*) AS n_sampled,
+         | CAST(SUM(doc_id) AS BIGINT) AS id_checksum, MIN(h) AS first_hash
+         |FROM r WHERE rk <= (n_docs * $SampleRatePerMille + 999) // 1000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the cap is replicated exactly: postings whose per-lang shingle df
     // exceeds the cap are dropped from the intersection; set sizes stay full
     "d08_ngram_jaccard_capped" ->
