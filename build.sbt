@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to stdout — without this, sbt's logger
+// prefixes every stdout line with "[info] ", which breaks any consumer
+// that parses the harness mains' single-line JSON artifacts (the
+// round-8 bench line was whole in the capture but unparseable because
+// of the prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -23,15 +23,52 @@ object Fs {
   def tmpTag(dir: String): String =
     s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
 
+  /** Monotonic per-JVM token per SparkSession — identityHashCode is NOT
+    * guaranteed unique across sessions (round-8 advice), a counter is.
+    * Weak keys: a token entry must not pin a stopped session; the
+    * counter never repeats, so a key collected and re-inserted still
+    * gets a fresh, unique token.
+    */
+  private val sessionTokens =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]()
+  private val sessionCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** [[tmpTag]] plus a SparkSession-identity token — for scratch dirs
     * whose contents back a SESSION-memoized lazy frame (c05's admitted
     * batches, v16's served results). Keyed only by (dir, pid), a second
     * SparkSession in the same JVM running the same query would rmTree
     * and rewrite the path out from under the first session's cached
-    * frame; the identity token gives each session its own directory.
+    * frame; the per-session token gives each session its own directory.
     */
-  def sessionTag(spark: org.apache.spark.sql.SparkSession, dir: String): String =
-    s"${tmpTag(dir)}_s${Integer.toHexString(System.identityHashCode(spark))}"
+  def sessionTag(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tok = sessionTokens.synchronized {
+      Option(sessionTokens.get(spark)).getOrElse {
+        val t = s"${sessionCounter.incrementAndGet()}"
+        sessionTokens.put(spark, t); t
+      }
+    }
+    s"${tmpTag(dir)}_s$tok"
+  }
+
+  /** Best-effort cleanup of STALE sibling scratch dirs under java.io.tmpdir:
+    * entries starting with `namePrefix` whose embedded `_p<pid>` names a
+    * process that is no longer alive. Dirs of live pids (a concurrent
+    * Bench/Verify, or this JVM) are never touched — this bounds the
+    * accumulation the per-session tokens would otherwise cause, without
+    * reintroducing the rmTree-under-cached-frame race.
+    */
+  def sweepStaleScratch(namePrefix: String): Unit = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val pidRe = ".*_p(\\d+)(_.*)?$".r
+    Option(tmp.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith(namePrefix)) f.getName match {
+        case pidRe(pid, _) =>
+          val alive = ProcessHandle.of(pid.toLong)
+          if (!alive.isPresent || !alive.get.isAlive) rmTree(f)
+        case _ => ()
+      }
+    })
+  }
 
   private val onceDone = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 

@@ -1,0 +1,46 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query perf probe (builder-side diagnostic, not a
+  * driver artifact): times named queries in-process with the exact
+  * Bench session config and prints wall + process-CPU per repetition,
+  * so a plan/parallelism fix can be measured without a full bench run.
+  *
+  *   runMain graft.Perf <sfDir> <name>[,<name>...] [reps] [--explain]
+  */
+object Perf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val reps = args.drop(2).filterNot(_.startsWith("--")).headOption.map(_.toInt).getOrElse(2)
+    val doExplain = args.contains("--explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    spark.range(2000000).selectExpr("sum(id * 2)").head()
+    for (n <- names) {
+      val fn = SparkEntry.queries(n)
+      if (doExplain) fn(spark, sfDir).explain("formatted")
+      for (r <- 1 to reps) {
+        val c0 = osBean.getProcessCpuTime / 1e9
+        val t0 = System.nanoTime()
+        Bench.forceAll(fn(spark, sfDir))
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = osBean.getProcessCpuTime / 1e9 - c0
+        println(f"[perf] $n rep$r wall=$wall%.2fs cpu=$cpu%.1fs ratio=${cpu / wall}%.1f")
+      }
+    }
+    SessionCache.clear(spark)
+    spark.stop()
+  }
+}

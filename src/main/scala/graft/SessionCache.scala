@@ -21,69 +21,122 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SessionCache {
   private val maps =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, scala.collection.mutable.Map[String, Any]]()
-  /** Thread currently holding a session's monitor inside [[memo]] (for
-    * the streaming-deadlock fail-fast below); null when uncontended. */
-  private val owners =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.concurrent.atomic.AtomicReference[Thread]]()
+  /** Per-session build lock (reentrant: builders nest — v16 →
+    * vectorStore → ivfCentroids). */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.concurrent.locks.ReentrantLock]()
+  /** Keys dropped by [[release]], per session — so a later [[memo]] of a
+    * released key (a familyRelease schedule drifting out of sync with
+    * the consumer set) is DETECTED instead of silently rebuilding a
+    * corpus-sized frame inside some innocent query's timing (the
+    * round-7 "mystery CPU" class; round-8 advice asked for this check).
+    */
+  private val releasedKeys =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, scala.collection.mutable.Set[String]]()
+  private val rebuiltKeys =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, scala.collection.mutable.Buffer[String]]()
+
+  /** Max time a STREAM-execution thread may wait for the build lock
+    * before the call is declared a deadlock (the awaiting-builder
+    * scenario below). A non-stream holder finishes within this bound;
+    * a builder awaiting this very stream never does. Var only as a test
+    * seam (CacheSpec shortens it to exercise the timeout path). */
+  @volatile private[graft] var streamTryLockMs: Long = 30000L
+
+  /** True when `t` is a Structured Streaming query-execution thread.
+    * Structural check first: StreamExecution's queryExecutionThread is
+    * an org.apache.spark.util.UninterruptibleThread (stable Spark
+    * internals since 2.x; private[spark], so matched by class name up
+    * the hierarchy — survives a thread RENAME, which the round-8
+    * name-only check did not); the name prefix is kept as a best-effort
+    * fallback. A false negative here only degrades the fail-fast back
+    * to a plain blocking acquire — it cannot corrupt the cache. */
+  private def isStreamThread(t: Thread): Boolean = {
+    var c: Class[_] = t.getClass
+    while (c != null) {
+      if (c.getName == "org.apache.spark.util.UninterruptibleThread") return true
+      c = c.getSuperclass
+    }
+    t.getName.startsWith("stream execution thread")
+  }
 
   /** Build-once-per-(session, key). Builders MAY run Spark jobs (the
     * store builds, label-propagation rounds, and streaming replays all
     * do — localCheckpoint and awaitTermination are eager), and the
-    * per-session monitor is held for the duration: concurrent memo
-    * calls on the SAME session serialize behind the running builder.
-    * That is the intended semantics — a second thread asking for any
-    * cached frame while a store is mid-build must wait for a consistent
-    * cache, and the harness mains are single-threaded per session — but
-    * it means memo must never be called from inside a Spark task, and
+    * per-session lock is held for the duration: concurrent memo calls
+    * on the SAME session serialize behind the running builder. That is
+    * the intended semantics — a second thread asking for any cached
+    * frame while a store is mid-build must wait for a consistent cache,
+    * and the harness mains are single-threaded per session — but it
+    * means memo must never be called from inside a Spark task, and
     * callers must not assume memo is cheap under cross-thread use.
     *
     * Streaming fail-fast: a builder that starts a streaming query and
-    * awaits it (c05, v16) holds the monitor while `foreachBatch` runs
-    * on the stream-execution thread. If that batch path ever reaches a
-    * memo call, the batch thread blocks on the monitor the awaiting
+    * awaits it (c05, v16) holds the lock while `foreachBatch` runs on
+    * the stream-execution thread. If that batch path ever reaches a
+    * memo call, the batch thread blocks on the lock the awaiting
     * builder holds → classic deadlock, and the process hangs silently.
-    * Rather than relying on scaladoc discipline, a contended memo call
-    * FROM a stream-execution thread throws immediately with the fix
+    * So a stream-execution thread ([[isStreamThread]]) acquires with a
+    * BOUNDED tryLock: an unrelated holder releases within the bound and
+    * the call proceeds normally; only the true deadlock (the holder is
+    * awaiting this very stream) exhausts it and throws with the fix
     * spelled out (resolve the frame on the calling thread before
     * `start()` and ship it in the closure — what c05's frozenState
-    * does).
+    * does). Unlike the round-8 pre-monitor name check, the tryLock is
+    * race-free and cannot throw for a holder that would have finished.
     */
   def memo[T](s: SparkSession, key: String)(build: => T): T = {
     val m = maps.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty[String, Any])
-    val owner = owners.computeIfAbsent(s, _ => new java.util.concurrent.atomic.AtomicReference[Thread]())
+    val lock = locks.computeIfAbsent(s, _ => new java.util.concurrent.locks.ReentrantLock())
     val cur = Thread.currentThread()
-    val holder = owner.get()
-    if (holder != null && holder != cur &&
-        cur.getName.startsWith("stream execution thread"))
-      throw new IllegalStateException(
-        s"SessionCache.memo('$key') called from streaming micro-batch thread " +
-          s"'${cur.getName}' while '${holder.getName}' holds the session cache " +
-          "monitor — this deadlocks when the holder is awaiting the stream. " +
-          "Resolve the frame on the calling thread BEFORE start() and capture " +
-          "it in the foreachBatch closure.")
-    m.synchronized {
-      // restore the PREVIOUS owner on exit: builders nest (v16 →
-      // vectorStore → ivfCentroids), and a nested call clearing the
-      // flag would silently disable the guard for the rest of the
-      // outer build
-      val prev = owner.get()
-      owner.set(cur)
-      try m.getOrElseUpdate(key, build).asInstanceOf[T]
-      finally owner.set(prev)
-    }
+    if (isStreamThread(cur) && !lock.isHeldByCurrentThread) {
+      if (!lock.tryLock(streamTryLockMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+        throw new IllegalStateException(
+          s"SessionCache.memo('$key') called from streaming thread " +
+            s"'${cur.getName}' could not acquire the session cache lock in " +
+            s"${streamTryLockMs}ms — the holder is almost certainly a builder " +
+            "awaiting this stream (deadlock). Resolve the frame on the " +
+            "calling thread BEFORE start() and capture it in the " +
+            "foreachBatch closure.")
+    } else lock.lock()
+    try {
+      if (!m.contains(key)) {
+        Option(releasedKeys.get(s)).filter(_.contains(key)).foreach { _ =>
+          rebuiltKeys
+            .computeIfAbsent(s, _ => scala.collection.mutable.Buffer.empty[String])
+            .append(key)
+          System.err.println(
+            s"[SessionCache] WARNING: key '$key' is being re-memoized AFTER " +
+              "release — a release schedule (Bench.familyRelease) no longer " +
+              "covers this key's last consumer; its build cost is billed to " +
+              "the current query.")
+        }
+      }
+      m.getOrElseUpdate(key, build).asInstanceOf[T]
+    } finally lock.unlock()
   }
+
+  /** Keys re-memoized after having been released — empty unless a
+    * release schedule is out of sync with its consumers. Bench surfaces
+    * this in bench_full.json. */
+  def rebuiltAfterRelease(s: SparkSession): Seq[String] =
+    Option(rebuiltKeys.get(s)).map(_.toSeq).getOrElse(Seq.empty)
 
   /** Unpersist and drop the session's entries whose key matches `pred`
     * — the family-scoped release the Bench loop uses so the d-family
     * never pays memory pressure for the c-family's corpus-sized frames.
+    * Released keys are remembered: a later rebuild is reported loudly
+    * (see [[memo]]).
     */
-  def release(s: SparkSession, pred: String => Boolean): Unit =
-    Option(maps.get(s)).foreach { m =>
-      m.synchronized {
-        val hit = m.keys.filter(pred).toSeq
-        hit.foreach { k => unpersistAll(m(k)); m.remove(k) }
-      }
-    }
+  def release(s: SparkSession, pred: String => Boolean): Unit = {
+    val lock = locks.computeIfAbsent(s, _ => new java.util.concurrent.locks.ReentrantLock())
+    lock.lock()
+    try Option(maps.get(s)).foreach { m =>
+      val hit = m.keys.filter(pred).toSeq
+      val rel = releasedKeys.computeIfAbsent(s, _ => scala.collection.mutable.Set.empty[String])
+      hit.foreach { k => unpersistAll(m(k)); m.remove(k); rel.add(k) }
+    } finally lock.unlock()
+  }
 
   /** Unpersist every cached frame of the session (recursing into tuples
     * and case classes like the pipeline's Staging/Star holders) and drop
@@ -91,7 +144,7 @@ object SessionCache {
     */
   def clear(s: SparkSession): Unit = {
     Option(maps.remove(s)).foreach(_.values.foreach(unpersistAll))
-    owners.remove(s); ()
+    locks.remove(s); releasedKeys.remove(s); rebuiltKeys.remove(s); ()
   }
 
   private def unpersistAll(v: Any): Unit = v match {

@@ -292,8 +292,12 @@ object Curation {
     def gate(df: DataFrame): DataFrame = frozenGate(med1)(df)
     val q2 = gate(batch)
     val novel2 = graft.SessionCache.memo(spark, s"c03novel:$dir") {
+      // probe the DEPLOYED signature store (the same memoized frame
+      // c05's admission uses) — recomputing MinHash.signatures(reps1)
+      // here re-trained the store inside c03's timed pass (round-8
+      // verdict: the free fix behind c03's unexplained CPU)
       val cross = MinHash.bandCandidates(
-        MinHash.signatures(reps1.select(col("doc_id"), col("sh"))),
+        storeSigs(spark, dir, reps1),
         q2.select(col("doc_id"), col("sh")))
       val bsh = q2.select(col("doc_id").as("batch_id"), col("sh").as("sh_b"),
         size(col("sh")).as("nb"))
@@ -360,6 +364,7 @@ object Curation {
         .parquet(s"$docsPath*")
         .filter(pmod(col("doc_id"), lit(IncrMod)) === lit(IncrMod - 1))
       val outBase = s"${sys.props("java.io.tmpdir")}/graft_c05_${graft.Fs.sessionTag(spark, dir)}"
+      graft.Fs.sweepStaleScratch("graft_c05_")
       graft.Fs.rmTree(new java.io.File(outBase))
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -378,11 +383,18 @@ object Curation {
   private case class FrozenState(med1: DataFrame, sigs1: DataFrame,
                                  repsSh: DataFrame, bench: DataFrame)
 
-  private def frozenState(spark: SparkSession, dir: String): FrozenState = {
-    val (med1, reps1) = day1State(spark, dir)
-    val sigs1 = graft.SessionCache.memo(spark, s"c05sigs:$dir") {
+  /** The day-1 representatives' DEPLOYED signature store — built once
+    * per session, probed by both c03's incremental batch and c05's
+    * streaming admission. */
+  private def storeSigs(spark: SparkSession, dir: String,
+                        reps1: DataFrame): DataFrame =
+    graft.SessionCache.memo(spark, s"c05sigs:$dir") {
       MinHash.signatures(reps1.select(col("doc_id"), col("sh"))).persist()
     }
+
+  private def frozenState(spark: SparkSession, dir: String): FrozenState = {
+    val (med1, reps1) = day1State(spark, dir)
+    val sigs1 = storeSigs(spark, dir, reps1)
     val repsSh = reps1.select(col("doc_id").as("corpus_id"),
       col("sh").as("sh_c"), size(col("sh")).as("nc"))
     val bench = graft.SessionCache.memo(spark, s"c05bench:$dir") {

@@ -13,7 +13,8 @@ import graft.functions.LongArrayDot
   *
   * The quantizer is distributed Lloyd's algorithm in pure DataFrame
   * ops — assignment = cross join against the BROADCAST centroid table
-  * (16 rows) + per-vector argmin window; update = posexplode to
+  * (16 rows) + per-vector argmin as a map-side-combining min(struct)
+  * aggregate; update = posexplode to
   * (cluster, dim) cells, one hash aggregate, regroup to arrays. Both
   * steps are the canonical 1000-executor k-means shape (centroids always
   * driver-size, vectors never collected; a 100 TB corpus would train on
@@ -40,16 +41,25 @@ object Ivf {
   /** (vec_id, qv, cid): each vector labeled with its nearest centroid.
     * Rank key is cv·cv − 2·(qv·cv) — the squared distance minus the
     * per-vector constant qv·qv, which cannot change the argmin.
+    *
+    * The argmin is `min(struct(cost, cid))` — an AGGREGATE with map-side
+    * partial combine, not a window: the broadcast join's K candidate
+    * rows per vector collapse to one on the map side, so the vector
+    * payload is never replicated K× through a shuffle-and-sort. (The
+    * round-8 window version shuffled K copies of every qv array per
+    * Lloyd step — the dominant cost of ml03's keyed sweep.) Tie-break
+    * on cid inside the struct ordering = the window's orderBy(cost,
+    * cid), so results are bit-identical. first(qv) is deterministic:
+    * qv is functionally dependent on the group key.
     */
   private[operators] def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val cost = LongArrayDot.dot(col("cv"), col("cv")) -
       lit(2L) * LongArrayDot.dot(col("qv"), col("cv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cost"), col("cid"))
     emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("qv"), col("cid"), cost.as("cost"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("qv"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(cost.as("cost"), col("cid").as("cid"))).as("best"),
+        first(col("qv")).as("qv"))
+      .select(col("vec_id"), col("qv"), col("best.cid").as("cid"))
   }
 
   /** New centroid per cluster: element-wise truncating-integer mean. */
@@ -75,6 +85,19 @@ object Ivf {
   private[operators] def centroids(emb: DataFrame): DataFrame =
     centroidsOn(emb, col("vec_id") < NumCentroids)
 
+  /** Resolve + force the shared trained-quantizer memo — the Bench
+    * harness's per-family warmup hook: in the isolated (fresh-JVM-per-
+    * family) bench the v-family child must deploy the nightly index
+    * state untimed, exactly as the sequential run inherited it from
+    * d21, or v04's number silently becomes "train + probe". */
+  private[graft] def prewarmIndex(spark: SparkSession, dir: String): Unit = {
+    val emb = CosineLsh.quantized(spark, dir)
+    val c = graft.SessionCache.memo(spark, s"ivfCentroids:$dir") {
+      centroids(emb).persist()
+    }
+    c.count(); ()
+  }
+
   // ---- keyed Lloyd: many independent quantizers in one pass ----
   // Frames carry a group key `m` (v09's PQ subspace id): the centroid
   // table is (m, cid, cv) and is broadcast WHOLE, assignment is one
@@ -88,12 +111,11 @@ object Ivf {
   private[operators] def assignKeyed(sub: DataFrame, centroids: DataFrame): DataFrame = {
     val cost = LongArrayDot.dot(col("cv"), col("cv")) -
       lit(2L) * LongArrayDot.dot(col("qv"), col("cv"))
-    val w = Window.partitionBy(col("m"), col("vec_id")).orderBy(col("cost"), col("cid"))
     sub.join(broadcast(centroids), Seq("m"))
-      .select(col("m"), col("vec_id"), col("qv"), col("cid"), cost.as("cost"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("m"), col("vec_id"), col("qv"), col("cid"))
+      .groupBy(col("m"), col("vec_id"))
+      .agg(min(struct(cost.as("cost"), col("cid").as("cid"))).as("best"),
+        first(col("qv")).as("qv"))
+      .select(col("m"), col("vec_id"), col("qv"), col("best.cid").as("cid"))
   }
 
   private def updateKeyed(assigned: DataFrame): DataFrame =
@@ -368,6 +390,7 @@ object Ivf {
         .parquet(s"$embPath*")
         .filter(col("vec_id") < 10)
       val outBase = s"${sys.props("java.io.tmpdir")}/graft_v16_${graft.Fs.sessionTag(spark, dir)}"
+      graft.Fs.sweepStaleScratch("graft_v16_")
       graft.Fs.rmTree(new java.io.File(outBase))
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -498,12 +521,12 @@ object Ivf {
   private def assignWithCost(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val cost = LongArrayDot.dot(col("cv"), col("cv")) -
       lit(2L) * LongArrayDot.dot(col("qv"), col("cv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cost"), col("cid"))
     emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("qv"), col("n2"), col("cid"), cost.as("cost"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("qv"), col("n2"), col("cid"), col("cost"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(cost.as("cost"), col("cid").as("cid"))).as("best"),
+        first(col("qv")).as("qv"), first(col("n2")).as("n2"))
+      .select(col("vec_id"), col("qv"), col("n2"),
+        col("best.cid").as("cid"), col("best.cost").as("cost"))
   }
 
   /** Hot-cell cap for d21: keep only the `cap` members NEAREST their

@@ -296,12 +296,16 @@ object TextAnalysis {
     * any useful cap) is broadcast anti-joined, so postings are filtered
     * without an extra shuffle.
     */
-  private[graft] def jaccardFromShingled(
-      shingled: DataFrame, dfCap: Option[Int]): DataFrame = {
-    val docs = shingled.withColumn("n_sh", size(col("sh")))
-    val all = docs.select(col("lang"), col("doc_id"), col("n_sh"),
-      explode(col("sh")).as("shingle"))
-    val posts = dfCap match {
+  /** Shared hot-shingle df-cap over an exploded postings frame
+    * (lang, doc_id, n_sh, shingle): with `dfCap = Some(c)`, postings
+    * whose per-lang df exceeds c are dropped via a broadcast anti-join
+    * BEFORE any self-join (df from a map-side-combining hash agg, never
+    * a window; the hot list is at most |posts|/c entries). One
+    * implementation for BOTH the Jaccard (d08) and containment (d28)
+    * cores so the cap semantics cannot drift apart.
+    */
+  private def cappedPosts(all: DataFrame, dfCap: Option[Int]): DataFrame =
+    dfCap match {
       case None => all
       case Some(cap) =>
         val hot = all.groupBy(col("lang"), col("shingle"))
@@ -310,6 +314,13 @@ object TextAnalysis {
           .select(col("lang"), col("shingle"))
         all.join(broadcast(hot), Seq("lang", "shingle"), "left_anti")
     }
+
+  private[graft] def jaccardFromShingled(
+      shingled: DataFrame, dfCap: Option[Int]): DataFrame = {
+    val docs = shingled.withColumn("n_sh", size(col("sh")))
+    val all = docs.select(col("lang"), col("doc_id"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val posts = cappedPosts(all, dfCap)
     posts.as("a").join(posts.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -424,15 +435,7 @@ object TextAnalysis {
     val d = shingled.withColumn("n_sh", size(col("sh")))
     val all = d.select(col("lang"), col("doc_id"), col("n_sh"),
       explode(col("sh")).as("shingle"))
-    val posts = dfCap match {
-      case None => all
-      case Some(cap) =>
-        val hot = all.groupBy(col("lang"), col("shingle"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap)
-          .select(col("lang"), col("shingle"))
-        all.join(broadcast(hot), Seq("lang", "shingle"), "left_anti")
-    }
+    val posts = cappedPosts(all, dfCap)
     posts.as("a").join(posts.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
