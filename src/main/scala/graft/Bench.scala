@@ -102,17 +102,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val startedAt = java.time.Instant.now()
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = SparkEntry.harnessSession()
     spark.sparkContext.setLogLevel("WARN")
     // Expected-warning suppression, scoped to this main: (a) every
     // no-partition WindowExec in the suite runs over a BOUNDED aggregate
@@ -174,12 +165,14 @@ object Bench {
     val memStats = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     for ((fam, qs) <- families) {
       var peakHeap = 0L
+      val firstPass = scala.collection.mutable.Map.empty[String, Timing]
       for ((name, fn) <- qs.sortBy(_._1)) {
-        results += ((name, timeOne(name, fn)))
+        val t = timeOne(name, fn)
+        results += ((name, t)); firstPass(name) = t
         peakHeap = math.max(peakHeap, heapMb())
       }
       for ((name, fn) <- qs.sortBy(_._1))
-        if (results.toMap.apply(name).ok) {
+        if (firstPass(name).ok) {
           warmResults += ((name, timeOne(name, fn)))
           peakHeap = math.max(peakHeap, heapMb())
         }
@@ -233,6 +226,7 @@ object Bench {
         s""""families":${jmap(famTotals)},""" +
         s""""slowest":${jmap(slowest)},""" +
         s""""failed":${jarr(failed.sorted.map(shortKey))},""" +
+        s""""rebuilt":${jarr(SessionCache.rebuiltAfterRelease(spark))},""" +
         s""""warmup_sec":${fmt(warmupSec)},"warm_total_sec":${fmt(warmWall)},""" +
         s""""cpu_sec":${fmt(totalCpu)},"cpu_wall_ratio":${fmt(ratio)},""" +
         s""""started_at":"$startedAt","ended_at":"$endedAt","detail":"bench_full.json"}"""
@@ -240,6 +234,11 @@ object Bench {
     // Full-fidelity record: every query's first-run wall and cpu
     // seconds, the warm re-run walls, per-family memory, and the same
     // aggregates.
+    // Released-key rebuild detection (round-9 advice: the stderr WARN is
+    // lost to the 2 KB tail capture — the ARTIFACT must carry it). Empty
+    // unless familyRelease drifted out of sync with a memo key's last
+    // consumer; BenchArtifactSpec asserts the committed record stays empty.
+    val rebuilt = SessionCache.rebuiltAfterRelease(spark)
     val full =
       s"""{"metric":"total","value":${fmt(totalWall)},"unit":"sec","sf":"$sfDir",""" +
         s""""queries":${jmap(results.map { case (n, t) => n -> fmt(t.wallSec) }.toSeq)},""" +
@@ -247,6 +246,7 @@ object Bench {
         s""""queries_warm":${jmap(warmResults.map { case (n, t) => n -> fmt(t.wallSec) }.toSeq)},""" +
         s""""mem":${jmap(memStats.map { case (f, h, s) =>
             f -> s"""{"peak_heap_mb":$h,"storage_mb_after_release":$s}""" }.toSeq)},""" +
+        s""""rebuilt_after_release":${jarr(rebuilt)},""" +
         s""""failed":${jarr(failed.sorted)},"warmed":${jarr(warmed)},""" +
         s""""warmup_sec":${fmt(warmupSec)},"warm_total_sec":${fmt(warmWall)},""" +
         s""""cpu_sec":${fmt(totalCpu)},""" +

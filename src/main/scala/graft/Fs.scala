@@ -52,19 +52,25 @@ object Fs {
 
   /** Best-effort cleanup of STALE sibling scratch dirs under java.io.tmpdir:
     * entries starting with `namePrefix` whose embedded `_p<pid>` names a
-    * process that is no longer alive. Dirs of live pids (a concurrent
-    * Bench/Verify, or this JVM) are never touched — this bounds the
-    * accumulation the per-session tokens would otherwise cause, without
-    * reintroducing the rmTree-under-cached-frame race.
+    * process that is no longer alive, plus an AGE backstop — a recycled
+    * pid can make a dead owner's dir look alive forever (ProcessHandle
+    * checks pid liveness, not identity; round-9 advice), so any matching
+    * dir untouched for over a day is swept regardless of pid. Dirs of
+    * live pids younger than the threshold (a concurrent Bench/Verify, or
+    * this JVM) are never touched — this bounds the accumulation the
+    * per-session tokens would otherwise cause, without reintroducing the
+    * rmTree-under-cached-frame race.
     */
   def sweepStaleScratch(namePrefix: String): Unit = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val pidRe = ".*_p(\\d+)(_.*)?$".r
+    val ageCutoffMs = System.currentTimeMillis() - 24L * 3600 * 1000
     Option(tmp.listFiles()).foreach(_.foreach { f =>
       if (f.getName.startsWith(namePrefix)) f.getName match {
         case pidRe(pid, _) =>
           val alive = ProcessHandle.of(pid.toLong)
-          if (!alive.isPresent || !alive.get.isAlive) rmTree(f)
+          val ownerDead = !alive.isPresent || !alive.get.isAlive
+          if (ownerDead || f.lastModified() < ageCutoffMs) rmTree(f)
         case _ => ()
       }
     })

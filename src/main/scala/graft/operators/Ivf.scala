@@ -85,19 +85,6 @@ object Ivf {
   private[operators] def centroids(emb: DataFrame): DataFrame =
     centroidsOn(emb, col("vec_id") < NumCentroids)
 
-  /** Resolve + force the shared trained-quantizer memo — the Bench
-    * harness's per-family warmup hook: in the isolated (fresh-JVM-per-
-    * family) bench the v-family child must deploy the nightly index
-    * state untimed, exactly as the sequential run inherited it from
-    * d21, or v04's number silently becomes "train + probe". */
-  private[graft] def prewarmIndex(spark: SparkSession, dir: String): Unit = {
-    val emb = CosineLsh.quantized(spark, dir)
-    val c = graft.SessionCache.memo(spark, s"ivfCentroids:$dir") {
-      centroids(emb).persist()
-    }
-    c.count(); ()
-  }
-
   // ---- keyed Lloyd: many independent quantizers in one pass ----
   // Frames carry a group key `m` (v09's PQ subspace id): the centroid
   // table is (m, cid, cv) and is broadcast WHOLE, assignment is one
