@@ -87,7 +87,8 @@ object Bench {
     */
   private val familyRelease: Map[String, Seq[String]] = Map(
     "c" -> Seq("c01", "c03", "c05"),
-    "d" -> Seq("minhashPairs", "d07prefixes", "d17batch", "d19", "d22", "d10"),
+    "d" -> Seq("minhashPairs", "minhashSigs", "d07prefixes", "d17batch", "d19", "d22", "d10"),
+    "e" -> Seq("e26"),
     "g" -> Seq("g01edges", "g03mutual"),
     "q" -> Seq("pipeline", "p14paths"),
     "r" -> Seq("eventsBase"),
@@ -98,6 +99,21 @@ object Bench {
   private def heapMb(): Long = {
     val r = Runtime.getRuntime
     (r.totalMemory() - r.freeMemory()) / (1024 * 1024)
+  }
+
+  /** Cumulative stop-the-world GC seconds for this JVM. Per-family
+    * deltas land in bench_full.json `mem.<fam>.gc_sec`: round-9's d/c
+    * families cost 3-6× their fresh-JVM CPU and the prime suspect is
+    * collector pressure from the concurrently-held cross-family frames
+    * — this makes that a number instead of a theory. (Collection TIME
+    * undercounts concurrent collectors' cycles, but those burn the same
+    * CPU the process-CPU column already shows; the delta still ranks
+    * families by pressure.)
+    */
+  private def gcSec(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
   }
 
   def main(args: Array[String]): Unit = {
@@ -162,15 +178,27 @@ object Bench {
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Timing)]
     val warmResults = scala.collection.mutable.ArrayBuffer.empty[(String, Timing)]
-    val memStats = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val memStats = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
     for ((fam, qs) <- families) {
       var peakHeap = 0L
+      val gc0 = gcSec()
       val firstPass = scala.collection.mutable.Map.empty[String, Timing]
       for ((name, fn) <- qs.sortBy(_._1)) {
         val t = timeOne(name, fn)
         results += ((name, t)); firstPass(name) = t
         peakHeap = math.max(peakHeap, heapMb())
       }
+      // Round-9 root-cause of the "warm > cold" anomalies (d29/e25/g04
+      // — always the LAST queries of their family): local-mode broadcast
+      // and shuffle debris is reclaimed by the ContextCleaner only when
+      // a GC runs, and under the bench's large heap one may never run
+      // naturally — so debris marches across the family and the final
+      // warm re-runs pay collector pressure the cold runs didn't (in a
+      // fresh JVM all three time warm ≤ cold). A forced full GC between
+      // the passes and after release drains the cleaner's reference
+      // queue OUTSIDE any query's timing, bounding contamination at
+      // family granularity.
+      System.gc()
       for ((name, fn) <- qs.sortBy(_._1))
         if (firstPass(name).ok) {
           warmResults += ((name, timeOne(name, fn)))
@@ -179,11 +207,12 @@ object Bench {
       familyRelease.get(fam).foreach { prefixes =>
         SessionCache.release(spark, k => prefixes.exists(k.startsWith))
       }
+      System.gc()
       // storage-memory in use = maxMem − remaining, summed over the
       // (single, local-mode) block managers — public API, no SparkEnv
       val storageMb = spark.sparkContext.getExecutorMemoryStatus.values
         .map { case (max, remaining) => max - remaining }.sum / (1024 * 1024)
-      memStats += ((fam, peakHeap, storageMb))
+      memStats += ((fam, peakHeap, storageMb, gcSec() - gc0))
     }
     val failed = results.collect { case (n, t) if !t.ok => n }.toSeq
 
@@ -244,8 +273,8 @@ object Bench {
         s""""queries":${jmap(results.map { case (n, t) => n -> fmt(t.wallSec) }.toSeq)},""" +
         s""""cpu":${jmap(results.map { case (n, t) => n -> fmt(t.cpuSec) }.toSeq)},""" +
         s""""queries_warm":${jmap(warmResults.map { case (n, t) => n -> fmt(t.wallSec) }.toSeq)},""" +
-        s""""mem":${jmap(memStats.map { case (f, h, s) =>
-            f -> s"""{"peak_heap_mb":$h,"storage_mb_after_release":$s}""" }.toSeq)},""" +
+        s""""mem":${jmap(memStats.map { case (f, h, s, g) =>
+            f -> s"""{"peak_heap_mb":$h,"storage_mb_after_release":$s,"gc_sec":${fmt(g)}}""" }.toSeq)},""" +
         s""""rebuilt_after_release":${jarr(rebuilt)},""" +
         s""""failed":${jarr(failed.sorted)},"warmed":${jarr(warmed)},""" +
         s""""warmup_sec":${fmt(warmupSec)},"warm_total_sec":${fmt(warmWall)},""" +

@@ -33,19 +33,33 @@ object AsOf {
     */
   def joinAsOf(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               rightPayload: String): DataFrame = {
+               rightPayload: String): DataFrame =
+    joinAsOfCore(left, right, key, leftTime, rightTime, rightPayload)
+      .drop("__asof_t")
+
+  /** [[joinAsOf]] plus the matched right row's TIME as `__asof_t` — the
+    * carrier for tolerance semantics (j20): staleness is `leftTime −
+    * __asof_t`, computable without a second join. The struct payload
+    * rides the same single window scan, so tolerance costs nothing over
+    * the plain as-of.
+    */
+  private def joinAsOfCore(left: DataFrame, right: DataFrame, key: String,
+                           leftTime: String, rightTime: String,
+                           rightPayload: String): DataFrame = {
     // withColumn would silently overwrite these internal names and the
     // final select would return the wrong column — fail loudly instead
-    val reserved = Set("__t", "__side", "__rp", "__asof")
+    val reserved = Set("__t", "__side", "__rp", "__asof", "__asof_t", "__m")
     val clash = (left.columns ++ right.columns).filter(reserved)
     require(clash.isEmpty,
       s"joinAsOf inputs must not contain reserved columns: ${clash.mkString(", ")}")
+    val rp = struct(col(rightTime).cast("long").as("t"),
+      col(rightPayload).as("p"))
     val l = left.withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .withColumn("__rp", lit(null).cast(right.schema(rightPayload).dataType))
+      .withColumn("__rp",
+        lit(null).cast(right.select(rp).schema.head.dataType))
     val r = right.select(
-      col(key), col(rightTime).as("__t"), lit(0).as("__side"),
-      col(rightPayload).as("__rp"))
+      col(key), col(rightTime).as("__t"), lit(0).as("__side"), rp.as("__rp"))
     val lCols = left.columns
     val unioned = l.select(
       (lCols.map(col) :+ col("__t") :+ col("__side") :+ col("__rp")): _*)
@@ -55,9 +69,10 @@ object AsOf {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("__asof", last(col("__rp"), ignoreNulls = true).over(w))
+      .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select((lCols.map(col) :+ col("__asof")): _*)
+      .select((lCols.map(col) :+ col("__m").getField("p").as("__asof")
+        :+ col("__m").getField("t").as("__asof_t")): _*)
   }
 
   /** Each event matched to the customer's most recent order as of the
@@ -80,6 +95,89 @@ object AsOf {
       .filter(col("__asof").isNotNull)
       .select(col("event_id"), col("user_id"), col("__asof").as("ref_orderkey"))
   }
+
+  /** Tolerance for [[eventsAsOfOrdersTol]]: 30 days in microseconds —
+    * a signal older than this is STALE and the event keeps no match. */
+  val AsOfTolUs: Long = 30L * 24 * 3600 * 1000 * 1000
+
+  /** j20: as-of join with a STALENESS TOLERANCE — the feature-store
+    * contract ("latest value as of event time, but only if fresher than
+    * N"): j13's nearest-earlier match is kept only when `leftTime −
+    * matchTime ≤ tol`, else the row is dropped (inner semantics).
+    * Because the as-of match is the UNIQUE nearest-earlier row,
+    * tolerance is a post-filter on the single window scan — no second
+    * join, no inequality-join blowup; the oracle applies the same
+    * filter over DuckDB's native ASOF JOIN. The report buckets matched
+    * events by staleness-in-days so the gate pins the full staleness
+    * distribution, not just the cut.
+    */
+  def eventsAsOfOrdersTol(spark: SparkSession, dir: String): DataFrame = {
+    val eventsRaw = Tables.load(spark, dir, "events")
+    val events = eventsRaw
+      .select(col("event_id"), col("user_id"),
+        Tables.tsUs(eventsRaw).as("t_us"))
+    val orders = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+      .agg(max(col("o_orderkey")).as("ref_orderkey"))
+    joinAsOfCore(events, orders, key = "user_id",
+        leftTime = "t_us", rightTime = "o_us", rightPayload = "ref_orderkey")
+      .filter(col("__asof").isNotNull &&
+        col("t_us") - col("__asof_t") <= AsOfTolUs)
+      .select(col("user_id"),
+        // div, not /: slash on longs is double division in Spark
+        expr("(t_us - __asof_t) div 86400000000").as("staleness_days"))
+      .groupBy(col("staleness_days"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("staleness_days"))
+  }
+
+  /** e26: STREAMING as-of enrichment — the j13 temporal join run as
+    * stream-static enrichment: arriving events (replayed from the
+    * events parquet as a file stream) are matched per micro-batch to
+    * the customer's most recent order as of event time. Spark's
+    * stream-stream joins have no as-of/ordering semantics, so the
+    * composition is `foreachBatch` + the batch [[joinAsOf]] against the
+    * STATIC pre-aggregated order frame (resolved once, outside the
+    * stream) — per-batch cost is O(batch + matched keys' orders), and
+    * each event's match depends only on the static right side, so the
+    * result is invariant under micro-batching and equals the batch j13
+    * oracle verbatim. The same shape serves online feature enrichment
+    * at 100 TB: the right side is the feature store's compacted daily
+    * snapshot, the left is the event firehose.
+    */
+  def streamAsOfEnrich(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"e26:$dir") {
+      import org.apache.spark.sql.streaming.Trigger
+      val orders = Tables.load(spark, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+        .agg(max(col("o_orderkey")).as("ref_orderkey"))
+        .localCheckpoint() // resolve the static side once, not per batch
+      val evPath = Tables.path(dir, "events")
+      val schema = spark.read.parquet(evPath).schema
+      val stream = spark.readStream.schema(schema)
+        .option("basePath", dir).parquet(s"$evPath*")
+      val outBase =
+        s"${sys.props("java.io.tmpdir")}/graft_e26_${graft.Fs.sessionTag(spark, dir)}"
+      graft.Fs.rmTree(new java.io.File(outBase))
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val ev = batch.select(col("event_id"), col("user_id"),
+            Tables.tsUs(batch).as("t_us"))
+          joinAsOf(ev, orders, key = "user_id",
+              leftTime = "t_us", rightTime = "o_us", rightPayload = "ref_orderkey")
+            .filter(col("__asof").isNotNull)
+            .select(col("event_id"), col("user_id"),
+              col("__asof").as("ref_orderkey"))
+            .write.mode("overwrite").parquet(s"$outBase/b$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$outBase/b*")
+    }
 
   /** Range (interval) join via banding — same-user event pairs within
     * 60 s of each other. The naive form is an inequality join (nested
@@ -153,7 +251,9 @@ object AsOf {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j13_asof_join" -> (eventsAsOfOrders _),
     "j14_range_join" -> (eventPairsWithinMinute _),
-    "j18_interval_overlap_join" -> (overlappingShipmentPairs _))
+    "j18_interval_overlap_join" -> (overlappingShipmentPairs _),
+    "j20_asof_tolerance" -> (eventsAsOfOrdersTol _),
+    "e26_stream_asof_enrich" -> (streamAsOfEnrich _))
 
   // DuckDB has a NATIVE ASOF JOIN — the composed Spark plan is checked
   // against the engine-native operator semantics.
@@ -174,6 +274,30 @@ object AsOf {
         |  AND a.event_id < b.event_id
         |  AND abs(b.t_us - a.t_us) <= 60000000
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    // native ASOF JOIN + the same staleness post-filter: tolerance only
+    // DROPS matches, so filtering the unique nearest-earlier match is
+    // exactly "as-of within tolerance"
+    "j20_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us FROM events),
+        |o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS o_us,
+        |        MAX(o_orderkey) AS ref_orderkey
+        |      FROM orders GROUP BY 1, 2),
+        |m AS (SELECT e.user_id, e.t_us, o.o_us
+        |      FROM e ASOF JOIN o ON e.user_id = o.user_id AND e.t_us >= o.o_us
+        |      WHERE e.t_us - o.o_us <= 2592000000000)
+        |SELECT CAST((t_us - o_us) // 86400000000 AS BIGINT) AS staleness_days,
+        |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the streaming enrichment must equal the batch as-of join verbatim
+    // (j13's oracle): per-event purity against the static right side
+    // makes the result micro-batch-invariant
+    "e26_stream_asof_enrich" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us FROM events),
+        |o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS o_us,
+        |        MAX(o_orderkey) AS ref_orderkey
+        |      FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.ref_orderkey
+        |FROM e ASOF JOIN o ON e.user_id = o.user_id AND e.t_us >= o.o_us""".stripMargin,
     // naive interval-overlap inequality join — same result, different plan
     "j18_interval_overlap_join" ->
       """WITH iv AS (SELECT l_suppkey AS k, l_orderkey * 10 + l_linenumber AS uid,

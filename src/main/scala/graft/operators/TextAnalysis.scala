@@ -1165,6 +1165,50 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  // K: TEMPERATURE-scaled mixture sampling — the multilingual-training
+  // mix operator (the XLM/mT5 α-scaling): sampling weights w_i ∝ n_i^α
+  // with α = 1/2 UPSAMPLE low-resource sources relative to proportional
+  // sampling (a source with 4× the documents gets only 2× the sampling
+  // mass). A fixed document budget B (20% of the corpus) is allotted
+  // per source as quota_i = (B·q_i) div Σq with q_i the integer-
+  // quantized √n_i — floor(√n·1e6 + 0.5), so the weight normalization
+  // is exact bigint arithmetic (IEEE sqrt is correctly rounded in both
+  // engines; the quantized weights make the division order-free).
+  // Selection inside each source is the k05 machinery: first quota_i
+  // docs of the (md5(doc_id), doc_id) permutation — reproducible,
+  // content-independent, exact to the document (id_checksum pins
+  // membership). A quota above the source's size reports the shortfall
+  // (n_sampled < quota) — the signal a real pipeline uses to decide
+  // which sources need data repetition. Cost: one corpus scan, one
+  // tiny per-source aggregate broadcast back, one window per source
+  // (parallel across sources; the k02 scalable-rank shape if one
+  // source dominates).
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(spark, dir).select(col("doc_id"), col("source"),
+      md5(col("doc_id").cast(StringType).cast(BinaryType)).as("h"))
+    val counts = keyed.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("q",
+        expr("cast(floor(sqrt(cast(n_docs as double)) * 1000000 + 0.5) as bigint)"))
+    val tot = counts.agg(
+      sum(col("n_docs")).cast(LongType).as("n_total"),
+      sum(col("q")).cast(LongType).as("sq"))
+    val quota = counts.crossJoin(broadcast(tot))
+      .withColumn("quota", expr("((n_total * 200) div 1000) * q div sq"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val sampled = keyed
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .join(broadcast(quota.select(col("source"), col("quota"))), "source")
+      .filter(col("rk") <= col("quota"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_checksum"))
+    quota.select(col("source"), col("n_docs"), col("quota"))
+      .join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("quota"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("id_checksum"), lit(0L)).as("id_checksum"))
+      .orderBy(col("source"))
+  }
+
   /** Training shard count for k02. */
   private[operators] val Shards = 8
 
@@ -1588,6 +1632,7 @@ object TextAnalysis {
     "d29_method_overlap" -> (dedupMethodOverlap _),
     "k04_context_waste" -> (contextWasteSweep _),
     "k05_stratified_sample" -> (exactStratifiedSample _),
+    "k06_temperature_mixture" -> (temperatureMixture _),
     "t23_text_normalize" -> (normalizeText _),
     "d09_simhash_text" -> (simhashNearDup _),
     "m01_binary_meta" -> (binaryMeta _))
@@ -2033,6 +2078,30 @@ object TextAnalysis {
          | CAST(SUM(doc_id) AS BIGINT) AS id_checksum, MIN(h) AS first_hash
          |FROM r WHERE rk <= (n_docs * $SampleRatePerMille + 999) // 1000
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // α=1/2 temperature weights as exact bigints (IEEE sqrt is
+    // correctly rounded in both engines, then quantized), the SAME
+    // B-then-·q-then-div evaluation order, the same md5 permutation
+    "k06_temperature_mixture" ->
+      """WITH k AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |c AS (SELECT source, COUNT(*) AS n_docs,
+        |   CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS q
+        | FROM k GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+        |   CAST(SUM(q) AS BIGINT) AS sq FROM c),
+        |quota AS (SELECT source, n_docs, ((n_total * 200) // 1000) * q // sq AS quota
+        | FROM c, t),
+        |r AS (SELECT source, doc_id,
+        |   CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk
+        | FROM k),
+        |s AS (SELECT r.source, COUNT(*) AS n_sampled,
+        |   CAST(SUM(r.doc_id) AS BIGINT) AS id_checksum
+        | FROM r JOIN quota ON r.source = quota.source WHERE r.rk <= quota.quota
+        | GROUP BY 1)
+        |SELECT quota.source, quota.n_docs, CAST(quota.quota AS BIGINT) AS quota,
+        |  COALESCE(s.n_sampled, 0) AS n_sampled,
+        |  COALESCE(s.id_checksum, 0) AS id_checksum
+        |FROM quota LEFT JOIN s ON quota.source = s.source
+        |ORDER BY 1""".stripMargin,
     // the cap is replicated exactly: postings whose per-lang shingle df
     // exceeds the cap are dropped from the intersection; set sizes stay full
     "d08_ngram_jaccard_capped" ->
