@@ -50,7 +50,8 @@ object Explain {
     "s26_bucketed_join", "ml03_kmeans_elbow", "d27_drop_provenance",
     "c05_streaming_admission", "e23_rolling_unique_users",
     "d28_containment_capped", "e24_stream_full_outer", "e25_stream_asymmetric",
-    "d29_method_overlap", "k04_context_waste", "k05_stratified_sample")
+    "d29_method_overlap", "k04_context_waste", "k05_stratified_sample",
+    "j20_asof_tolerance", "k06_temperature_mixture")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

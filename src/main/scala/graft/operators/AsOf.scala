@@ -43,9 +43,9 @@ object AsOf {
     * rides the same single window scan, so tolerance costs nothing over
     * the plain as-of.
     */
-  private def joinAsOfCore(left: DataFrame, right: DataFrame, key: String,
-                           leftTime: String, rightTime: String,
-                           rightPayload: String): DataFrame = {
+  private[graft] def joinAsOfCore(left: DataFrame, right: DataFrame, key: String,
+                                  leftTime: String, rightTime: String,
+                                  rightPayload: String): DataFrame = {
     // withColumn would silently overwrite these internal names and the
     // final select would return the wrong column — fail loudly instead
     val reserved = Set("__t", "__side", "__rp", "__asof", "__asof_t", "__m")
@@ -96,9 +96,14 @@ object AsOf {
       .select(col("event_id"), col("user_id"), col("__asof").as("ref_orderkey"))
   }
 
-  /** Tolerance for [[eventsAsOfOrdersTol]]: 30 days in microseconds —
-    * a signal older than this is STALE and the event keeps no match. */
-  val AsOfTolUs: Long = 30L * 24 * 3600 * 1000 * 1000
+  /** Tolerance for [[eventsAsOfOrdersTol]]: 8400 days in microseconds —
+    * a signal older than this is STALE and the event keeps no match.
+    * The testdata's events (~2024) trail its orders (≤1998) by ≥ 8190
+    * days at every scale factor, and 8400 sits between the staleness
+    * median (~8370) and p90 (~8820), so the bound drops a real fraction
+    * AND keeps a real fraction — a tolerance inside the data's gap
+    * (e.g. 30 days) would gate an always-empty result. */
+  val AsOfTolUs: Long = 8400L * 24 * 3600 * 1000 * 1000
 
   /** j20: as-of join with a STALENESS TOLERANCE — the feature-store
     * contract ("latest value as of event time, but only if fresher than
@@ -108,8 +113,8 @@ object AsOf {
     * tolerance is a post-filter on the single window scan — no second
     * join, no inequality-join blowup; the oracle applies the same
     * filter over DuckDB's native ASOF JOIN. The report buckets matched
-    * events by staleness-in-days so the gate pins the full staleness
-    * distribution, not just the cut.
+    * events by 30-day staleness months so the gate pins the staleness
+    * distribution compactly, not just the cut.
     */
   def eventsAsOfOrdersTol(spark: SparkSession, dir: String): DataFrame = {
     val eventsRaw = Tables.load(spark, dir, "events")
@@ -126,11 +131,11 @@ object AsOf {
         col("t_us") - col("__asof_t") <= AsOfTolUs)
       .select(col("user_id"),
         // div, not /: slash on longs is double division in Spark
-        expr("(t_us - __asof_t) div 86400000000").as("staleness_days"))
-      .groupBy(col("staleness_days"))
+        expr("(t_us - __asof_t) div 2592000000000").as("staleness_months"))
+      .groupBy(col("staleness_months"))
       .agg(count(lit(1)).as("n_events"),
         count_distinct(col("user_id")).as("n_users"))
-      .orderBy(col("staleness_days"))
+      .orderBy(col("staleness_months"))
   }
 
   /** e26: STREAMING as-of enrichment — the j13 temporal join run as
@@ -284,8 +289,8 @@ object AsOf {
         |      FROM orders GROUP BY 1, 2),
         |m AS (SELECT e.user_id, e.t_us, o.o_us
         |      FROM e ASOF JOIN o ON e.user_id = o.user_id AND e.t_us >= o.o_us
-        |      WHERE e.t_us - o.o_us <= 2592000000000)
-        |SELECT CAST((t_us - o_us) // 86400000000 AS BIGINT) AS staleness_days,
+        |      WHERE e.t_us - o.o_us <= 725760000000000)
+        |SELECT CAST((t_us - o_us) // 2592000000000 AS BIGINT) AS staleness_months,
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // the streaming enrichment must equal the batch as-of join verbatim
