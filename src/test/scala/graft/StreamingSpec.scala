@@ -487,6 +487,67 @@ class StreamingSpec extends SparkSpec {
     assert(got.agg(min(col("id")), max(col("id"))).head().toSeq == Seq(0L, 149L))
   }
 
+  test("crash-replay fault injection: a batch whose commit marker is lost replays exactly-once from rolled-back state") {
+    // the failure the clean-restart test can't reach: a crash AFTER the
+    // sink wrote batch N but BEFORE the checkpoint's commit marker
+    // landed. Simulated faithfully by deleting the newest file under
+    // chk/commits — on restart the engine sees offsets for N but no
+    // commit, so it must re-execute N with the SAME offsets against the
+    // state store rolled back to version N-1; with an idempotent sink
+    // the replay must reproduce the no-crash result, no dupes, no loss.
+    val base = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_crash_${graft.Fs.tmpTag(sfDir)}")
+    graft.Fs.rmTree(base)
+    val in = s"$base/in"; val out = s"$base/out"; val chk = s"$base/chk"
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    def runOnce(): Unit = {
+      val q = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+        .option("basePath", in).parquet(s"$in/*")
+        .groupBy(expr("id % 10").as("bucket")).agg(count(lit(1)).as("n"))
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          // idempotent by construction: replaying batchId overwrites its
+          // own directory; the read below takes the newest batch dir
+          df.write.mode("overwrite").parquet(s"$out/b$batchId"); ()
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def latest(): Seq[Seq[Any]] = {
+      val dirs = new java.io.File(out).listFiles.filter(_.getName.startsWith("b"))
+      val newest = dirs.maxBy(_.getName.drop(1).toLong)
+      spark.read.parquet(newest.getPath).collect()
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    }
+    spark.range(0, 100).toDF("id").coalesce(1).write.parquet(s"$in/b1")
+    runOnce()
+    spark.range(100, 150).toDF("id").coalesce(1).write.parquet(s"$in/b2")
+    runOnce()
+    val good = latest()
+    // fault: lose the newest commit marker (crash between sink and commit)
+    val commits = new java.io.File(s"$chk/commits").listFiles
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length >= 2, "expected one commit per AvailableNow run")
+    // also drop the local FS's checksum sidecar (.N.crc) — a real crash
+    // loses both, and a stale sidecar blocks the replay's commit rename
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists) assert(crc.delete())
+    runOnce() // replay: same offsets, state rolled back one version
+    assert(latest() == good,
+      "replayed batch diverged from the committed result (state rollback or idempotence broken)")
+    // the update-mode counts must also equal the batch twin over all input
+    val twin = spark.read.parquet(s"$in/b1", s"$in/b2")
+      .groupBy(expr("id % 10").as("bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(latest() == twin, "replayed totals differ from the batch twin")
+  }
+
   test("transformWithState sessionizer closes on gap and on event-time timer") {
     // same scenario as the flatMapGroupsWithState test above — the new
     // API's event-time TIMER must close session B exactly where the
