@@ -775,6 +775,39 @@ object Ivf {
          |GROUP BY idx.cid ORDER BY idx.cid""".stripMargin
     })
 
+  /** The d21 pair replay as a PREFIXED CTE block for composite oracles
+    * (d30 multi-signal dedup): every CTE name carries `px` so the block
+    * coexists with a document-side CTE chain in one WITH; the final CTE
+    * `${px}pairs` yields exactly the (id_a, id_b) set semanticOracle's
+    * SELECT emits (minus cid/sim). Kept in lockstep with
+    * [[semanticOracle]] — same seeds, same cap rank, same threshold.
+    */
+  private[operators] def semanticPairCtes(px: String): String = {
+    val iters = (1 to KMeansIters).map(iterSql(_, s"${px}n", px)).mkString(",\n")
+    s"""${px}e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
+       |${px}n AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS n2 FROM ${px}e),
+       |c${px}0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cv FROM ${px}n WHERE vec_id < $NumCentroids),
+       |$iters,
+       |${px}idx AS (SELECT vec_id, cid, cost FROM (
+       |  SELECT n.vec_id, c.cid,
+       |    ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")} AS cost,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")}, c.cid) AS rn
+       |  FROM ${px}n n, c$px$KMeansIters c) WHERE rn = 1),
+       |${px}mem AS (SELECT idx.vec_id, idx.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY idx.cid
+       |      ORDER BY n.n2 + idx.cost, idx.vec_id) AS crk
+       |  FROM ${px}idx idx JOIN ${px}n n USING (vec_id)),
+       |${px}t AS (SELECT COUNT(*) AS n_vecs FROM ${px}n),
+       |${px}kept AS (SELECT vec_id, cid FROM ${px}mem, ${px}t
+       |         WHERE crk <= $SemDedupCellCapFactor * ((n_vecs + ${NumCentroids - 1}) // $NumCentroids)),
+       |${px}pairs AS MATERIALIZED (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       | FROM ${px}kept x JOIN ${px}kept y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       | JOIN ${px}n a ON a.vec_id = x.vec_id JOIN ${px}n b ON b.vec_id = y.vec_id
+       | WHERE CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE)
+       |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $SemDedupThreshold)""".stripMargin
+  }
+
   private def semanticOracle: String = {
     val iters = (1 to KMeansIters).map(iterSql(_, "n")).mkString(",\n")
     // idx keeps the winning cost; mem replays the hot-cell cap rank

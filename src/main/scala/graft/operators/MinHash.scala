@@ -498,6 +498,73 @@ object MinHash {
       .orderBy(col("cluster_id"))
   }
 
+  /** d30: MULTI-SIGNAL composite dedup — the production shape none of
+    * the single-signal queries reach: exact (md5), lexical (MinHash-
+    * verified Jaccard ≥ 0.5) and semantic (SemDeDup cosine ≥ 0.4 over
+    * the embedding of the SAME doc_id) duplicate edges are unioned into
+    * ONE graph and closed transitively, so a chain like "A byte-dups B,
+    * B paraphrases C" lands A, B, C in one cluster even though no
+    * single signal connects A to C. Per cluster the report carries the
+    * membership (exact, via the sorted members string), the canonical
+    * pick, and how many edges each signal contributed — the evidence a
+    * curation reviewer needs to see WHY a cluster exists. All three
+    * edge generators are the already-bucketed/banded ones (d01's hash
+    * groupBy, d04's LSH, d21's capped cells); the composition adds two
+    * cheap unions and [[LabelPropIters]] bounded label-prop rounds, so
+    * the 100 TB story is the same as d10's. Edge lists and labels are
+    * lineage-cut (localCheckpoint): sig is read by the edge build and
+    * the per-signal counts, and each prop round reads its input twice.
+    */
+  def multiSignalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val g = h.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("id_a"), count(lit(1)).as("n"))
+    // star edges (group-min -> member): same components as the clique,
+    // linear in group size
+    val exact = h.join(g, "fp")
+      .filter(col("n") > 1 && col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"), lit("exact").as("signal"))
+    val near = nearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"), lit("jaccard").as("signal"))
+    val sem = Ivf.semanticClusterDedup(spark, dir)
+      .select(col("id_a"), col("id_b"), lit("semantic").as("signal"))
+    val sig = exact.unionByName(near).unionByName(sem).localCheckpoint()
+    val ed = sig.select(col("id_a"), col("id_b")).distinct()
+    val sym = ed.unionByName(
+        ed.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+    val init = sym.select(col("id_a").as("v")).distinct()
+      .withColumn("label", col("v"))
+    val labels = (1 to LabelPropIters).foldLeft(init) { (l, _) =>
+      val nbr = sym.join(l.withColumnRenamed("v", "id_b"), "id_b")
+        .groupBy(col("id_a").as("v")).agg(min(col("label")).as("nl"))
+      l.join(nbr, "v")
+        .select(col("v"), least(col("label"), col("nl")).as("label"))
+        .localCheckpoint()
+    }
+    val clusters = labels.groupBy(col("label").as("cluster_id"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_members"),
+        min(col("v")).as("canonical_id"),
+        array_join(transform(array_sort(collect_list(col("v"))),
+          x => x.cast(StringType)), ",").as("members"))
+    // each edge is charged to the cluster of its smaller endpoint —
+    // deterministic, and identical on the oracle side by construction
+    val sigCounts = sig
+      .join(labels.select(col("v").as("id_a"), col("label")), "id_a")
+      .groupBy(col("label").as("cluster_id"))
+      .agg(
+        sum(when(col("signal") === "exact", 1).otherwise(0))
+          .cast(IntegerType).as("n_exact"),
+        sum(when(col("signal") === "jaccard", 1).otherwise(0))
+          .cast(IntegerType).as("n_jaccard"),
+        sum(when(col("signal") === "semantic", 1).otherwise(0))
+          .cast(IntegerType).as("n_semantic"))
+    clusters.join(sigCounts, Seq("cluster_id"))
+      .orderBy(col("cluster_id"))
+  }
+
   // D: row-level DROP PROVENANCE — the audit published next to the c02
   // funnel: for every document a dedup/decontamination policy would
   // remove, WHICH rule fired and which document is kept instead. One
@@ -681,7 +748,8 @@ object MinHash {
     "d13_incremental_neardup" -> (incrementalNearDup _),
     "d17_stored_incremental" -> (incrementalNearDupStored _),
     "d19_evolving_store" -> (evolvingStoreDedup _),
-    "d22_streaming_store_dedup" -> (streamingNovelDocs _))
+    "d22_streaming_store_dedup" -> (streamingNovelDocs _),
+    "d30_multisignal_dedup" -> (multiSignalDedup _))
 
   // Oracle = brute force: the gate checks LSH candidate RECALL at the
   // 0.5 threshold, not only the Jaccard arithmetic.
@@ -717,6 +785,7 @@ object MinHash {
         |FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
         |WHERE p.jaccard >= 0.5""".stripMargin,
     "d10_neardup_clusters" -> d10OracleSql,
+    "d30_multisignal_dedup" -> d30OracleSql,
     // d01's md5 groups + d10's label rounds + d11's contamination
     // fragment, unioned — each tier's rule replayed verbatim
     "d27_drop_provenance" ->
@@ -893,6 +962,46 @@ object MinHash {
     s"""$pairGraphCtes,
        |l0 AS MATERIALIZED (SELECT DISTINCT id_a AS v, id_a AS label FROM e),
        |$rounds""".stripMargin
+  }
+
+  /** d30 replay: the three signal-pair CTE chains (document-side
+    * Jaccard via [[pairGraphCtes]], embedding-side semantic via
+    * [[Ivf.semanticPairCtes]] under the `sd` prefix, md5 exact groups),
+    * unioned and closed with the same fixed label-prop rounds the
+    * Spark side runs. Edge attribution for the per-signal counts keys
+    * on the SMALLER endpoint's final label, matching the Spark code.
+    */
+  private def d30OracleSql: String = {
+    val rounds = (1 to LabelPropIters).map { i =>
+      s"""cl$i AS MATERIALIZED (SELECT l.v, least(l.label, MIN(n.label)) AS label
+         | FROM cl${i - 1} l JOIN ce ON ce.id_a = l.v JOIN cl${i - 1} n ON n.v = ce.id_b
+         | GROUP BY l.v, l.label)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pairGraphCtes,
+       |${Ivf.semanticPairCtes("sd")},
+       |xh AS (SELECT doc_id, md5(text) AS fp FROM documents),
+       |xg AS (SELECT fp, MIN(doc_id) AS kept, COUNT(*) AS n FROM xh GROUP BY fp),
+       |xe AS (SELECT g.kept AS id_a, h.doc_id AS id_b
+       |       FROM xh h JOIN xg g USING (fp) WHERE g.n > 1 AND h.doc_id <> g.kept),
+       |sig AS MATERIALIZED (
+       |  SELECT id_a, id_b, 'exact' AS signal FROM xe
+       |  UNION ALL SELECT id_a, id_b, 'jaccard' AS signal FROM pr
+       |  UNION ALL SELECT id_a, id_b, 'semantic' AS signal FROM sdpairs),
+       |ed AS (SELECT DISTINCT id_a, id_b FROM sig),
+       |ce AS MATERIALIZED (SELECT id_a, id_b FROM ed UNION ALL SELECT id_b, id_a FROM ed),
+       |cl0 AS MATERIALIZED (SELECT DISTINCT id_a AS v, id_a AS label FROM ce),
+       |$rounds,
+       |cls AS (SELECT label AS cluster_id, CAST(COUNT(*) AS INTEGER) AS n_members,
+       |  MIN(v) AS canonical_id,
+       |  array_to_string(list_transform(list_sort(list(v)), x -> CAST(x AS VARCHAR)), ',') AS members
+       |  FROM cl$LabelPropIters GROUP BY label),
+       |sc AS (SELECT l.label AS cluster_id,
+       |  CAST(SUM(CASE WHEN signal = 'exact' THEN 1 ELSE 0 END) AS INTEGER) AS n_exact,
+       |  CAST(SUM(CASE WHEN signal = 'jaccard' THEN 1 ELSE 0 END) AS INTEGER) AS n_jaccard,
+       |  CAST(SUM(CASE WHEN signal = 'semantic' THEN 1 ELSE 0 END) AS INTEGER) AS n_semantic
+       |  FROM sig JOIN cl$LabelPropIters l ON l.v = sig.id_a GROUP BY 1)
+       |SELECT cluster_id, n_members, canonical_id, members, n_exact, n_jaccard, n_semantic
+       |FROM cls JOIN sc USING (cluster_id) ORDER BY cluster_id""".stripMargin
   }
 
   private def d10OracleSql: String =

@@ -380,4 +380,44 @@ class DedupSpec extends SparkSpec {
     val nPairs = a.join(b, Seq("cid")).filter(col("id_a") < col("id_b")).count()
     assert(nPairs <= 40, s"$nPairs pairs — cap not bounding the fan-out")
   }
+
+  test("d30 multi-signal clusters equal a driver-side union-find over the unioned edges; mixed-signal merges occur") {
+    val res = MinHash.multiSignalDedup(spark, sfDir).collect()
+    // independent edge recomputation: md5 groups in driver code, the
+    // near/semantic generators as frames (their own correctness is
+    // pinned by the d04/d21 suites); union-find instead of label prop
+    val fp = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exact = fp.groupBy(_._2).values.filter(_.length > 1).toSeq
+      .flatMap { g => val ids = g.map(_._1).sorted; ids.tail.map(b => (ids.head, b)) }
+    def pairs(df: DataFrame) = df.select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val near = pairs(MinHash.nearDupPairs(spark, sfDir))
+    val sem = pairs(graft.operators.Ivf.semanticClusterDedup(spark, sfDir))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- exact ++ near ++ sem) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = (exact ++ near ++ sem).flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = verts.map(v => (find(v), v))
+      .groupBy(_._1).values.map(_.map(_._2).sorted.mkString(",")).toSet
+    val got = res.map(_.getAs[String]("members")).toSet
+    assert(got == expected,
+      s"cluster partitions differ: got ${got.size} expected ${expected.size}")
+    // the composite must do work no single signal does: at least one
+    // cluster stitched together by 2+ distinct signal types
+    val mixed = res.count(r => Seq("n_exact", "n_jaccard", "n_semantic")
+      .count(c => r.getAs[Int](c) > 0) >= 2)
+    assert(mixed >= 1, "no cluster combines two signals — composite is vacuous here")
+    // edge conservation: per-signal counts sum to each signal's edge count
+    assert(res.map(_.getAs[Int]("n_jaccard")).sum == near.size)
+    assert(res.map(_.getAs[Int]("n_semantic")).sum == sem.size)
+    assert(res.map(_.getAs[Int]("n_exact")).sum == exact.size)
+  }
 }
