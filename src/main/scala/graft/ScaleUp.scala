@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{FloatType, LongType}
+
+/** Deterministic scale-up of a driver-generated testdata directory
+  * (TESTDATA.md) by an integer factor — the harness for the roadmap's
+  * "scale headroom" criterion (COVERAGE.md): sweep the slowest queries
+  * at sf0.1 and at a synthesized ~sf1.0 and verify the cost curve is
+  * ~linear.
+  *
+  *   runMain graft.ScaleUp <srcDir> <outDir> <factor>
+  *
+  * Design: the output is `factor` disjoint COPIES of the source tables
+  * with referential integrity preserved — every surrogate key shifts by
+  * `copy * Stride`, and every FK shifts with its PK (l_orderkey with
+  * o_orderkey, o_custkey with c_custkey, …), so all join fan-outs and
+  * group cardinalities scale linearly, the shape real 10× data has.
+  * Copy 0 is the source verbatim. `region`/`nation` stay unscaled
+  * (bounded dimensions — real data has 25 nations at any scale).
+  *
+  * Two columns need more than a key shift, because byte-identical
+  * copies would make the DEDUP rate superlinear (every doc would gain
+  * `factor-1` exact duplicates — nothing like real 10× data, and it
+  * turns the headroom sweep into a different workload):
+  *  - `documents.text` (copy > 0): every word passes through a per-copy
+  *    injective vocabulary relabel (order preserved, `n_chars`
+  *    recomputed). Within a copy all token-level similarity relations
+  *    are preserved EXACTLY (an injective word map is injective on
+  *    n-grams), so each copy's dup rate equals the source's; across
+  *    copies token namespaces are disjoint, so overlap is zero (see
+  *    mapWords for the measured artifacts every gentler variant has).
+  *  - `embeddings.embedding` (copy > 0): a fresh deterministic
+  *    unit-norm pseudo-random vector (copy-salted xxhash64 per
+  *    dimension) — identical vectors across copies would put every
+  *    point in a size-`factor` semantic-dup cluster and overload the
+  *    hot IVF cells.
+  *
+  * Entity NAMES (`c_name`/`s_name`/`p_name`) get a `#copy` suffix so
+  * name-distinct counts scale with the keys. Timestamps are kept: 10×
+  * the events in the same time window is exactly what 10× traffic
+  * looks like (windows get denser, not longer).
+  *
+  * Scale note: the generator itself is one narrow projection per copy,
+  * unioned — no shuffle, no driver state; it would run as a linear
+  * map job on a cluster at any factor.
+  */
+object ScaleUp {
+
+  /** Key-space stride between copies; far above any source key (sf0.1
+    * keys are < 10^7) and small enough that shifted keys survive the
+    * `2·key+1` node encodings downstream (g01) inside Int64. */
+  val Stride: Long = 1L << 40
+
+  private def shift(c: String, copy: Int): Column =
+    (col(c) + lit(copy.toLong * Stride)).cast(LongType).as(c)
+
+  private def tag(c: String, copy: Int): Column =
+    if (copy == 0) col(c) else concat(col(c), lit(s"#$copy")).as(c)
+
+  /** Per-copy injective FULL-vocabulary relabel, order preserved: every
+    * word maps to `w<copy>x<hash64(word, copy)>` (full-width hash ⇒
+    * collisions negligible ⇒ injective; the `w<copy>x` prefix makes the
+    * copies' token namespaces disjoint by construction).
+    *
+    * Why a total relabel and not something gentler (every alternative
+    * was measured on the factor sweep and rejected):
+    *  - byte-identical copies: word-set signals (SimHash d09) see every
+    *    cross-copy pair as a Hamming-0 twin — d09's pair count grew
+    *    100× at 10× data (quadratic dup-rate artifact);
+    *  - position-salted permutation/substitution: the two sides of a
+    *    within-copy near-dup pair transform DIFFERENTLY, so copies 1-9
+    *    contribute no pairs at all — d09 grew 1.03× at 10× data (the
+    *    dup rate collapsed);
+    *  - PARTIAL word-keyed relabel (30-70% of vocabulary): within-copy
+    *    relations are preserved, but surviving shingles leak across
+    *    copies — short docs cross the d02 Jaccard-0.05 threshold on one
+    *    lucky shared shingle, and the (copy_i, copy_j) leak term grows
+    *    with factor².
+    * An injective word map is injective on n-grams too, so EVERY
+    * within-copy token-level relation (word set, shingle, MinHash band,
+    * Jaccard, containment) is preserved exactly — each copy's dup rate
+    * and Zipf frequency profile equal the source's — while cross-copy
+    * token overlap is exactly zero. Conscious trade: corpus-global hot
+    * shingles don't span copies (each copy keeps its own hot set), so
+    * df-cap skew realism at the FULL corpus level is reduced — skew
+    * paths have their own dedicated fixtures (DedupSpec hot-cell,
+    * Skew). Hash-seeded signals (SimHash bits, CDC boundaries)
+    * re-randomize per copy, so their threshold-tail counts land in a
+    * band around the source's rather than exactly on it. */
+  private def mapWords(c: String, copy: Int): Column =
+    if (copy == 0) col(c)
+    else array_join(
+      transform(
+        split(col(c), " "),
+        w => concat(lit(s"w${copy}x"), abs(xxhash64(w, lit(copy))))),
+      " ").as(c)
+
+  /** Fresh deterministic unit vector with the source's dimensionality. */
+  private def freshUnitVec(c: String, idCol: String, copy: Int): Column = {
+    if (copy == 0) col(c)
+    else {
+      val raw = transform(
+        sequence(lit(0), size(col(c)) - 1),
+        i => pmod(xxhash64(col(idCol), lit(copy), i), lit(2000001L))
+          .cast("double") / lit(1000000.0) - lit(1.0))
+      val norm = sqrt(aggregate(raw, lit(0.0), (a, x) => a + x * x))
+      transform(raw, x => (x / norm).cast(FloatType)).as(c)
+    }
+  }
+
+  /** One shifted copy of a table, column order/types preserved. */
+  private[graft] def copyOf(df: DataFrame, name: String, copy: Int): DataFrame = {
+    val cols: Seq[Column] = name match {
+      case "customer" => Seq(shift("c_custkey", copy), tag("c_name", copy),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      case "supplier" => Seq(shift("s_suppkey", copy), tag("s_name", copy),
+        col("s_nationkey"), col("s_acctbal"))
+      case "part" => Seq(shift("p_partkey", copy), tag("p_name", copy),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+      case "orders" => Seq(shift("o_orderkey", copy), shift("o_custkey", copy),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      case "lineitem" => Seq(shift("l_orderkey", copy), shift("l_partkey", copy),
+        shift("l_suppkey", copy), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      case "events" => Seq(shift("event_id", copy), col("ts"),
+        shift("user_id", copy), col("event_type"), col("value"), col("props"))
+      case "documents" =>
+        val txt = mapWords("text", copy)
+        Seq(shift("doc_id", copy), txt, col("lang"), col("source"),
+          length(txt).cast(LongType).as("n_chars"))
+      case "embeddings" => Seq(shift("vec_id", copy),
+        freshUnitVec("embedding", "vec_id", copy), col("label"))
+      case _ => df.columns.toSeq.map(col) // region/nation: verbatim
+    }
+    df.select(cols: _*)
+  }
+
+  /** The scaled table as one unioned plan (factor narrow maps, no shuffle). */
+  def scaledTable(spark: SparkSession, srcDir: String, name: String,
+                  factor: Int): DataFrame = {
+    val src = Tables.load(spark, srcDir, name)
+    val copies = if (name == "region" || name == "nation") 1 else factor
+    (0 until copies).map(copyOf(src, name, _)).reduce(_ unionAll _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, factorS) = args.take(3)
+    val factor = factorS.toInt
+    val spark = SparkEntry.harnessSession()
+    spark.sparkContext.setLogLevel("WARN")
+    for (name <- Tables.all) {
+      scaledTable(spark, srcDir, name, factor)
+        .write.mode("overwrite").parquet(Tables.path(outDir, name))
+      println(s"[scaleup] wrote $name x$factor")
+    }
+    spark.stop()
+  }
+}
