@@ -89,12 +89,25 @@ object ScaleUp {
     * Skew). Hash-seeded signals (SimHash bits, CDC boundaries)
     * re-randomize per copy, so their threshold-tail counts land in a
     * band around the source's rather than exactly on it. */
+  /** Exempt from the relabel: the quality-gate stopword list. Content
+    * gates (Curation's `has_stop`, quality stopword ratios) must see
+    * the same decision per copy as on the source — with zero stopwords
+    * surviving, every copy>0 doc flunked the curation gate and the
+    * c-family "scaled" run degenerated to copy-0-only work (measured:
+    * c03 at factor 10 cost 0.24× its 1× CPU). Keeping only these 10
+    * words shared bounds cross-copy overlap at all-stopword n-grams,
+    * which ScaleSpec's pair-count checks show stay below every
+    * near-dup threshold. */
+  private val Exempt: Seq[String] =
+    graft.operators.TextAnalysis.stopwords
+
   private def mapWords(c: String, copy: Int): Column =
     if (copy == 0) col(c)
     else array_join(
       transform(
         split(col(c), " "),
-        w => concat(lit(s"w${copy}x"), abs(xxhash64(w, lit(copy))))),
+        w => when(w.isin(Exempt: _*), w)
+          .otherwise(concat(lit(s"w${copy}x"), abs(xxhash64(w, lit(copy)))))),
       " ").as(c)
 
   /** Fresh deterministic unit vector with the source's dimensionality. */

@@ -21,7 +21,7 @@ object TextAnalysis {
   // shared with the composed curation pipeline (c01) so the stages there
   // reuse the exact t05/k01 semantics rather than re-defining them
   private[operators] val tokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-  private[operators] val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+  private[graft] val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
 
   /** Whitespace tokens of a text column. */
   def wordsOf(c: Column): Column = split(trim(c), "\\s+")

@@ -44,12 +44,21 @@ class ScaleSpec extends SparkSpec {
         col("text"), col("n_chars"))
     val joined = copy1.join(base, "doc_id")
     // n_chars matches the relabeled text; token count preserved; every
-    // token carries the copy-1 namespace prefix (zero cross-copy overlap)
+    // token is either an exempted quality-gate stopword or carries the
+    // copy-1 namespace prefix (cross-copy overlap = stopwords only)
     assert(joined.filter(length(col("text")) =!= col("n_chars")).count() == 0L)
     assert(joined.filter(size(split(col("text"), " ")) =!=
       size(split(col("base_text"), " "))).count() == 0L)
     assert(joined.filter(exists(split(col("text"), " "),
-      w => !w.startsWith("w1x"))).count() == 0L)
+      w => !w.startsWith("w1x") &&
+        !w.isin(operators.TextAnalysis.stopwords: _*))).count() == 0L)
+    // the curation content gate (has_stop) decides identically per copy
+    val gateFlips = joined.filter(
+      exists(split(col("text"), " "),
+        w => w.isin(operators.TextAnalysis.stopwords: _*)) =!=
+      exists(split(col("base_text"), " "),
+        w => w.isin(operators.TextAnalysis.stopwords: _*)))
+    assert(gateFlips.count() == 0L)
     // injective on the vocabulary: distinct words in == distinct words out,
     // and equal source words map to equal tokens (same count per doc)
     val vocabIn = base.select(explode(split(col("base_text"), " ")).as("w"))
