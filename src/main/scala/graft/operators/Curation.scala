@@ -374,7 +374,13 @@ object Curation {
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      spark.read.parquet(s"$outBase/b*")
+      // concrete batch dirs, not "$outBase/b*": FileStreamSink.hasMetadata
+      // probes a glob as a literal path and logs a full
+      // FileNotFoundException stack at WARN on every run
+      val batchDirs = new java.io.File(outBase).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("b"))
+        .map(_.getPath).sorted
+      spark.read.parquet(batchDirs.toIndexedSeq: _*)
     }
 
   /** The resolved frozen deployment state (gate scalar, store
