@@ -87,7 +87,7 @@ object Bench {
     */
   private val familyRelease: Map[String, Seq[String]] = Map(
     "c" -> Seq("c01", "c03", "c05"),
-    "d" -> Seq("minhashPairs", "minhashSigs", "d07prefixes", "d17batch", "d19", "d22", "d10"),
+    "d" -> Seq("minhashPairs", "minhashSigs", "d07prefixes", "d17batch", "d19", "d22", "d10", "ivfCentroidsScaled"),
     "e" -> Seq("e26"),
     "g" -> Seq("g01edges", "g03mutual"),
     "q" -> Seq("pipeline", "p14paths"),

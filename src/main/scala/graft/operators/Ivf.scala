@@ -569,6 +569,14 @@ object Ivf {
       assignWithCost(emb, c).crossJoin(broadcast(nTot)),
       lit(SemDedupCellCapFactor) *
         expr(s"(n_vecs + ${NumCentroids - 1}) div $NumCentroids"))
+    cellPairs(capped)
+  }
+
+  /** Within-cell qcosine pair generation over a capped
+    * (cid, vec_id, qv) frame — the shared tail of d21/d31: one
+    * equi-join on cid, exact integer-quantized cosine on bucket-mates
+    * only. */
+  private def cellPairs(capped: DataFrame): DataFrame = {
     val a = capped.select(col("cid"), col("vec_id").as("id_a"), col("qv").as("qa"))
     val b = capped.select(col("cid"), col("vec_id").as("id_b"), col("qv").as("qb"))
     val sim = VectorSearch.qcosine(VectorSearch.idot(col("qa"), col("qb")),
@@ -577,6 +585,36 @@ object Ivf {
       .filter(col("id_a") < col("id_b"))
       .select(col("cid"), col("id_a"), col("id_b"), sim.as("sim"))
       .filter(col("sim") >= SemDedupThreshold)
+  }
+
+  /** Cell-size target for the n-SCALED quantizer (d31):
+    * K = ⌈n / target⌉ centroids, so cells hold ~target members at any
+    * corpus size. */
+  val SemDedupCellTarget = 100
+
+  /** d31: d21's semantic dedup with the CENTROID COUNT SCALED TO THE
+    * CORPUS — the production lever for the Θ(n²/K) within-cell pair
+    * term d21 has under a fixed K (COVERAGE.md criterion-3 note): with
+    * K = ⌈n/[[SemDedupCellTarget]]⌉ the mean cell stays
+    * ~[[SemDedupCellTarget]]-sized and candidate volume is
+    * Θ(n·target), linear in the corpus. At the gate scales the two
+    * variants genuinely diverge (K: 16 fixed vs 5 at sf0.01 / 20 at
+    * sf0.1). `n` enters as one driver-side count — at production scale
+    * that is table-statistics metadata, not a scan — and the oracle
+    * replays K and the cap as a scalar CTE over the same count, so the
+    * gate verifies the K-selection rule itself, not just the k-means
+    * arithmetic. Same fixed-round integer Lloyd, seed rule
+    * (vec_id < K), cap rank, and quantized cosine as d21.
+    */
+  def semanticClusterDedupScaled(spark: SparkSession, dir: String): DataFrame = {
+    val emb = CosineLsh.quantized(spark, dir)
+    val n = emb.count()
+    val k = math.max(1L, (n + SemDedupCellTarget - 1) / SemDedupCellTarget).toInt
+    val c = graft.SessionCache.memo(spark, s"ivfCentroidsScaled:$dir") {
+      centroidsOn(emb, col("vec_id") < k).persist()
+    }
+    val cap = SemDedupCellCapFactor * ((n + k - 1) / k)
+    cellPairs(capCells(assignWithCost(emb, c), lit(cap)))
   }
 
   /** Index the corpus under trained centroids `c`, probe each query's
@@ -616,7 +654,8 @@ object Ivf {
     "ml03_kmeans_elbow" -> (kmeansElbow _),
     "v14_ivf_index_stats" -> (ivfIndexStats _),
     "v15_ann_main_delta" -> (annTopKIvfDelta _),
-    "d21_semantic_dedup" -> (semanticClusterDedup _))
+    "d21_semantic_dedup" -> (semanticClusterDedup _),
+    "d31_semantic_dedup_scaled" -> (semanticClusterDedupScaled _))
 
   // ---- DuckDB oracle: full k-means replay, iteration by iteration ----
 
@@ -684,6 +723,7 @@ object Ivf {
       NumProbes, s"lb.label < $FilterMaxLabel"),
     // k-means replay + within-cell pairs — verifies the trained cells
     "d21_semantic_dedup" -> semanticOracle,
+    "d31_semantic_dedup_scaled" -> semanticScaledOracle,
     // IDENTICAL to v04's oracle: the stored-index path must reproduce
     // the in-session result exactly — the store adds no drift
     "v11_ann_stored" -> ivfOracle("n", s"vec_id < $NumCentroids"),
@@ -830,6 +870,39 @@ object Ivf {
        |t AS (SELECT COUNT(*) AS n_vecs FROM n),
        |kept AS (SELECT vec_id, cid FROM mem, t
        |         WHERE crk <= $SemDedupCellCapFactor * ((n_vecs + ${NumCentroids - 1}) // $NumCentroids)),
+       |p AS (SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b,
+       |  CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE)
+       |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+       | FROM kept x JOIN kept y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       | JOIN n a ON a.vec_id = x.vec_id JOIN n b ON b.vec_id = y.vec_id)
+       |SELECT cid, id_a, id_b, sim FROM p WHERE sim >= $SemDedupThreshold""".stripMargin
+  }
+
+  /** d31 replay: [[semanticOracle]] with K as a SCALAR CTE — the
+    * K-selection rule (⌈n/CellTarget⌉) and the K-relative cap are part
+    * of what the gate verifies. */
+  private def semanticScaledOracle: String = {
+    val iters = (1 to KMeansIters).map(iterSql(_, "n")).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS n2 FROM e),
+       |kk AS MATERIALIZED (SELECT GREATEST(1,
+       |    (COUNT(*) + ${SemDedupCellTarget - 1}) // $SemDedupCellTarget) AS k,
+       |    COUNT(*) AS n_vecs FROM n),
+       |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cv FROM n, kk
+       |       WHERE vec_id < kk.k),
+       |$iters,
+       |idx AS (SELECT vec_id, cid, cost FROM (
+       |  SELECT n.vec_id, c.cid,
+       |    ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")} AS cost,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")}, c.cid) AS rn
+       |  FROM n, c$KMeansIters c) WHERE rn = 1),
+       |mem AS (SELECT idx.vec_id, idx.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY idx.cid
+       |      ORDER BY n.n2 + idx.cost, idx.vec_id) AS crk
+       |  FROM idx JOIN n USING (vec_id)),
+       |kept AS (SELECT vec_id, cid FROM mem, kk
+       |         WHERE crk <= $SemDedupCellCapFactor * ((kk.n_vecs + kk.k - 1) // kk.k)),
        |p AS (SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b,
        |  CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE)
        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim

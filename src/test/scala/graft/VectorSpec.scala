@@ -160,6 +160,29 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.2, s"semantic dedup recall $recall below floor")
   }
 
+  test("d31 scaled semantic dedup: K tracks n, cells stay cap-bounded, pairs brute-subset") {
+    val sem = Ivf.semanticClusterDedupScaled(spark, sfDir)
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    val expectedK = math.max(1L, (n + Ivf.SemDedupCellTarget - 1) / Ivf.SemDedupCellTarget)
+    val cap = Ivf.SemDedupCellCapFactor * ((n + expectedK - 1) / expectedK)
+    // the K rule actually fired: distinct cells ≤ K (empty cells may
+    // collapse) and more than one cell at this n (the lever is live)
+    val cells = sem.select(col("cid")).distinct().count()
+    assert(cells <= expectedK && expectedK > 1, s"cells=$cells K=$expectedK")
+    // no cell's member count exceeds the n/K-relative cap: pair ids per
+    // cell come from ≤ cap members ⇒ per-cell pair volume ≤ C(cap, 2)
+    val members = sem.select(col("cid"), col("id_a").as("v"))
+      .unionAll(sem.select(col("cid"), col("id_b").as("v")))
+      .distinct().groupBy(col("cid")).count()
+    assert(members.filter(col("count") > cap).count() == 0)
+    // correctness: same brute-force-subset contract as d21
+    val brute = VectorSearch.dedupEmbedding(spark, sfDir)
+    val missing = sem.as("s").join(brute.as("b"),
+      col("s.id_a") === col("b.id_a") && col("s.id_b") === col("b.id_b") &&
+        col("s.sim") === col("b.sim"), "left_anti")
+    assert(missing.count() == 0, "scaled-cell pair not found in brute force")
+  }
+
   test("v10 filtered ANN honors the predicate and clears a recall floor") {
     val got = Ivf.annTopKIvfFiltered(spark, sfDir)
     val labels = Tables.load(spark, sfDir, "embeddings")
