@@ -617,6 +617,54 @@ object Ivf {
     cellPairs(capCells(assignWithCost(emb, c), lit(cap)))
   }
 
+  /** d32: SEMANTIC eval-set contamination — d11's benchmark-overlap
+    * scan re-run on the EMBEDDING signal. d11 flags a corpus document
+    * when its 3-gram shingles overlap the held-out eval suite
+    * (`doc_id % `[[TextAnalysis.ContaminationBenchMod]]` == 0`, the
+    * same suite rule here), but a paraphrased eval answer shares no
+    * shingles; the semantic scan closes that hole by flagging corpus
+    * docs whose embedding has cosine ≥ [[SemDedupThreshold]] to any
+    * eval-doc embedding. Candidate generation is d21's capped-cell pair
+    * set verbatim (memoized centroids + assignment — this query adds
+    * ZERO new training or pair work, one filter + one hash-agg over the
+    * pair frame), so the 100 TB story is d21's: banded by trained
+    * cells, never all-pairs, and the report join back to the corpus is
+    * a left join on the (much smaller) hit frame. Per corpus doc:
+    * how many eval neighbors, the max similarity, and WHICH eval doc is
+    * nearest (ties broken on id) — the row a decontamination reviewer
+    * acts on. Every published number is either an exact count or the
+    * d21 quantized-cosine double, bit-identical across engines.
+    */
+  def semanticContamination(spark: SparkSession, dir: String): DataFrame = {
+    val m = TextAnalysis.ContaminationBenchMod
+    val aBench = pmod(col("id_a"), lit(m)) === 0
+    val bBench = pmod(col("id_b"), lit(m)) === 0
+    val xp = semanticClusterDedup(spark, dir)
+      .filter(aBench =!= bBench)
+      .select(
+        when(aBench, col("id_b")).otherwise(col("id_a")).as("doc_id"),
+        when(aBench, col("id_a")).otherwise(col("id_b")).as("bench_id"),
+        col("sim"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("sim").desc, col("bench_id"))
+    val hits = xp.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_sem_hits"),
+        max(col("sim")).as("max_sim"),
+        min(when(col("rn") === 1, col("bench_id"))).as("nearest_bench_id"))
+    CosineLsh.quantized(spark, dir)
+      .select(col("vec_id").as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(m)) =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_sem_hits"), lit(0)).as("n_sem_hits"),
+        coalesce(col("max_sim"), lit(0.0)).as("max_sim"),
+        coalesce(col("nearest_bench_id"), lit(-1L)).as("nearest_bench_id"),
+        (coalesce(col("n_sem_hits"), lit(0)) > 0).as("is_contaminated"))
+  }
+
   /** Index the corpus under trained centroids `c`, probe each query's
     * `nProbes` nearest cells, exact-rank within probed members.
     * `indexEmb` overrides the indexed (searchable) side — the filtered
@@ -655,7 +703,8 @@ object Ivf {
     "v14_ivf_index_stats" -> (ivfIndexStats _),
     "v15_ann_main_delta" -> (annTopKIvfDelta _),
     "d21_semantic_dedup" -> (semanticClusterDedup _),
-    "d31_semantic_dedup_scaled" -> (semanticClusterDedupScaled _))
+    "d31_semantic_dedup_scaled" -> (semanticClusterDedupScaled _),
+    "d32_semantic_contamination" -> (semanticContamination _))
 
   // ---- DuckDB oracle: full k-means replay, iteration by iteration ----
 
@@ -724,6 +773,7 @@ object Ivf {
     // k-means replay + within-cell pairs — verifies the trained cells
     "d21_semantic_dedup" -> semanticOracle,
     "d31_semantic_dedup_scaled" -> semanticScaledOracle,
+    "d32_semantic_contamination" -> semanticContaminationOracle,
     // IDENTICAL to v04's oracle: the stored-index path must reproduce
     // the in-session result exactly — the store adds no drift
     "v11_ann_stored" -> ivfOracle("n", s"vec_id < $NumCentroids"),
@@ -909,5 +959,35 @@ object Ivf {
        | FROM kept x JOIN kept y ON x.cid = y.cid AND x.vec_id < y.vec_id
        | JOIN n a ON a.vec_id = x.vec_id JOIN n b ON b.vec_id = y.vec_id)
        |SELECT cid, id_a, id_b, sim FROM p WHERE sim >= $SemDedupThreshold""".stripMargin
+  }
+
+  /** d32 replay: the d21 pair block ([[semanticPairCtes]], kept in
+    * lockstep with [[semanticOracle]]) filtered to cross-split pairs,
+    * aggregated per corpus doc with the nearest eval doc picked by
+    * (sim DESC, id) — the same window rule as the Spark side.
+    */
+  private def semanticContaminationOracle: String = {
+    val m = TextAnalysis.ContaminationBenchMod
+    s"""WITH ${semanticPairCtes("s")},
+       |xp AS (SELECT
+       |  CASE WHEN p.id_a % $m = 0 THEN p.id_b ELSE p.id_a END AS doc_id,
+       |  CASE WHEN p.id_a % $m = 0 THEN p.id_a ELSE p.id_b END AS bench_id,
+       |  CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE)
+       |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+       | FROM spairs p JOIN sn a ON a.vec_id = p.id_a
+       |   JOIN sn b ON b.vec_id = p.id_b
+       | WHERE (p.id_a % $m = 0) <> (p.id_b % $m = 0)),
+       |h AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_sem_hits,
+       |  MAX(sim) AS max_sim FROM xp GROUP BY doc_id),
+       |nb AS (SELECT doc_id, bench_id AS nearest_bench_id FROM (
+       |  SELECT doc_id, bench_id, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY sim DESC, bench_id) AS rn FROM xp) WHERE rn = 1),
+       |base AS (SELECT vec_id AS doc_id FROM sn WHERE vec_id % $m <> 0)
+       |SELECT base.doc_id,
+       |  COALESCE(h.n_sem_hits, 0) AS n_sem_hits,
+       |  COALESCE(h.max_sim, 0.0) AS max_sim,
+       |  CAST(COALESCE(nb.nearest_bench_id, -1) AS BIGINT) AS nearest_bench_id,
+       |  COALESCE(h.n_sem_hits, 0) > 0 AS is_contaminated
+       |FROM base LEFT JOIN h USING (doc_id) LEFT JOIN nb USING (doc_id)""".stripMargin
   }
 }

@@ -183,6 +183,42 @@ class VectorSpec extends SparkSpec {
     assert(missing.count() == 0, "scaled-cell pair not found in brute force")
   }
 
+  test("d32 semantic contamination reconciles with the d21 pair graph and covers the corpus") {
+    val m = graft.operators.TextAnalysis.ContaminationBenchMod
+    val out = Ivf.semanticContamination(spark, sfDir)
+    // expected hit set, recomputed from d21's pair frame on the driver
+    // (tiny at this scale): cross-split pairs grouped per corpus doc
+    val pairs = Ivf.semanticClusterDedup(spark, sfDir)
+      .select(col("id_a"), col("id_b"), col("sim")).collect()
+      .flatMap { r =>
+        val (a, b, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        (a % m == 0, b % m == 0) match {
+          case (true, false) => Seq((b, a, s))
+          case (false, true) => Seq((a, b, s))
+          case _             => Nil
+        }
+      }
+    val expected = pairs.groupBy(_._1).map { case (doc, hs) =>
+      val best = hs.minBy { case (_, bench, s) => (-s, bench) }
+      doc -> (hs.length, hs.map(_._3).max, best._2)
+    }
+    val got = out.collect().map(r => (r.getLong(0),
+      (r.getInt(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // one row per non-bench embedding, hit or not
+    val n = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % m =!= 0).count()
+    assert(got.size == n, s"expected $n corpus rows, got ${got.size}")
+    for ((doc, (cnt, mx, nearest)) <- expected) {
+      val (gc, gm, gn, flag) = got(doc)
+      assert(gc == cnt && gm == mx && gn == nearest && flag,
+        s"doc $doc: got ($gc,$gm,$gn,$flag) expected ($cnt,$mx,$nearest)")
+    }
+    // unflagged rows carry the typed zero-state, and the signal is live
+    assert(expected.nonEmpty, "no cross-split semantic pair at test scale")
+    for ((doc, (cnt, mx, nearest, flag)) <- got if !expected.contains(doc))
+      assert(cnt == 0 && mx == 0.0 && nearest == -1L && !flag, s"doc $doc not zeroed")
+  }
+
   test("v10 filtered ANN honors the predicate and clears a recall floor") {
     val got = Ivf.annTopKIvfFiltered(spark, sfDir)
     val labels = Tables.load(spark, sfDir, "embeddings")
