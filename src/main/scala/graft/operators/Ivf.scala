@@ -665,6 +665,53 @@ object Ivf {
         (coalesce(col("n_sem_hits"), lit(0)) > 0).as("is_contaminated"))
   }
 
+  /** k07: CLUSTER-BALANCED sampling — the semantic-diversity carve-out
+    * (annotation batches, eval subsets, diversity-flattened ablations):
+    * where k05 stratifies on a LABELED column (source) and k06
+    * temperature-scales it, k07's strata are LEARNED — the d21 k-means
+    * cells — so a fixed budget (20% of the embedded corpus) is spread
+    * uniformly across semantic regions instead of proportionally to
+    * their (usually highly skewed) sizes. Allocation is exact integer
+    * arithmetic (B div n_cells per cell); in-cell selection is the k05
+    * content-independent (md5(id), id) permutation, so membership is
+    * reproducible to the document and pinned by the id checksum. A
+    * cell smaller than its quota reports the shortfall (n_sampled <
+    * quota) — the signal that a semantic region is under-represented.
+    * Scale shape: assignment reuses d21's memoized broadcast-centroid
+    * pass; the per-cell rank windows parallelize across cells (the k02
+    * scalable-rank shape if one cell dominates — but the d21 cap
+    * already bounds cell skew); counts/quota frames are K rows,
+    * broadcast back. Nothing driver-side, nothing all-pairs.
+    */
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val emb = CosineLsh.quantized(spark, dir)
+    val c = graft.SessionCache.memo(spark, s"ivfCentroids:$dir") {
+      centroids(emb).persist()
+    }
+    val keyed = assign(emb, c).select(col("vec_id"), col("cid"),
+      md5(col("vec_id").cast(StringType).cast(BinaryType)).as("h"))
+    val counts = keyed.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    val tot = counts.agg(count(lit(1)).cast(LongType).as("n_cells"),
+      sum(col("n_members")).cast(LongType).as("n_total"))
+    val quota = counts.crossJoin(broadcast(tot))
+      .withColumn("quota", expr("((n_total * 200) div 1000) div n_cells"))
+    val w = Window.partitionBy(col("cid")).orderBy(col("h"), col("vec_id"))
+    val s = keyed.withColumn("rk", row_number().over(w).cast(LongType))
+      .join(broadcast(quota.select(col("cid"), col("quota"))), "cid")
+      .filter(col("rk") <= col("quota"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("vec_id")).as("id_checksum"),
+        min(col("h")).as("first_hash"))
+    quota.select(col("cid"), col("n_members"), col("quota"))
+      .join(s, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"), col("quota"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("id_checksum"), lit(0L)).as("id_checksum"),
+        coalesce(col("first_hash"), lit("")).as("first_hash"))
+      .orderBy(col("cid"))
+  }
+
   /** Index the corpus under trained centroids `c`, probe each query's
     * `nProbes` nearest cells, exact-rank within probed members.
     * `indexEmb` overrides the indexed (searchable) side — the filtered
@@ -704,7 +751,8 @@ object Ivf {
     "v15_ann_main_delta" -> (annTopKIvfDelta _),
     "d21_semantic_dedup" -> (semanticClusterDedup _),
     "d31_semantic_dedup_scaled" -> (semanticClusterDedupScaled _),
-    "d32_semantic_contamination" -> (semanticContamination _))
+    "d32_semantic_contamination" -> (semanticContamination _),
+    "k07_cluster_balanced_sample" -> (clusterBalancedSample _))
 
   // ---- DuckDB oracle: full k-means replay, iteration by iteration ----
 
@@ -774,6 +822,7 @@ object Ivf {
     "d21_semantic_dedup" -> semanticOracle,
     "d31_semantic_dedup_scaled" -> semanticScaledOracle,
     "d32_semantic_contamination" -> semanticContaminationOracle,
+    "k07_cluster_balanced_sample" -> clusterSampleOracle,
     // IDENTICAL to v04's oracle: the stored-index path must reproduce
     // the in-session result exactly — the store adds no drift
     "v11_ann_stored" -> ivfOracle("n", s"vec_id < $NumCentroids"),
@@ -989,5 +1038,39 @@ object Ivf {
        |  CAST(COALESCE(nb.nearest_bench_id, -1) AS BIGINT) AS nearest_bench_id,
        |  COALESCE(h.n_sem_hits, 0) > 0 AS is_contaminated
        |FROM base LEFT JOIN h USING (doc_id) LEFT JOIN nb USING (doc_id)""".stripMargin
+  }
+
+  /** k07 replay: the d21 Lloyd chain through the assignment, then the
+    * k05 sampling recipe with cells as strata — same md5 permutation,
+    * same exact-integer quota arithmetic, same evaluation order.
+    */
+  private def clusterSampleOracle: String = {
+    val iters = (1 to KMeansIters).map(iterSql(_, "n")).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS n2 FROM e),
+       |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cv FROM n WHERE vec_id < $NumCentroids),
+       |$iters,
+       |idx AS (SELECT vec_id, cid FROM (
+       |  SELECT n.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("n.qv", "c.cv")}, c.cid) AS rn
+       |  FROM n, c$KMeansIters c) WHERE rn = 1),
+       |keyed AS (SELECT vec_id, cid, md5(CAST(vec_id AS VARCHAR)) AS h FROM idx),
+       |cc AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members FROM keyed GROUP BY 1),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |  CAST(SUM(n_members) AS BIGINT) AS n_total FROM cc),
+       |q AS (SELECT cid, n_members,
+       |  ((n_total * 200) // 1000) // n_cells AS quota FROM cc, t),
+       |r AS (SELECT vec_id, cid, h,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY h, vec_id) AS BIGINT) AS rk
+       | FROM keyed),
+       |s AS (SELECT r.cid, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       |  CAST(SUM(vec_id) AS BIGINT) AS id_checksum, MIN(h) AS first_hash
+       | FROM r JOIN q USING (cid) WHERE rk <= quota GROUP BY 1)
+       |SELECT q.cid, q.n_members, q.quota,
+       |  COALESCE(s.n_sampled, 0) AS n_sampled,
+       |  CAST(COALESCE(s.id_checksum, 0) AS BIGINT) AS id_checksum,
+       |  COALESCE(s.first_hash, '') AS first_hash
+       |FROM q LEFT JOIN s USING (cid) ORDER BY cid""".stripMargin
   }
 }

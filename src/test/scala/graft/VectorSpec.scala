@@ -219,6 +219,28 @@ class VectorSpec extends SparkSpec {
       assert(cnt == 0 && mx == 0.0 && nearest == -1L && !flag, s"doc $doc not zeroed")
   }
 
+  test("k07 cluster-balanced sample: uniform exact quotas, min-rule fills, cells match the IVF index") {
+    val out = Ivf.clusterBalancedSample(spark, sfDir).collect()
+    val stats = Ivf.ivfIndexStats(spark, sfDir).collect()
+      .map(r => r.getAs[Number]("cid").intValue -> r.getAs[Long]("n_members")).toMap
+    val n = stats.values.sum
+    val quota = (n * 200 / 1000) / stats.size
+    assert(out.map(_.getAs[Long]("n_members")).sum == n, "strata must cover the corpus")
+    for (r <- out) {
+      val cid = r.getAs[Number]("cid").intValue
+      assert(stats(cid) == r.getAs[Long]("n_members"),
+        s"cell $cid size disagrees with the v14 index stats")
+      assert(r.getAs[Long]("quota") == quota, s"cell $cid quota not uniform")
+      assert(r.getAs[Long]("n_sampled") ==
+        math.min(quota, r.getAs[Long]("n_members")), s"cell $cid fill rule")
+    }
+    assert(out.map(_.getAs[Long]("n_sampled")).sum <= n * 200 / 1000)
+    // the (md5(id), id) permutation is content-independent: a re-run
+    // reproduces the sample to the checksum
+    val again = Ivf.clusterBalancedSample(spark, sfDir).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("v10 filtered ANN honors the predicate and clears a recall floor") {
     val got = Ivf.annTopKIvfFiltered(spark, sfDir)
     val labels = Tables.load(spark, sfDir, "embeddings")
