@@ -51,7 +51,9 @@ object Explain {
     "c05_streaming_admission", "e23_rolling_unique_users",
     "d28_containment_capped", "e24_stream_full_outer", "e25_stream_asymmetric",
     "d29_method_overlap", "k04_context_waste", "k05_stratified_sample",
-    "j20_asof_tolerance", "k06_temperature_mixture", "d30_multisignal_dedup")
+    "j20_asof_tolerance", "k06_temperature_mixture", "d30_multisignal_dedup",
+    "e26_stream_asof_enrich", "d31_semantic_dedup_scaled",
+    "d32_semantic_contamination", "k07_cluster_balanced_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

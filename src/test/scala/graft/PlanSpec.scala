@@ -181,6 +181,23 @@ class PlanSpec extends SparkSpec {
     assert(pairJoinIsHashed, s"cid pair join not a hash/merge join:\n$plan")
   }
 
+  test("d32/k07 ride the d21 assignment: no cartesian beyond the broadcast fan-out, k07 windows stay per-cell") {
+    // d32's only additions over d21 are a filter + hash-agg + left join
+    val d32 = graft.operators.Ivf.semanticContamination(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(!d32.contains("CartesianProduct"), d32)
+    // k07's rank windows must be partitioned by cid — a global
+    // (unpartitioned) window would serialize the corpus on one task
+    val k07plan = graft.operators.Ivf.clusterBalancedSample(spark, sfDir)
+      .queryExecution.executedPlan
+    val windows = k07plan.toString().linesIterator
+      .filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, "expected a rank window in the k07 plan")
+    assert(windows.forall(_.contains("cid")),
+      s"unpartitioned window in k07:\n${windows.mkString("\n")}")
+    assert(!k07plan.toString().contains("CartesianProduct"))
+  }
+
   test("d08/d09 candidate generation stays equi-join (no cartesian)") {
     for (df <- Seq(
         graft.operators.TextAnalysis.ngramJaccardCapped(spark, sfDir),
