@@ -52,14 +52,18 @@ object Fs {
 
   /** Best-effort cleanup of STALE sibling scratch dirs under java.io.tmpdir:
     * entries starting with `namePrefix` whose embedded `_p<pid>` names a
-    * process that is no longer alive, plus an AGE backstop — a recycled
-    * pid can make a dead owner's dir look alive forever (ProcessHandle
-    * checks pid liveness, not identity; round-9 advice), so any matching
-    * dir untouched for over a day is swept regardless of pid. Dirs of
-    * live pids younger than the threshold (a concurrent Bench/Verify, or
-    * this JVM) are never touched — this bounds the accumulation the
-    * per-session tokens would otherwise cause, without reintroducing the
-    * rmTree-under-cached-frame race.
+    * process that is no longer alive, or whose pid was RECYCLED — a
+    * recycled pid makes a dead owner's dir look alive forever
+    * (ProcessHandle checks pid liveness, not identity; round-9 advice).
+    * Recycling is detected by process START TIME, not dir age (round-10
+    * advice: a pure >24h age backstop would sweep a legitimately
+    * long-running owner's LIVE dir): the real owner started before it
+    * created the dir, so a live process whose startInstant is after the
+    * dir's last write cannot be the owner. Only when the start time is
+    * unverifiable does the 24h age cutoff apply as the fallback. Dirs of
+    * verified live owners are never touched — this bounds the
+    * accumulation the per-session tokens would otherwise cause, without
+    * reintroducing the rmTree-under-cached-frame race.
     */
   def sweepStaleScratch(namePrefix: String): Unit = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
@@ -70,10 +74,37 @@ object Fs {
         case pidRe(pid, _) =>
           val alive = ProcessHandle.of(pid.toLong)
           val ownerDead = !alive.isPresent || !alive.get.isAlive
-          if (ownerDead || f.lastModified() < ageCutoffMs) rmTree(f)
+          val recycledOrUnverifiable = !ownerDead && {
+            val started = alive.get.info().startInstant()
+            if (started.isPresent) started.get.toEpochMilli > f.lastModified()
+            else f.lastModified() < ageCutoffMs
+          }
+          if (ownerDead || recycledOrUnverifiable) rmTree(f)
         case _ => ()
       }
     })
+  }
+
+  /** Read the concrete `b<N>` batch dirs a foreachBatch stream wrote
+    * under `outBase` — never the `"$outBase/b*"` glob, which
+    * FileStreamSink.hasMetadata probes as a literal path and logs a full
+    * FileNotFoundException stack at WARN on every run (the c05 fix,
+    * applied uniformly per round-10 advice). A zero-batch stream
+    * (Trigger.AvailableNow over no input files) leaves no dirs; that
+    * case degrades to a well-typed empty frame under `emptySchema`
+    * instead of an unreadable zero-path `spark.read.parquet()` throw.
+    */
+  def readBatchDirs(spark: org.apache.spark.sql.SparkSession, outBase: String,
+                    emptySchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val dirs = Option(new java.io.File(outBase).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .map(_.getPath).sorted
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    else spark.read.parquet(dirs.toIndexedSeq: _*)
   }
 
   private val onceDone = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()

@@ -30,6 +30,15 @@ object AsOf {
     * side's payload column as of leftTime. Right rows must be unique
     * per (key, rightTime) — pre-aggregate to enforce determinism.
     * Unmatched left rows keep a null match (filter for inner).
+    *
+    * Null-payload contract: a right row whose payload is NULL is itself
+    * the as-of match (the left row gets a null `__asof`); it does NOT
+    * fall through to the previous non-null payload. The payload rides
+    * inside a non-null struct, so `last(_, ignoreNulls)` skips only
+    * missing RIGHT ROWS, never a present row with a null value — the
+    * usual feature-store reading ("the signal was observed as null"),
+    * matching DuckDB's native ASOF JOIN. Filter null payloads from the
+    * right side first for fall-through semantics.
     */
   def joinAsOf(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
@@ -181,7 +190,13 @@ object AsOf {
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      spark.read.parquet(s"$outBase/b*")
+      graft.Fs.readBatchDirs(spark, outBase, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          schema("event_id").dataType),
+        org.apache.spark.sql.types.StructField("user_id",
+          schema("user_id").dataType),
+        org.apache.spark.sql.types.StructField("ref_orderkey",
+          org.apache.spark.sql.types.LongType))))
     }
 
   /** Range (interval) join via banding — same-user event pairs within

@@ -374,13 +374,9 @@ object Curation {
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      // concrete batch dirs, not "$outBase/b*": FileStreamSink.hasMetadata
-      // probes a glob as a literal path and logs a full
-      // FileNotFoundException stack at WARN on every run
-      val batchDirs = new java.io.File(outBase).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("b"))
-        .map(_.getPath).sorted
-      spark.read.parquet(batchDirs.toIndexedSeq: _*)
+      graft.Fs.readBatchDirs(spark, outBase,
+        admitWith(spark, st, spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)).schema)
     }
 
   /** The resolved frozen deployment state (gate scalar, store

@@ -420,4 +420,80 @@ class DedupSpec extends SparkSpec {
     assert(res.map(_.getAs[Int]("n_semantic")).sum == sem.size)
     assert(res.map(_.getAs[Int]("n_exact")).sum == exact.size)
   }
+
+  test("d30 closure is convergent: a mixed-signal chain deeper than the old fixed-round horizon merges into one cluster") {
+    import spark.implicits._
+    // an 8-vertex chain of alternating signals has diameter 7 — the
+    // pre-round-11 fixed 3-round label prop under-merges it (vertex 7's
+    // min label can travel at most 3 hops), so this fixture fails the
+    // old code and pins the convergent closure
+    val signals = Seq("exact", "jaccard", "semantic")
+    val sig = (0L until 7L)
+      .map(i => (i, i + 1, signals((i % 3).toInt)))
+      .toDF("id_a", "id_b", "signal")
+    val res = MinHash.multiSignalClusters(sig).collect()
+    assert(res.length == 1, s"expected one cluster, got ${res.length}")
+    val r = res.head
+    assert(r.getAs[Long]("cluster_id") == 0L)
+    assert(r.getAs[Int]("n_members") == 8)
+    assert(r.getAs[String]("members") == (0L to 7L).mkString(","))
+    // every edge's smaller endpoint carries label 0, so all 7 edges
+    // attribute to the single cluster: 3 exact, 2 jaccard, 2 semantic
+    assert(r.getAs[Int]("n_exact") == 3)
+    assert(r.getAs[Int]("n_jaccard") == 2)
+    assert(r.getAs[Int]("n_semantic") == 2)
+  }
+
+  test("d33 semantic store: day ranges hold, day-1 rows are appended, and the probe reads the store (no corpus embedding rescan)") {
+    import graft.operators.{Ivf, VectorSearch}
+    val got = Ivf.semanticStoreDedup(spark, sfDir)
+      .select("day", "batch_id", "corpus_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "vacuous: no semantic store hits in fixture")
+    // per-day id contracts: day 1 probes corpus only; day 2 may match
+    // corpus OR day-1 (the append's whole point)
+    assert(got.filter(_._1 == 1).forall { case (_, b, c) =>
+      b >= Ivf.SemStoreSplit && b < Ivf.SemStoreDay2 &&
+        c < Ivf.SemStoreSplit }, "day-1 hit outside (batch, corpus) ranges")
+    assert(got.filter(_._1 == 2).forall { case (_, b, c) =>
+      b >= Ivf.SemStoreDay2 && c < Ivf.SemStoreDay2 },
+      "day-2 hit outside (batch, corpus ∪ day-1) ranges")
+    assert(got.exists(_._1 == 1) && got.exists(_._1 == 2),
+      "a probe day is vacuous at this scale")
+    // the append witness: a day-2 hit on a DAY-1 doc can only exist
+    // because day 1's assignments were appended before day 2 probed
+    assert(got.exists { case (d, _, c) => d == 2 && c >= Ivf.SemStoreSplit },
+      "no day-2 hit on a day-1 doc — the append is untested by data")
+    // append proof, independent of the data: the evolving table holds
+    // day-1 assignment rows next to the corpus rows after the run
+    val store = spark.table(Ivf.semEvolvingTable(spark, sfDir))
+    assert(store.filter(col("vec_id") >= Ivf.SemStoreSplit &&
+      col("vec_id") < Ivf.SemStoreDay2).count() > 0, "day-1 append missing")
+    // plan fact (d17's pattern): the day-2 probe's corpus side is the
+    // persisted store; embeddings parquet appears only as the batch
+    // side with the vec_id lower bound pushed into the scan
+    graft.functions.LongArrayDot.register(spark)
+    val batch = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), VectorSearch.quantize(col("embedding")).as("qv"))
+      .withColumn("n2",
+        graft.functions.LongArrayDot.dot(col("qv"), col("qv")))
+      .filter(col("vec_id") >= Ivf.SemStoreDay2)
+    val (cTbl, _) = Ivf.semanticStore(spark, sfDir)
+    val probe = Ivf.semStoreProbe(spark, cTbl,
+      Ivf.semEvolvingTable(spark, sfDir), batch)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+    }.flatten
+    val scans = allScans(probe.queryExecution.executedPlan)
+    assert(scans.exists(_.metadata("Location").contains("graft_vec")),
+      "probe plan does not scan the persisted semantic store")
+    val embScans = scans.filter(_.metadata("Location").contains("embeddings"))
+    assert(embScans.nonEmpty && embScans.forall(_.metadata("PushedFilters")
+        .contains(s"GreaterThanOrEqual(vec_id,${Ivf.SemStoreDay2})")),
+      "an embeddings scan without the batch-side vec_id pushdown means the corpus embeddings were re-read")
+  }
 }
