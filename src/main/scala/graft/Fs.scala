@@ -40,15 +40,23 @@ object Fs {
     * and rewrite the path out from under the first session's cached
     * frame; the per-session token gives each session its own directory.
     */
-  def sessionTag(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val tok = sessionTokens.synchronized {
+  def sessionTag(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    s"${tmpTag(dir)}_s${sessionToken(spark)}"
+
+  /** The bare per-session token behind [[sessionTag]] — for callers
+    * that need session identity in a CATALOG name rather than a path
+    * (d33's evolving table: a session-memoized body that DROPs and
+    * rewrites a shared-name table would clobber a concurrent session's
+    * live store; a per-session name removes the interference entirely,
+    * round-11 advice).
+    */
+  def sessionToken(spark: org.apache.spark.sql.SparkSession): String =
+    sessionTokens.synchronized {
       Option(sessionTokens.get(spark)).getOrElse {
         val t = s"${sessionCounter.incrementAndGet()}"
         sessionTokens.put(spark, t); t
       }
     }
-    s"${tmpTag(dir)}_s$tok"
-  }
 
   /** Best-effort cleanup of STALE sibling scratch dirs under java.io.tmpdir:
     * entries starting with `namePrefix` whose embedded `_p<pid>` names a
@@ -58,12 +66,25 @@ object Fs {
     * Recycling is detected by process START TIME, not dir age (round-10
     * advice: a pure >24h age backstop would sweep a legitimately
     * long-running owner's LIVE dir): the real owner started before it
-    * created the dir, so a live process whose startInstant is after the
-    * dir's last write cannot be the owner. Only when the start time is
-    * unverifiable does the 24h age cutoff apply as the fallback. Dirs of
-    * verified live owners are never touched — this bounds the
-    * accumulation the per-session tokens would otherwise cause, without
-    * reintroducing the rmTree-under-cached-frame race.
+    * created the dir, so a live process whose startInstant is CLEARLY
+    * after the dir's last write cannot be the owner. "Clearly" matters —
+    * the owner creates its dir milliseconds after JVM start, and
+    * startInstant (derived from /proc boot-time + jiffies) and the dir
+    * mtime (filesystem wall clock) are not the same clock; NTP slew or
+    * coarse mtime granularity can put the true owner's start a little
+    * AFTER its dir's mtime (round-11 advice). A 60 s grace margin makes
+    * only unambiguously-later starts count as recycled; genuinely
+    * recycled pids are hours-to-days later, so no detection is lost, and
+    * the 24h fallback still covers the unverifiable case. This check
+    * also relies on a filesystem invariant: a dir's mtime only moves
+    * FORWARD (direct child add/remove) and the owner creates the dir
+    * after starting, so mtime can never drift BELOW the owner's start —
+    * do not add anything that back-dates the dir's mtime (e.g. a
+    * "restore mtime after sweep" step) or the comparison inverts. Only
+    * when the start time is unverifiable does the 24h age cutoff apply
+    * as the fallback. Dirs of verified live owners are never touched —
+    * this bounds the accumulation the per-session tokens would otherwise
+    * cause, without reintroducing the rmTree-under-cached-frame race.
     */
   def sweepStaleScratch(namePrefix: String): Unit = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
@@ -76,7 +97,8 @@ object Fs {
           val ownerDead = !alive.isPresent || !alive.get.isAlive
           val recycledOrUnverifiable = !ownerDead && {
             val started = alive.get.info().startInstant()
-            if (started.isPresent) started.get.toEpochMilli > f.lastModified()
+            if (started.isPresent)
+              started.get.toEpochMilli > f.lastModified() + 60_000L
             else f.lastModified() < ageCutoffMs
           }
           if (ownerDead || recycledOrUnverifiable) rmTree(f)
@@ -93,9 +115,13 @@ object Fs {
     * (Trigger.AvailableNow over no input files) leaves no dirs; that
     * case degrades to a well-typed empty frame under `emptySchema`
     * instead of an unreadable zero-path `spark.read.parquet()` throw.
+    * `emptySchema` is BY-NAME: some callers derive it from a full
+    * analysis plan (c05 runs the whole admission pipeline on an empty
+    * frame just to get `.schema`), and the common warm path — batch
+    * dirs exist — must not pay that analysis (round-11 advice).
     */
   def readBatchDirs(spark: org.apache.spark.sql.SparkSession, outBase: String,
-                    emptySchema: org.apache.spark.sql.types.StructType)
+                    emptySchema: => org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.DataFrame = {
     val dirs = Option(new java.io.File(outBase).listFiles())
       .getOrElse(Array.empty[java.io.File])

@@ -195,8 +195,12 @@ object AsOf {
           schema("event_id").dataType),
         org.apache.spark.sql.types.StructField("user_id",
           schema("user_id").dataType),
+        // Flow the type from the resolved static frame, not a literal:
+        // the non-empty path's type comes from max(o_orderkey) through
+        // joinAsOf, so a schema change in orders must move both paths
+        // together (round-11 advice).
         org.apache.spark.sql.types.StructField("ref_orderkey",
-          org.apache.spark.sql.types.LongType))))
+          orders.schema("ref_orderkey").dataType))))
     }
 
   /** Range (interval) join via banding — same-user event pairs within

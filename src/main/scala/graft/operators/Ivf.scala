@@ -704,11 +704,17 @@ object Ivf {
     * catalog tables. Returns (centroidTbl, indexTbl).
     */
   /** The evolving store's fully-qualified table name — the database
-    * part is per-(dir, pid), so tests must resolve it here (d19's
-    * contract).
+    * part is per-(dir, pid) and the table part carries the SESSION
+    * token, so tests must resolve it here (d19's contract). The session
+    * suffix exists because [[semanticStoreDedup]]'s body is a
+    * per-SESSION memo that DROPs and rewrites this table: under a
+    * shared name, a second session in the same JVM re-running d33 would
+    * drop the store out from under the first session's live reads
+    * (round-11 advice — the same hazard [[Fs.sessionTag]] solves for
+    * scratch paths, solved the same way for the catalog name).
     */
   private[graft] def semEvolvingTable(spark: SparkSession, dir: String): String =
-    s"${vecDb(spark, dir)}.sem_index_evolving"
+    s"${vecDb(spark, dir)}.sem_index_evolving_s${graft.Fs.sessionToken(spark)}"
 
   private[graft] def semanticStore(spark: SparkSession, dir: String): (String, String) = {
     val db = vecDb(spark, dir)
