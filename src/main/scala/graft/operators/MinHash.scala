@@ -637,32 +637,54 @@ object MinHash {
     * near-dup shards, say), fixed rounds return WRONG components;
     * this loop is correct on any graph.
     *
-    * Scale mechanics: each round is one hash-agg + one join (shuffles
+    * Scale mechanics: each round is one hash-agg + two joins (shuffles
     * on vertex id); `localCheckpoint` cuts the lineage so round N's
     * plan is O(1) deep instead of O(N) (the classic iterative-Spark
     * failure is a plan tree that doubles per round); the convergence
-    * check rides the same pass as a cheap count. Rounds needed =
-    * graph diameter — near-dup graphs are shallow (dup clusters are
-    * cliques plus short bridges), so 3-5 rounds in practice.
+    * check rides the same pass as a cheap count. Each round does a
+    * neighbor min-propagation AND a pointer-jump (label := label of my
+    * label) — the jump halves the effective distance to the component
+    * min each round, so rounds needed are O(log diameter), not
+    * O(diameter) (round-11 advice: a pure propagation loop with a fixed
+    * 25-round cap turned a >26-vertex chain into a job crash). The cap
+    * itself is derived from the vertex count — diameter ≤ |V|, so
+    * ceil(log2(|V|)) + 3 jump-propagate rounds suffice on ANY graph —
+    * with `maxIters` as the floor; convergence is now guaranteed rather
+    * than asserted (the `require` remains as a pure invariant check).
     *
-    * Labels only ever decrease and the edge list is symmetric, so the
-    * fixpoint is exactly min(component) per vertex — which is why the
-    * DuckDB oracle can be the true transitive closure (a recursive CTE)
-    * rather than a replay of the rounds.
+    * Labels only ever decrease (both steps take `least`), the jump
+    * target is a vertex in the same component, and the edge list is
+    * symmetric, so the fixpoint is exactly min(component) per vertex —
+    * which is why the DuckDB oracle can be the true transitive closure
+    * (a recursive CTE) rather than a replay of the rounds. Combined
+    * fixpoint ⟹ propagation-alone fixpoint (both steps are decreasing,
+    * so an unchanged round means neither step moved) ⟹ labels constant
+    * along edges ⟹ min(component).
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
     val sym = edges.select(col("id_a"), col("id_b"))
     var labels = sym.select(col("id_a").as("v")).distinct()
       .withColumn("label", col("v")).localCheckpoint()
+    val nVerts = labels.count()
+    val bound = math.max(maxIters,
+      (64 - java.lang.Long.numberOfLeadingZeros(math.max(nVerts, 1L))) + 3)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < maxIters) {
+    while (!converged && rounds < bound) {
       val nbr = sym
         .join(labels.select(col("v").as("id_b"), col("label").as("nl")), "id_b")
         .groupBy(col("id_a").as("v")).agg(min(col("nl")).as("nl"))
-      val next = labels.join(nbr, Seq("v"), "left")
+      val prop = labels.join(nbr, Seq("v"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // Pointer jump: every label IS a vertex id present in `labels`
+      // (initial label = v; propagation only installs other vertices'
+      // labels), so the lookup joins on the same vertex-id partitioning.
+      val next = prop.alias("a")
+        .join(prop.select(col("v").as("jp"), col("label").as("jl")),
+          col("a.label") === col("jp"), "left")
+        .select(col("a.v").as("v"),
+          least(col("a.label"), coalesce(col("jl"), col("a.label"))).as("label"))
         .localCheckpoint()
       val changed = next.join(labels.select(col("v"), col("label").as("prev")), "v")
         .filter(col("label") =!= col("prev")).count()
@@ -670,7 +692,7 @@ object MinHash {
       converged = changed == 0
       rounds += 1
     }
-    require(converged, s"connected components did not converge in $maxIters rounds")
+    require(converged, s"connected components did not converge in $bound rounds")
     labels
   }
 

@@ -444,6 +444,23 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Int]("n_semantic") == 2)
   }
 
+  test("connectedComponents converges on a chain deeper than the old 25-round cap (pointer-jump makes rounds O(log diameter))") {
+    import spark.implicits._
+    // a 60-vertex path has diameter 59: the pre-round-12 propagation-only
+    // loop needs 59 rounds to carry label 0 to vertex 59 and hard-fails
+    // its require() at 25; with the per-round pointer jump the distance
+    // to the component min halves each round, so this converges in
+    // ~log2(59)+1 ≈ 7 rounds regardless of the cap
+    val n = 60L
+    val fwd = (0L until n - 1).map(i => (i, i + 1))
+    val sym = (fwd ++ fwd.map(_.swap)).toDF("id_a", "id_b")
+    val labels = MinHash.connectedComponents(sym).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == n)
+    assert((0L until n).forall(v => labels(v) == 0L),
+      "chain did not collapse to the single min-label component")
+  }
+
   test("d33 semantic store: day ranges hold, day-1 rows are appended, and the probe reads the store (no corpus embedding rescan)") {
     import graft.operators.{Ivf, VectorSearch}
     val got = Ivf.semanticStoreDedup(spark, sfDir)
