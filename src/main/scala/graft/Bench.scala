@@ -59,6 +59,22 @@ import org.apache.spark.sql.functions._
   * the whole query). On a contended machine wall inflates while CPU
   * stays at the plan's intrinsic cost, so cpu/wall exposes stolen time;
   * the warm pass doubles as the per-query diagnostic re-run.
+  *
+  * Host ground truth (round-11 lesson: the flat-CPU heuristic above is
+  * DISPROVEN — under SMT/cache contention and eviction recompute the
+  * process's own CPU-seconds inflate ~5× too, so an artifact produced
+  * on a dirty host carried no internal signal to reject it; BENCH_r11
+  * shipped 3.9× inflated and unflaggable). The bench now measures the
+  * HOST, not just itself: system-wide busy CPU from /proc/stat sampled
+  * around each family, so CPU burned by OTHER processes (system busy
+  * minus this process's CPU) is a per-family number; a census of other
+  * live JVMs (count, pids, cumulative CPU) at start; and cgroup-v2
+  * cpu.stat throttling deltas. The headline carries `host_clean`; when
+  * the host is visibly dirty ([[hostCleanDecision]]) the bench REFUSES
+  * to print the normal compact line — it prints a `"metric":"host_dirty"`
+  * line with the evidence and exits non-zero, so a contaminated run can
+  * never be mistaken for a perf regression again. bench_full.json keeps
+  * the full host record either way.
   */
 object Bench {
   def forceAll(df: DataFrame): Unit = {
@@ -76,6 +92,80 @@ object Bench {
   private def processCpuSec(): Double = osBean.getProcessCpuTime / 1e9
 
   private case class Timing(wallSec: Double, cpuSec: Double, ok: Boolean)
+
+  // ---- host ground truth (round-11 advice) ----------------------------
+
+  /** System-wide BUSY cpu-seconds since boot, from the aggregate `cpu`
+    * line of /proc/stat: everything except idle and iowait (steal —
+    * hypervisor time given to a co-tenant VM — deliberately counts as
+    * busy: it is exactly the contention signal we want). Values are in
+    * USER_HZ ticks; 100 Hz is the Linux ABI constant for /proc/stat
+    * (the kernel scales internally — this is not the scheduler HZ).
+    * None on non-Linux or unreadable /proc.
+    */
+  private[graft] def systemBusySec(): Option[Double] =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+")
+      if (f(0) != "cpu") None
+      else {
+        val v = f.drop(1).map(_.toLong)
+        val idle = v(3) + (if (v.length > 4) v(4) else 0L) // idle + iowait
+        Some((v.sum - idle) / 100.0)
+      }
+    } catch { case _: Exception => None }
+
+  /** Cumulative cgroup-v2 CPU throttling for this container, seconds.
+    * 0.0 when the file or field is absent (bare metal / cgroup v1).
+    */
+  private[graft] def cgroupThrottledSec(): Double =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/sys/fs/cgroup/cpu.stat")).asScala
+        .collectFirst { case l if l.startsWith("throttled_usec") =>
+          l.split("\\s+")(1).toLong / 1e6 }
+        .getOrElse(0.0)
+    } catch { case _: Exception => 0.0 }
+
+  /** Census of OTHER live JVMs: (pid, cumulative cpu-sec, command tail).
+    * A co-tenant sbt/Spark JVM at bench start is the single most likely
+    * contaminator (round 11: the driver's bench overlapped another run).
+    */
+  private[graft] def otherJvms(): Seq[(Long, Double, String)] = {
+    import scala.jdk.CollectionConverters._
+    val self = ProcessHandle.current().pid()
+    ProcessHandle.allProcesses().iterator().asScala.flatMap { p =>
+      val cmd = p.info().command().orElse("")
+      if (p.pid() != self && (cmd.endsWith("/java") || cmd == "java")) {
+        val cpu = p.info().totalCpuDuration()
+          .map[Double](d => d.toMillis / 1e3).orElse(0.0)
+        Some((p.pid(), cpu, cmd))
+      } else None
+    }.toSeq
+  }
+
+  /** The dirty-host verdict, pure so HostProbeSpec can pin it.
+    * Dirty when either (a) CPU burned by OTHER processes exceeds 10% of
+    * machine capacity over the run — an idle host's kernel threads are
+    * well under 1%, and a co-tenant JVM or busy-loop lands far above —
+    * with a 60 cpu-sec absolute floor so short runs aren't flagged on
+    * noise, or (b) the cgroup throttled this process for more than 5%
+    * of the run's wall time (capacity the numbers can't see). When
+    * /proc/stat was unreadable (otherCpuSec = None) the host is
+    * UNKNOWN, reported clean=true: a missing probe must not fail the
+    * bench on platforms that can't support it, and the artifact records
+    * the absence.
+    */
+  private[graft] def hostCleanDecision(otherCpuSec: Option[Double],
+                                       wallSec: Double, ncpus: Int,
+                                       throttledSec: Double): Boolean = {
+    val otherDirty = otherCpuSec.exists(o =>
+      o > 60.0 && o > 0.10 * wallSec * ncpus)
+    val throttleDirty = throttledSec > 0.05 * wallSec
+    !(otherDirty || throttleDirty)
+  }
 
   /** SessionCache key prefixes released once the named family's warm
     * pass ends. A key appears under the LAST family (in run order) that
@@ -119,6 +209,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val startedAt = java.time.Instant.now()
+    // host ground truth, sampled before any Spark work (see scaladoc)
+    val jvms0 = otherJvms()
+    val sysBusy0 = systemBusySec()
+    val throttled0 = cgroupThrottledSec()
+    val runProcCpu0 = processCpuSec()
+    val runWall0 = System.nanoTime()
     val spark = SparkEntry.harnessSession()
     spark.sparkContext.setLogLevel("WARN")
     // Expected-warning suppression, scoped to this main: (a) every
@@ -178,10 +274,14 @@ object Bench {
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Timing)]
     val warmResults = scala.collection.mutable.ArrayBuffer.empty[(String, Timing)]
-    val memStats = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
+    val memStats = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double, Option[Double])]
     for ((fam, qs) <- families) {
       var peakHeap = 0L
       val gc0 = gcSec()
+      // host sample bracketing the family: cpu-sec burned by OTHER
+      // processes while this family ran = system busy delta − own delta
+      val sysBusyFam0 = systemBusySec()
+      val procCpuFam0 = processCpuSec()
       val firstPass = scala.collection.mutable.Map.empty[String, Timing]
       for ((name, fn) <- qs.sortBy(_._1)) {
         val t = timeOne(name, fn)
@@ -212,7 +312,9 @@ object Bench {
       // (single, local-mode) block managers — public API, no SparkEnv
       val storageMb = spark.sparkContext.getExecutorMemoryStatus.values
         .map { case (max, remaining) => max - remaining }.sum / (1024 * 1024)
-      memStats += ((fam, peakHeap, storageMb, gcSec() - gc0))
+      val otherCpuFam = for (b0 <- sysBusyFam0; b1 <- systemBusySec())
+        yield math.max(0.0, (b1 - b0) - (processCpuSec() - procCpuFam0))
+      memStats += ((fam, peakHeap, storageMb, gcSec() - gc0, otherCpuFam))
     }
     val failed = results.collect { case (n, t) if !t.ok => n }.toSeq
 
@@ -223,6 +325,26 @@ object Bench {
     val totalCpu = results.map(_._2.cpuSec).sum
     val warmWall = warmResults.map(_._2.wallSec).sum
     val ratio = if (totalWall > 0) totalCpu / totalWall else 0.0
+
+    // run-wide host verdict: other-process CPU over the WHOLE run
+    // (warmup + both passes), throttling delta, co-tenant JVM census
+    val runWallSec = (System.nanoTime() - runWall0) / 1e9
+    val ncpus = Runtime.getRuntime.availableProcessors()
+    val otherCpuRun = for (b0 <- sysBusy0; b1 <- systemBusySec())
+      yield math.max(0.0, (b1 - b0) - (processCpuSec() - runProcCpu0))
+    val throttledRun = cgroupThrottledSec() - throttled0
+    val hostClean =
+      hostCleanDecision(otherCpuRun, runWallSec, ncpus, throttledRun)
+    val hostJson = {
+      val jvmsJ = jvms0.map { case (pid, cpu, cmd) =>
+        s"""{"pid":$pid,"cpu_sec":${fmt(cpu)},"cmd":"${cmd.takeRight(40)}"}"""
+      }.mkString("[", ",", "]")
+      s"""{"clean":$hostClean,"ncpus":$ncpus,""" +
+        s""""run_wall_sec":${fmt(runWallSec)},""" +
+        s""""other_cpu_sec":${otherCpuRun.map(fmt).getOrElse("null")},""" +
+        s""""throttled_sec":${fmt(throttledRun)},""" +
+        s""""other_jvms_at_start":$jvmsJ}"""
+    }
 
     // stdout keys use the unique id prefix (q01, d02, …); full names live
     // in bench_full.json. guard: if two names ever collide on the prefix,
@@ -258,6 +380,17 @@ object Bench {
         s""""rebuilt":${jarr(SessionCache.rebuiltAfterRelease(spark))},""" +
         s""""warmup_sec":${fmt(warmupSec)},"warm_total_sec":${fmt(warmWall)},""" +
         s""""cpu_sec":${fmt(totalCpu)},"cpu_wall_ratio":${fmt(ratio)},""" +
+        s""""host_clean":$hostClean,""" +
+        s""""other_cpu_sec":${otherCpuRun.map(fmt).getOrElse("null")},""" +
+        s""""started_at":"$startedAt","ended_at":"$endedAt","detail":"bench_full.json"}"""
+    // the line printed when the host verdict is DIRTY: the evidence and
+    // nothing that could be mistaken for a timing headline (round-11
+    // advice — a contaminated run must fail loudly, not ship numbers)
+    val dirtyLine =
+      s"""{"metric":"host_dirty","value":${otherCpuRun.map(fmt).getOrElse("null")},"unit":"other_cpu_sec",""" +
+        s""""sf":"$sfDir","host":$hostJson,""" +
+        s""""total_wall_sec_untrusted":${fmt(totalWall)},""" +
+        s""""failed":${jarr(failed.sorted.map(shortKey))},""" +
         s""""started_at":"$startedAt","ended_at":"$endedAt","detail":"bench_full.json"}"""
 
     // Full-fidelity record: every query's first-run wall and cpu
@@ -273,8 +406,10 @@ object Bench {
         s""""queries":${jmap(results.map { case (n, t) => n -> fmt(t.wallSec) }.toSeq)},""" +
         s""""cpu":${jmap(results.map { case (n, t) => n -> fmt(t.cpuSec) }.toSeq)},""" +
         s""""queries_warm":${jmap(warmResults.map { case (n, t) => n -> fmt(t.wallSec) }.toSeq)},""" +
-        s""""mem":${jmap(memStats.map { case (f, h, s, g) =>
-            f -> s"""{"peak_heap_mb":$h,"storage_mb_after_release":$s,"gc_sec":${fmt(g)}}""" }.toSeq)},""" +
+        s""""mem":${jmap(memStats.map { case (f, h, s, g, oc) =>
+            f -> (s"""{"peak_heap_mb":$h,"storage_mb_after_release":$s,"gc_sec":${fmt(g)},""" +
+              s""""other_cpu_sec":${oc.map(fmt).getOrElse("null")}}""") }.toSeq)},""" +
+        s""""host":$hostJson,""" +
         s""""rebuilt_after_release":${jarr(rebuilt)},""" +
         s""""failed":${jarr(failed.sorted)},"warmed":${jarr(warmed)},""" +
         s""""warmup_sec":${fmt(warmupSec)},"warm_total_sec":${fmt(warmWall)},""" +
@@ -299,9 +434,11 @@ object Bench {
       }
     }
     // the compact line goes LAST so the harness's tail capture always
-    // contains it whole
-    println(compact)
+    // contains it whole; a dirty host gets the evidence line instead of
+    // a timing headline and a distinct exit code
+    println(if (hostClean) compact else dirtyLine)
     spark.stop()
+    if (!hostClean) sys.exit(3)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's host-contamination ground truth (round-11 advice:
+  * BENCH_r11 shipped 3.9× inflated with no internal signal to reject it
+  * — process CPU inflates under SMT/cache contention, so the bench now
+  * measures the HOST). Two layers: the pure dirty/clean decision, and
+  * the /proc/stat measurement chain — a deliberately spawned busy-loop
+  * must surface as other-process CPU, because that is exactly the
+  * evidence the dirty verdict is built from.
+  */
+class HostProbeSpec extends AnyFunSuite {
+
+  test("hostCleanDecision: idle host is clean, co-tenant load and throttling are dirty, short runs and missing probes never flag") {
+    val ncpus = 32
+    // idle 10-min run: a few kernel-thread cpu-sec → clean
+    assert(Bench.hostCleanDecision(Some(8.0), 600.0, ncpus, 0.0))
+    // round-11 shape: ~600 s run, thousands of other cpu-sec → dirty
+    assert(!Bench.hostCleanDecision(Some(3000.0), 600.0, ncpus, 0.0))
+    // exactly at 10% of capacity is NOT dirty; just above is
+    assert(Bench.hostCleanDecision(Some(0.10 * 600 * ncpus), 600.0, ncpus, 0.0))
+    assert(!Bench.hostCleanDecision(Some(0.10 * 600 * ncpus + 1), 600.0, ncpus, 0.0))
+    // the 60 cpu-sec absolute floor: a tiny run can't be flagged on noise
+    assert(Bench.hostCleanDecision(Some(59.0), 10.0, ncpus, 0.0))
+    // throttling alone flags even with zero other-process CPU
+    assert(!Bench.hostCleanDecision(Some(0.0), 100.0, ncpus, 6.0))
+    assert(Bench.hostCleanDecision(Some(0.0), 100.0, ncpus, 4.0))
+    // unreadable /proc/stat: unknown is reported clean, never a failure
+    assert(Bench.hostCleanDecision(None, 600.0, ncpus, 0.0))
+  }
+
+  test("probes parse on this host: busy counter is monotonic, throttling non-negative, JVM census excludes self") {
+    val b0 = Bench.systemBusySec()
+    assert(b0.nonEmpty, "/proc/stat should be readable on Linux")
+    assert(b0.get > 0.0)
+    val spin0 = System.nanoTime()
+    while (System.nanoTime() - spin0 < 50e6) {} // ~50 ms of own busy work
+    val b1 = Bench.systemBusySec()
+    assert(b1.get >= b0.get, "system busy cpu-sec must be monotonic")
+    assert(Bench.cgroupThrottledSec() >= 0.0)
+    val self = ProcessHandle.current().pid()
+    assert(Bench.otherJvms().forall(_._1 != self))
+  }
+
+  test("a spawned busy-loop surfaces as other-process CPU (the dirty verdict's evidence chain, end-to-end)") {
+    val nLoops = 4
+    val b0 = Bench.systemBusySec().get
+    val p0 = processCpuOfSelf()
+    val procs = (1 to nLoops).map { _ =>
+      new ProcessBuilder("bash", "-c", "while :; do :; done").start()
+    }
+    try Thread.sleep(2500)
+    finally procs.foreach(_.destroyForcibly())
+    procs.foreach(_.waitFor())
+    val other = (Bench.systemBusySec().get - b0) - (processCpuOfSelf() - p0)
+    // 4 loops × 2.5 s ≈ 10 cpu-sec; demand at least half to stay robust
+    // under scheduler jitter — the point is the signal is unmistakable
+    assert(other >= nLoops * 2.5 * 0.5,
+      s"busy-loops burned $other other-cpu-sec — probe missed the contention")
+  }
+
+  private def processCpuOfSelf(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getProcessCpuTime / 1e9
+}
