@@ -3,12 +3,31 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Plan-review artifact generator: prints the formatted physical plan of
-  * the headline queries (`runMain graft.Explain [sfDir] > PLANS.md`).
+  * EVERY SparkEntry query (`runMain graft.Explain [sfDir] > PLANS.md`).
   * Used to audit pushdown/broadcast/shuffle shape per round.
+  *
+  * The query list is DERIVED from `SparkEntry.queries`, not
+  * hand-maintained: rounds 9-11 each shipped PLANS.md stale because new
+  * queries had to be added to a static list here and weren't
+  * (d31/d32/d33/k07 were the round-11 misses). Deriving the list makes
+  * staleness impossible at generation time, and tools/check.py now
+  * FAILS when any `SparkEntry.queries` key lacks a `## <name>` section
+  * in the committed PLANS.md — the regenerate step can no longer be
+  * silently skipped (round-11 advice: three consecutive stale rounds
+  * prove a reminder doesn't work; only a failing check does).
+  *
+  * `Legacy` preserves the old curated ordering so regenerated diffs
+  * stay reviewable: curated names keep their historical position,
+  * anything new lands at the end in sorted order.
   */
 object Explain {
 
-  val Headline: Seq[String] = Seq(
+  def all: Seq[String] = {
+    val known = Legacy.filter(SparkEntry.queries.contains)
+    known ++ (SparkEntry.queries.keySet -- known).toSeq.sorted
+  }
+
+  private val Legacy: Seq[String] = Seq(
     "q01_pricing_summary", "q05_local_supplier_volume", "j10_cross_scalar_pct",
     "j12_salted_join", "j13_asof_join", "a08_two_phase_distinct", "w03_surrogate_keys",
     "s11_partitioned_scan", "s12_bucketed_agg", "s15_dynamic_pruning",
@@ -65,9 +84,9 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println(s"# PLANS — formatted physical plans of headline queries ($sfDir)")
+    println(s"# PLANS — formatted physical plans of every SparkEntry query ($sfDir)")
     println()
-    Headline.foreach { name =>
+    all.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"## $name\n")
       println("```")

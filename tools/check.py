@@ -9,6 +9,12 @@ oracle_sql.json in DuckDB (tables registered as views over the sfDir
 parquet files), then compares: columns sorted by name, rows sorted,
 values exact (floats compared exactly — our queries are designed to be
 bit-deterministic cross-engine).
+
+Also gates PLANS.md freshness: every query name in the run must have a
+"## <name>" section in the committed PLANS.md (regenerate with
+`sbt "runMain graft.Explain" > PLANS.md`). Rounds 9-11 each shipped
+PLANS.md stale; a reminder demonstrably does not work, a failing check
+does.
 """
 import sys, os, json, math
 from decimal import Decimal
@@ -79,8 +85,20 @@ def main():
         else:
             n_pass += 1
             print(f"  ✓ {name} ({got.num_rows} rows)")
-    print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noora}")
-    sys.exit(1 if n_fail else 0)
+    # PLANS.md freshness gate: every query in this run needs a plan section
+    plans_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "..", "PLANS.md")
+    have_plans = set()
+    if os.path.exists(plans_path):
+        with open(plans_path) as f:
+            have_plans = {l[3:].strip() for l in f if l.startswith("## ")}
+    plans_missing = sorted((set(oracles) | set(out_dirs)) - have_plans)
+    for name in plans_missing:
+        print(f"  ✗ {name}: NO PLAN SECTION in PLANS.md (regenerate: "
+              f'sbt "runMain graft.Explain" > PLANS.md)')
+    print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noora} "
+          f"PLANS_MISSING={len(plans_missing)}")
+    sys.exit(1 if (n_fail or plans_missing) else 0)
 
 if __name__ == "__main__":
     main()
