@@ -18,9 +18,15 @@ class HostProbeSpec extends AnyFunSuite {
     assert(Bench.hostCleanDecision(Some(8.0), 600.0, ncpus, 0.0))
     // round-11 shape: ~600 s run, thousands of other cpu-sec → dirty
     assert(!Bench.hostCleanDecision(Some(3000.0), 600.0, ncpus, 0.0))
-    // exactly at 10% of capacity is NOT dirty; just above is
-    assert(Bench.hostCleanDecision(Some(0.10 * 600 * ncpus), 600.0, ncpus, 0.0))
-    assert(!Bench.hostCleanDecision(Some(0.10 * 600 * ncpus + 1), 600.0, ncpus, 0.0))
+    // exactly at 5% of capacity is NOT dirty; just above is
+    assert(Bench.hostCleanDecision(Some(0.05 * 600 * ncpus), 600.0, ncpus, 0.0))
+    assert(!Bench.hostCleanDecision(Some(0.05 * 600 * ncpus + 1), 600.0, ncpus, 0.0))
+    // the round-12 calibration case: a real co-tenant at 7.2% of
+    // capacity (2356 cpu-s / 1017 s / 32 cpus) inflated family walls
+    // ~2x and MUST be flagged
+    assert(!Bench.hostCleanDecision(Some(2355.9), 1017.0, 32, 0.0))
+    // measured ambient session tooling (~2.4% of capacity) stays clean
+    assert(Bench.hostCleanDecision(Some(627.8), 804.0, 32, 0.0))
     // the 60 cpu-sec absolute floor: a tiny run can't be flagged on noise
     assert(Bench.hostCleanDecision(Some(59.0), 10.0, ncpus, 0.0))
     // throttling alone flags even with zero other-process CPU
