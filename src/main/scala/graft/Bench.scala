@@ -272,9 +272,15 @@ object Bench {
     }
 
     val famOf: String => String = _.takeWhile(!_.isDigit)
+    // builder-side iteration/A-B knob: run only the named families
+    // (comma-separated). A filtered run is labeled in BOTH output
+    // records ("families_filter") so it can never pass as a full bench.
+    val famFilter = sys.env.get("SPARK_GRAFT_BENCH_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val families = SparkEntry.queries.toSeq.sortBy(_._1)
       .groupBy { case (n, _) => famOf(n) }
       .toSeq.sortBy(_._1)
+      .filter { case (f, _) => famFilter.forall(_.contains(f)) }
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Timing)]
     val warmResults = scala.collection.mutable.ArrayBuffer.empty[(String, Timing)]
@@ -379,8 +385,11 @@ object Bench {
       .map { case (fam, rs) => fam -> fmt(rs.map(_._2.wallSec).sum) }
     val slowest = results.sortBy(-_._2.wallSec).take(8)
       .map { case (n, t) => shortKey(n) -> fmt(t.wallSec) }.toSeq
+    val filterLabel =
+      famFilter.map(f => s""""families_filter":${jarr(f.toSeq.sorted)},""").getOrElse("")
     val compact =
       s"""{"metric":"total","value":${fmt(totalWall)},"unit":"sec","sf":"$sfDir",""" +
+        filterLabel +
         s""""n_queries":${results.size},""" +
         s""""queries":${jmap(headline.map { case (n, t) => shortKey(n) -> fmt(t.wallSec) })},""" +
         s""""families":${jmap(famTotals)},""" +
@@ -397,7 +406,7 @@ object Bench {
     // advice — a contaminated run must fail loudly, not ship numbers)
     val dirtyLine =
       s"""{"metric":"host_dirty","value":${otherCpuRun.map(fmt).getOrElse("null")},"unit":"other_cpu_sec",""" +
-        s""""sf":"$sfDir","host":$hostJson,""" +
+        s""""sf":"$sfDir",""" + filterLabel + s""""host":$hostJson,""" +
         s""""total_wall_sec_untrusted":${fmt(totalWall)},""" +
         s""""failed":${jarr(failed.sorted.map(shortKey))},""" +
         s""""started_at":"$startedAt","ended_at":"$endedAt","detail":"bench_full.json"}"""
@@ -412,6 +421,7 @@ object Bench {
     val rebuilt = SessionCache.rebuiltAfterRelease(spark)
     val full =
       s"""{"metric":"total","value":${fmt(totalWall)},"unit":"sec","sf":"$sfDir",""" +
+        filterLabel +
         s""""queries":${jmap(results.map { case (n, t) => n -> fmt(t.wallSec) }.toSeq)},""" +
         s""""cpu":${jmap(results.map { case (n, t) => n -> fmt(t.cpuSec) }.toSeq)},""" +
         s""""queries_warm":${jmap(warmResults.map { case (n, t) => n -> fmt(t.wallSec) }.toSeq)},""" +
