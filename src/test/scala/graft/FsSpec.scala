@@ -1,14 +1,12 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 /** Pins Fs.sweepStaleScratch's ownership rules, including the round-12
   * grace margin: a live process whose startInstant is within 60 s AFTER
   * a dir's mtime may still be the true owner (start-time and mtime come
   * from different clocks — NTP slew / coarse mtime granularity), so only
   * clearly-later starts count as a recycled pid.
   */
-class FsSpec extends AnyFunSuite {
+class FsSpec extends SparkSpec {
 
   test("sweepStaleScratch: live owner within the 60s grace is kept, clearly-later start is swept, dead pid is swept, own dir is kept") {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
@@ -43,8 +41,6 @@ class FsSpec extends AnyFunSuite {
   }
 
   test("readBatchDirs evaluates the empty-frame schema only on the zero-batch path") {
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
     val base = java.nio.file.Files.createTempDirectory("graft_fsspec_rbd").toFile
     try {
       // batch dir present: by-name schema must NOT be forced
