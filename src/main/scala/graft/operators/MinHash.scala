@@ -674,9 +674,18 @@ object MinHash {
       val nbr = sym
         .join(labels.select(col("v").as("id_b"), col("label").as("nl")), "id_b")
         .groupBy(col("id_a").as("v")).agg(min(col("nl")).as("nl"))
+      // localCheckpoint before the self-join below: `prop` feeds BOTH
+      // sides of the pointer jump, and exchange reuse does NOT cover the
+      // duplication — measured round-12 (sf0.1 edges, broadcast disabled
+      // to expose the cluster-scale plan): un-checkpointed the round
+      // plan is 9 SortMergeJoins / 17 Exchanges with only ONE
+      // ReusedExchange (the propagation join+agg computed twice);
+      // checkpointed it is 4 Exchanges. One |V|-row materialization per
+      // round buys computing the propagation pass once.
       val prop = labels.join(nbr, Seq("v"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
       // Pointer jump: every label IS a vertex id present in `labels`
       // (initial label = v; propagation only installs other vertices'
       // labels), so the lookup joins on the same vertex-id partitioning.

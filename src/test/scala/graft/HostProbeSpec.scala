@@ -61,9 +61,41 @@ class HostProbeSpec extends AnyFunSuite {
     procs.foreach(_.waitFor())
     val other = (Bench.systemBusySec().get - b0) - (processCpuOfSelf() - p0)
     // 4 loops × 2.5 s ≈ 10 cpu-sec; demand at least half to stay robust
-    // under scheduler jitter — the point is the signal is unmistakable
-    assert(other >= nLoops * 2.5 * 0.5,
+    // under scheduler jitter — the point is the signal is unmistakable.
+    // Total busy CPU is bounded by ncpus × wall, so on a host with
+    // fewer cores than loops the expectation scales down to what the
+    // machine can physically burn (round-12 advice: the unscaled bound
+    // is unattainable on ≤2-cpu CI hosts).
+    val effLoops = math.min(nLoops, Runtime.getRuntime.availableProcessors())
+    assert(other >= effLoops * 2.5 * 0.5,
       s"busy-loops burned $other other-cpu-sec — probe missed the contention")
+  }
+
+  test("warmOutliers: >1.5x warm trips the rail, the 0.2s noise floor and missing warm entries don't") {
+    val cold = Seq("a" -> 1.18, "b" -> 10.0, "c" -> 0.10, "d" -> 2.0, "e" -> 1.0)
+    val warm = Seq(
+      "a" -> 2.27,  // round-12 shape (t12_tfidf): 1.9x and +1.09s -> outlier
+      "b" -> 14.0,  // 1.4x: under the ratio threshold despite +4s
+      "c" -> 0.25,  // 2.5x but only +0.15s: under the noise floor
+      "d" -> 3.01)  // 1.5x + eps and +1.01s -> outlier ("e" has no warm run)
+    assert(Bench.warmOutliers(cold, warm) ===
+      Seq(("a", 1.18, 2.27), ("d", 2.0, 3.01)))
+    // exactly 1.5x is NOT an outlier (the rail is strict >)
+    assert(Bench.warmOutliers(Seq("x" -> 2.0), Seq("x" -> 3.0)).isEmpty)
+    assert(Bench.warmOutliers(cold, Nil).isEmpty)
+  }
+
+  test("calibrateThroughput: positive scores, and ncpus threads beat one thread on a multi-core host") {
+    val st = Bench.calibrateThroughput(1, millis = 150)
+    assert(st > 0.0)
+    val n = Runtime.getRuntime.availableProcessors()
+    if (n >= 4) {
+      val mt = Bench.calibrateThroughput(n, millis = 150)
+      // n independent register-arithmetic loops must out-throughput one
+      // even under SMT and ambient load; 1.5x is far below the real
+      // scaling (~n x) but can't flake
+      assert(mt > 1.5 * st, s"mt=$mt st=$st on $n cpus")
+    }
   }
 
   private def processCpuOfSelf(): Double =
