@@ -120,6 +120,25 @@ object Bench {
       }
     } catch { case _: Exception => None }
 
+  /** Cumulative hypervisor STEAL cpu-seconds since boot (/proc/stat
+    * aggregate field 8): cycles the hypervisor gave to co-tenant VMs on
+    * the physical host. Broken out separately because steal is busy CPU
+    * that NO process in this VM owns, so it lands in other_cpu_sec with
+    * nothing in the process census to explain it — measured round 13:
+    * a 755 s bench carried 934.7 other-cpu-sec while every in-VM
+    * process was idle (field-level /proc/stat sampling showed steal at
+    * ~2.2 cores during the run). A high steal_sec next to a clean JVM
+    * census says "physical-host co-tenants", not "something in this VM"
+    * — and it is the measured mechanism behind wall drift at flat
+    * process CPU across rounds. None on non-Linux.
+    */
+  private[graft] def systemStealSec(): Option[Double] =
+    try {
+      val f = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+      if (f(0) != "cpu" || f.length < 9) None else Some(f(8).toLong / 100.0)
+    } catch { case _: Exception => None }
+
   /** Cumulative cgroup-v2 CPU throttling for this container, seconds.
     * 0.0 when the file or field is absent (bare metal / cgroup v1).
     */
@@ -298,6 +317,7 @@ object Bench {
     val calibSt0 = calibrateThroughput(1)
     val calibMt0 = calibrateThroughput(ncpus0)
     val sysBusy0 = systemBusySec()
+    val sysSteal0 = systemStealSec()
     val throttled0 = cgroupThrottledSec()
     val runProcCpu0 = processCpuSec()
     val runWall0 = System.nanoTime()
@@ -424,6 +444,8 @@ object Bench {
     val ncpus = ncpus0
     val otherCpuRun = for (b0 <- sysBusy0; b1 <- systemBusySec())
       yield math.max(0.0, (b1 - b0) - (processCpuSec() - runProcCpu0))
+    val stealRun = for (s0 <- sysSteal0; s1 <- systemStealSec())
+      yield math.max(0.0, s1 - s0)
     val throttledRun = cgroupThrottledSec() - throttled0
     // end-of-run calibration: Spark's executor threads are idle here
     // (all queries done), so a depressed score means EXTERNAL pressure
@@ -447,6 +469,7 @@ object Bench {
         s""""max_heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},""" +
         s""""run_wall_sec":${fmt(runWallSec)},""" +
         s""""other_cpu_sec":${otherCpuRun.map(fmt).getOrElse("null")},""" +
+        s""""steal_sec":${stealRun.map(fmt).getOrElse("null")},""" +
         s""""throttled_sec":${fmt(throttledRun)},""" +
         s""""calib_st_mops_start":${fmt(calibSt0)},""" +
         s""""calib_mt_mops_start":${fmt(calibMt0)},""" +

@@ -45,6 +45,12 @@ class HostProbeSpec extends AnyFunSuite {
     val b1 = Bench.systemBusySec()
     assert(b1.get >= b0.get, "system busy cpu-sec must be monotonic")
     assert(Bench.cgroupThrottledSec() >= 0.0)
+    // steal probe: readable on Linux, non-negative, monotonic, and
+    // bounded by total busy (steal is a subset of the busy fields)
+    val s0 = Bench.systemStealSec()
+    assert(s0.nonEmpty && s0.get >= 0.0)
+    assert(Bench.systemStealSec().get >= s0.get)
+    assert(s0.get <= Bench.systemBusySec().get)
     val self = ProcessHandle.current().pid()
     assert(Bench.otherJvms().forall(_._1 != self))
   }
