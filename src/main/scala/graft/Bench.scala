@@ -386,13 +386,18 @@ object Bench {
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Timing)]
     val warmResults = scala.collection.mutable.ArrayBuffer.empty[(String, Timing)]
-    val memStats = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double, Option[Double])]
+    val memStats = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double, Option[Double], Option[Double])]
     for ((fam, qs) <- families) {
       var peakHeap = 0L
       val gc0 = gcSec()
       // host sample bracketing the family: cpu-sec burned by OTHER
-      // processes while this family ran = system busy delta − own delta
+      // processes while this family ran = system busy delta − own
+      // delta, plus the hypervisor-steal share of it — per-family steal
+      // localizes WHICH families a co-tenant burst landed on (round 13:
+      // run-level steal was 95% of ambient, and the family brackets
+      // were what adjudicated the e/s/v watch rows)
       val sysBusyFam0 = systemBusySec()
+      val sysStealFam0 = systemStealSec()
       val procCpuFam0 = processCpuSec()
       val firstPass = scala.collection.mutable.Map.empty[String, Timing]
       for ((name, fn) <- qs.sortBy(_._1)) {
@@ -426,7 +431,9 @@ object Bench {
         .map { case (max, remaining) => max - remaining }.sum / (1024 * 1024)
       val otherCpuFam = for (b0 <- sysBusyFam0; b1 <- systemBusySec())
         yield math.max(0.0, (b1 - b0) - (processCpuSec() - procCpuFam0))
-      memStats += ((fam, peakHeap, storageMb, gcSec() - gc0, otherCpuFam))
+      val stealFam = for (s0 <- sysStealFam0; s1 <- systemStealSec())
+        yield math.max(0.0, s1 - s0)
+      memStats += ((fam, peakHeap, storageMb, gcSec() - gc0, otherCpuFam, stealFam))
     }
     val failed = results.collect { case (n, t) if !t.ok => n }.toSeq
 
@@ -547,9 +554,10 @@ object Bench {
         s""""queries":${jmap(results.map { case (n, t) => n -> fmt(t.wallSec) }.toSeq)},""" +
         s""""cpu":${jmap(results.map { case (n, t) => n -> fmt(t.cpuSec) }.toSeq)},""" +
         s""""queries_warm":${jmap(warmResults.map { case (n, t) => n -> fmt(t.wallSec) }.toSeq)},""" +
-        s""""mem":${jmap(memStats.map { case (f, h, s, g, oc) =>
+        s""""mem":${jmap(memStats.map { case (f, h, s, g, oc, st) =>
             f -> (s"""{"peak_heap_mb":$h,"storage_mb_after_release":$s,"gc_sec":${fmt(g)},""" +
-              s""""other_cpu_sec":${oc.map(fmt).getOrElse("null")}}""") }.toSeq)},""" +
+              s""""other_cpu_sec":${oc.map(fmt).getOrElse("null")},""" +
+              s""""steal_sec":${st.map(fmt).getOrElse("null")}}""") }.toSeq)},""" +
         s""""host":$hostJson,""" +
         s""""rebuilt_after_release":${jarr(rebuilt)},""" +
         s""""warm_outliers":${jmap(outliers.map { case (n, c, w) =>
