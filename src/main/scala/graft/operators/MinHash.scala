@@ -671,30 +671,7 @@ object MinHash {
     var converged = false
     var rounds = 0
     while (!converged && rounds < bound) {
-      val nbr = sym
-        .join(labels.select(col("v").as("id_b"), col("label").as("nl")), "id_b")
-        .groupBy(col("id_a").as("v")).agg(min(col("nl")).as("nl"))
-      // localCheckpoint before the self-join below: `prop` feeds BOTH
-      // sides of the pointer jump, and exchange reuse does NOT cover the
-      // duplication — measured round-12 (sf0.1 edges, broadcast disabled
-      // to expose the cluster-scale plan): un-checkpointed the round
-      // plan is 9 SortMergeJoins / 17 Exchanges with only ONE
-      // ReusedExchange (the propagation join+agg computed twice);
-      // checkpointed it is 4 Exchanges. One |V|-row materialization per
-      // round buys computing the propagation pass once.
-      val prop = labels.join(nbr, Seq("v"), "left")
-        .select(col("v"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint()
-      // Pointer jump: every label IS a vertex id present in `labels`
-      // (initial label = v; propagation only installs other vertices'
-      // labels), so the lookup joins on the same vertex-id partitioning.
-      val next = prop.alias("a")
-        .join(prop.select(col("v").as("jp"), col("label").as("jl")),
-          col("a.label") === col("jp"), "left")
-        .select(col("a.v").as("v"),
-          least(col("a.label"), coalesce(col("jl"), col("a.label"))).as("label"))
-        .localCheckpoint()
+      val next = ccRound(sym, labels).localCheckpoint()
       val changed = next.join(labels.select(col("v"), col("label").as("prev")), "v")
         .filter(col("label") =!= col("prev")).count()
       labels = next
@@ -703,6 +680,36 @@ object MinHash {
     }
     require(converged, s"connected components did not converge in $bound rounds")
     labels
+  }
+
+  /** One jump-propagate round of [[connectedComponents]], exposed so
+    * PlanSpec can pin its physical shape. `prop` is localCheckpointed
+    * before the self-join below because it feeds BOTH sides of the
+    * pointer jump and exchange reuse does NOT cover the duplication —
+    * measured round-13 (sf0.1 edges, broadcast disabled to expose the
+    * cluster-scale plan): un-checkpointed the round plan is
+    * 9 SortMergeJoins / 17 Exchanges with only ONE ReusedExchange (the
+    * propagation join+agg computed twice); checkpointed it is
+    * 4 Exchanges. One |V|-row materialization per round buys computing
+    * the propagation pass once — measured at sf1: d30's closure dropped
+    * 249.8 → 98.5 cpu-s.
+    */
+  private[graft] def ccRound(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val nbr = sym
+      .join(labels.select(col("v").as("id_b"), col("label").as("nl")), "id_b")
+      .groupBy(col("id_a").as("v")).agg(min(col("nl")).as("nl"))
+    val prop = labels.join(nbr, Seq("v"), "left")
+      .select(col("v"),
+        least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      .localCheckpoint()
+    // Pointer jump: every label IS a vertex id present in `labels`
+    // (initial label = v; propagation only installs other vertices'
+    // labels), so the lookup joins on the same vertex-id partitioning.
+    prop.alias("a")
+      .join(prop.select(col("v").as("jp"), col("label").as("jl")),
+        col("a.label") === col("jp"), "left")
+      .select(col("a.v").as("v"),
+        least(col("a.label"), coalesce(col("jl"), col("a.label"))).as("label"))
   }
 
   /** D: near-dup clusters from CONVERGED connected components — same

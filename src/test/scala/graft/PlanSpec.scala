@@ -529,6 +529,41 @@ class PlanSpec extends SparkSpec {
         s"edge side reshuffled:\n$s")
   }
 
+  test("cc jump-propagate round: the propagation pass is materialized once, both self-join sides scan it") {
+    // Broadcast disabled so the plan takes its cluster-scale shape.
+    // Un-checkpointed, the propagation subtree (edges⋈labels → agg →
+    // labels⋈nbr) duplicates under BOTH sides of the pointer-jump
+    // self-join and exchange reuse does not cover it (measured: 9
+    // SortMergeJoins / 17 Exchanges per round). Checkpointed, the round
+    // plan is ONE join whose two inputs scan the materialized `prop` —
+    // no aggregate, no edge join, bounded exchanges. This is the plan
+    // fact behind the sf1 d30 win (249.8 → 98.5 cpu-s).
+    val edges = spark.range(1, 40)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val sym = edges.unionByName(
+      edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val labels = sym.select(col("id_a").as("v")).distinct()
+      .withColumn("label", col("v")).localCheckpoint()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val round = graft.operators.MinHash.ccRound(sym, labels)
+      round.collect()
+      val nodes = allNodes(round.queryExecution.executedPlan)
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+        s"propagation aggregate leaked into the round plan (checkpoint removed?): ${nodes.map(_.nodeName).mkString(", ")}")
+      assert(nodes.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]) == 1,
+        s"round plan should contain exactly the pointer-jump join: ${nodes.map(_.nodeName).mkString(", ")}")
+      assert(nodes.count(_.nodeName.contains("Scan ExistingRDD")) >= 2,
+        s"both self-join sides should scan the checkpointed prop: ${nodes.map(_.nodeName).mkString(", ")}")
+      assert(nodes.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) <= 4,
+        s"round plan exchange count regressed: ${nodes.map(_.nodeName).mkString(", ")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("v13 tombstoned probe keeps cid partition pruning and anti-joins broadcast tombstones") {
     val df = graft.operators.Ivf.annTopKIvfTombstoned(spark, sfDir)
     df.collect()
