@@ -75,6 +75,15 @@ import org.apache.spark.sql.functions._
   * line with the evidence and exits non-zero, so a contaminated run can
   * never be mistaken for a perf regression again. bench_full.json keeps
   * the full host record either way.
+  *
+  * Round-13 additions: `steal_sec` (hypervisor steal, run-level and per
+  * family next to the other-cpu brackets — on this shared host steal IS
+  * ~95% of ambient and is induced by our own load, see
+  * [[systemStealSec]]), `calib_{st,mt}_mops_{start,end}` (fixed
+  * busy-loop throughput scores, see [[calibrateThroughput]]) so wall
+  * drift at flat CPU is attributable by measurement, and
+  * `warm_outliers` (warm > 1.5× cold, see [[warmOutliers]]) so the
+  * criterion-1 warm/cold rail is machine-checked.
   */
 object Bench {
   def forceAll(df: DataFrame): Unit = {
