@@ -104,6 +104,31 @@ class HostProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("the bench artifact on disk is strict JSON carrying the rails fields") {
+    // Pins the artifact contract end-to-end on real output (incl. the
+    // round-12 escaping fix: a JVM census cmd with a quote/backslash
+    // must not corrupt the record). The file is either the committed
+    // bench of record or a driver/builder run — both come from
+    // Bench.main, so the structural contract is identical; values are
+    // NOT asserted (a deliberately-dirty diagnostic run is still a
+    // well-formed artifact).
+    val p = java.nio.file.Paths.get("bench_full.json")
+    assume(java.nio.file.Files.exists(p), "no bench_full.json in cwd")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(p)) // throws on invalid JSON
+    for (f <- Seq("value", "cpu_sec", "queries", "cpu", "queries_warm",
+                  "mem", "host", "warm_outliers", "failed",
+                  "rebuilt_after_release", "started_at"))
+      assert(root.has(f), s"artifact missing '$f'")
+    assert(root.get("failed").isArray && root.get("rebuilt_after_release").isArray)
+    val host = root.get("host")
+    for (f <- Seq("clean", "ncpus", "max_heap_mb", "other_cpu_sec",
+                  "steal_sec", "throttled_sec", "calib_st_mops_start",
+                  "calib_mt_mops_end", "other_jvms_at_start"))
+      assert(host.has(f), s"host record missing '$f'")
+    assert(host.get("other_jvms_at_start").isArray)
+  }
+
   private def processCpuOfSelf(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
