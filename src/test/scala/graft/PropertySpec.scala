@@ -13,6 +13,34 @@ class PropertySpec extends AnyFunSuite {
 
   private lazy val spark = SparkSpec.session
 
+  test("warmOutliers invariants hold on generated timing tables") {
+    // the warm/cold rail decides which queries demand an isolated
+    // breakdown — its edge behavior must be exact on any input: sound
+    // (everything returned really violates the rail), complete (every
+    // violator with a warm run is returned), values copied faithfully,
+    // output sorted
+    val gen = for {
+      names <- Gen.listOfN(30, Gen.identifier.map(_.take(8))).map(_.distinct)
+      cold <- Gen.listOfN(names.size, Gen.chooseNum(0.01, 20.0))
+      warmSubset <- Gen.someOf(names)
+      warm <- Gen.listOfN(warmSubset.size, Gen.chooseNum(0.01, 40.0))
+    } yield (names.zip(cold), warmSubset.toSeq.zip(warm))
+    for (_ <- 1 to 200) {
+      val (cold, warm) = gen.sample.getOrElse(sys.error("gen failed"))
+      val coldM = cold.toMap
+      val out = Bench.warmOutliers(cold, warm)
+      assert(out.map(_._1) == out.map(_._1).sorted)
+      for ((n, c, w) <- out) {
+        assert(coldM(n) == c && warm.toMap.apply(n) == w)
+        assert(w > 1.5 * c && w - c > 0.2, s"$n $c $w not a violation")
+      }
+      val returned = out.map(_._1).toSet
+      for ((n, w) <- warm if coldM.contains(n))
+        if (w > 1.5 * coldM(n) && w - coldM(n) > 0.2)
+          assert(returned(n), s"missed violator $n cold=${coldM(n)} warm=$w")
+    }
+  }
+
   test("hemisphere format: sign encodes into suffix, magnitude round-trips") {
     import spark.implicits._
     val coords = Gen.listOfN(50, Gen.chooseNum(-17999, 17999)).sample.get
