@@ -95,13 +95,64 @@ class HostProbeSpec extends AnyFunSuite {
     val st = Bench.calibrateThroughput(1, millis = 150)
     assert(st > 0.0)
     val n = Runtime.getRuntime.availableProcessors()
-    if (n >= 4) {
+    // round-13 advice: a cgroup-quota'd container can report 4+
+    // processors while the EFFECTIVE quota is <2 cores, making the
+    // multi-thread bound physically unattainable — gate on the quota,
+    // not just the processor count
+    val quotaOk = Bench.cgroupCpuQuota().forall(_ >= 2.0)
+    if (n >= 4 && quotaOk) {
       val mt = Bench.calibrateThroughput(n, millis = 150)
       // n independent register-arithmetic loops must out-throughput one
       // even under SMT and ambient load; 1.5x is far below the real
       // scaling (~n x) but can't flake
       assert(mt > 1.5 * st, s"mt=$mt st=$st on $n cpus")
     }
+  }
+
+  test("cgroupCpuQuota parses to a positive core count or None") {
+    // live read: unlimited ("max") and absent file are both None; a
+    // quota'd container must come back positive
+    Bench.cgroupCpuQuota().foreach(q => assert(q > 0.0))
+  }
+
+  test("jsonEscape: control characters, quotes and backslashes all survive a JSON round-trip") {
+    val nasty = "a\"b\\c\nd\te\rfgh plain"
+    val escaped = Bench.jsonEscape(nasty)
+    // the escaped body must be embeddable: parse it back with a real
+    // JSON parser and recover the original string exactly
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(s"""{"s":"$escaped"}""")
+    assert(node.get("s").asText() === nasty)
+    // and printable ASCII is untouched
+    assert(Bench.jsonEscape("plain /path-to_java.17") === "plain /path-to_java.17")
+  }
+
+  test("recordFresh: a back-dated record is refused, a post-commit record passes, both timestamp shapes parse") {
+    // the round-13 breach, verbatim: record started 15:38:30Z, last
+    // src/main commit 16:33:42+00:00 -> STALE (the gate fires)
+    assert(!Bench.recordFresh("2026-08-15T15:38:30.123456789Z",
+                              "2026-08-15T16:33:42+00:00"))
+    // the compliant shape: record started after the last code commit
+    assert(Bench.recordFresh("2026-08-15T18:16:02.448414590Z",
+                             "2026-08-15T16:33:42+00:00"))
+    // equality is NOT fresh (strict >): a commit in the same instant as
+    // the run start cannot prove which code ran
+    assert(!Bench.recordFresh("2026-08-15T16:00:00Z",
+                              "2026-08-15T16:00:00+00:00"))
+    // offset other than Z/UTC normalizes before comparing
+    assert(Bench.recordFresh("2026-08-15T10:00:01Z",
+                             "2026-08-15T12:00:00+02:00"))
+  }
+
+  test("the live git provenance probes answer on this repo") {
+    // in this checkout git must be present: head sha, a last-commit
+    // timestamp recordFresh can parse, and a clean/dirty verdict
+    assume(Bench.gitHeadSha().isDefined, "git unavailable")
+    val last = Bench.lastSrcMainCommitIso()
+    assert(last.isDefined)
+    // parses and is in the past relative to "now"
+    assert(Bench.recordFresh(java.time.Instant.now().toString, last.get))
+    assert(Bench.srcMainDirty().isDefined)
   }
 
   test("the bench artifact on disk is strict JSON carrying the rails fields") {
@@ -124,7 +175,8 @@ class HostProbeSpec extends AnyFunSuite {
     val host = root.get("host")
     for (f <- Seq("clean", "ncpus", "max_heap_mb", "other_cpu_sec",
                   "steal_sec", "throttled_sec", "calib_st_mops_start",
-                  "calib_mt_mops_end", "other_jvms_at_start"))
+                  "calib_mt_mops_end", "git_head", "last_src_commit",
+                  "src_main_dirty", "other_jvms_at_start"))
       assert(host.has(f), s"host record missing '$f'")
     assert(host.get("other_jvms_at_start").isArray)
   }

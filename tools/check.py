@@ -16,10 +16,48 @@ Also gates PLANS.md freshness: every query name in the run must have a
 PLANS.md stale; a reminder demonstrably does not work, a failing check
 does.
 """
-import sys, os, json, math
+import sys, os, json, math, re, subprocess
+from datetime import datetime
 from decimal import Decimal
 import duckdb
 import pyarrow.parquet as pq
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+def parse_iso(s):
+    s = re.sub(r"(\.\d{1,6})\d*", r"\1", s.strip())  # ns -> us precision
+    return datetime.fromisoformat(re.sub(r"Z$", "+00:00", s))
+
+def record_freshness():
+    """The mechanized record-freshness rail (round-13 judge item 1):
+    the COMMITTED bench of record's started_at must strictly postdate
+    the last src/main commit — the r13 record was started before three
+    later code commits and only prose flagged it. Compares HEAD copies
+    (not the working tree: the driver legitimately overwrites
+    bench_full.json post-round). Returns None when unverifiable (no git,
+    no committed record), an error string when STALE, "" when fresh."""
+    def git(*a):
+        r = subprocess.run(["git", *a], capture_output=True, text=True, cwd=REPO)
+        return r.stdout.strip() if r.returncode == 0 else None
+    rec = git("show", "HEAD:bench_full.json")
+    last = git("log", "-1", "--format=%cI", "--", "src/main")
+    if rec is None or not last:
+        return None
+    try:
+        meta = json.loads(rec)
+        started = parse_iso(meta["started_at"])
+    except (ValueError, KeyError) as e:
+        return f"committed bench_full.json unparseable: {e}"
+    if started <= parse_iso(last):
+        return (f"STALE RECORD: committed bench_full.json started_at "
+                f"{meta['started_at']} does not postdate the last src/main "
+                f"commit {last} — re-run the bench after the final code "
+                f"commit and commit the new artifact")
+    dirty = meta.get("host", {}).get("src_main_dirty")
+    if dirty is True:
+        return ("DIRTY RECORD: committed bench_full.json was produced from "
+                "uncommitted src/main changes (host.src_main_dirty=true)")
+    return ""
 
 def norm(v):
     if isinstance(v, float):
@@ -96,9 +134,18 @@ def main():
     for name in plans_missing:
         print(f"  ✗ {name}: NO PLAN SECTION in PLANS.md (regenerate: "
               f'sbt "runMain graft.Explain" > PLANS.md)')
+    # bench-of-record freshness gate (see record_freshness)
+    fresh_err = record_freshness()
+    if fresh_err:
+        print(f"  ✗ bench_full.json: {fresh_err}")
+    elif fresh_err is None:
+        print("  ~ record freshness: unverifiable (no git or no committed record)")
+    else:
+        print("  ✓ bench_full.json: committed record postdates last src/main commit")
     print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noora} "
-          f"PLANS_MISSING={len(plans_missing)}")
-    sys.exit(1 if (n_fail or plans_missing) else 0)
+          f"PLANS_MISSING={len(plans_missing)} "
+          f"RECORD_FRESH={'unknown' if fresh_err is None else not fresh_err}")
+    sys.exit(1 if (n_fail or plans_missing or fresh_err) else 0)
 
 if __name__ == "__main__":
     main()
