@@ -16,57 +16,85 @@ trait RelationalQuality extends RelationalBase {
 
   // DQ: expectations-style data-quality report — null rate, domain
   // violations, duplicate keys, and FK orphans, each a (check, count)
-  // row. The FK checks are anti-join counts; everything else folds into
-  // single aggregates so the whole report is a handful of passes that
-  // each scan one table once.
+  // row. All scalar expectations AND the FK-orphan count fold into ONE
+  // lineitem scan: the FK check is a broadcast left join against the
+  // distinct order-key set with a presence marker, counted alongside
+  // the null/domain checks in a single aggregate, unpivoted to rows
+  // with explode (a per-check re-select of the 1-row aggregate would
+  // re-execute the scan per union branch). The duplicate-key check is
+  // the one irreducible second pass (it needs a per-key groupBy). Two
+  // fact scans total, down from six; at 100 TB the orphan marker join
+  // stays broadcast (key-only build side) or falls back to a key-only
+  // shuffle, never a second full fact pass.
   def qualityReport(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     val orders = Tables.load(spark, dir, "orders")
     def checkRow(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("check"), col("violations").cast(LongType),
         col("checked").cast(LongType))
-    val scalarChecks = li.agg(
-      count(when(col("l_quantity").isNull, 1)).as("null_qty"),
-      count(when(!col("l_discount").between(0.0, 1.0), 1)).as("bad_discount"),
-      count(when(col("l_shipdate").isNull, 1)).as("null_shipdate"),
-      count(lit(1)).as("checked"))
+    val joined = li
+      .select(col("l_quantity"), col("l_discount"), col("l_shipdate"),
+        col("l_orderkey"))
+      .join(broadcast(orders.select(col("o_orderkey").as("l_orderkey"))
+        .distinct().withColumn("_hit", lit(1))), Seq("l_orderkey"), "left")
+    val scalarRows = joined.agg(
+        count(when(col("l_quantity").isNull, 1)).as("null_qty"),
+        count(when(!col("l_discount").between(0.0, 1.0), 1)).as("bad_discount"),
+        count(when(col("l_shipdate").isNull, 1)).as("null_shipdate"),
+        count(when(col("_hit").isNull, 1)).as("orph"),
+        count(lit(1)).as("checked"))
+      .select(explode(array(
+        struct(lit("null_quantity").as("check"), col("null_qty").as("violations")),
+        struct(lit("discount_in_unit_range").as("check"), col("bad_discount").as("violations")),
+        struct(lit("null_shipdate").as("check"), col("null_shipdate").as("violations")),
+        struct(lit("orderkey_fk").as("check"), col("orph").as("violations")))).as("e"),
+        col("checked"))
+      .select(col("e.check").as("check"), col("e.violations").cast(LongType).as("violations"),
+        col("checked").cast(LongType))
     val dupKeys = li.groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(count(lit(1)).as("n"))
       .agg(count(when(col("n") > 1, 1)).as("violations"), count(lit(1)).as("checked"))
-    val orphans = li.select(col("l_orderkey"))
-      .join(orders.select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("violations"))
-      .crossJoin(li.agg(count(lit(1)).as("checked")))
-    checkRow("null_quantity", scalarChecks
-        .select(col("null_qty").as("violations"), col("checked")))
-      .unionAll(checkRow("discount_in_unit_range", scalarChecks
-        .select(col("bad_discount").as("violations"), col("checked"))))
-      .unionAll(checkRow("null_shipdate", scalarChecks
-        .select(col("null_shipdate").as("violations"), col("checked"))))
+    scalarRows
       .unionAll(checkRow("unique_line_key", dupKeys))
-      .unionAll(checkRow("orderkey_fk", orphans))
       .orderBy(col("check"))
   }
 
   // DQ: full REFERENTIAL-INTEGRITY audit — every FK edge of the schema
-  // as one (fk, n_rows, n_orphans, orphan_rate) row. Each edge is an
-  // anti-join of the fact against the BROADCAST distinct key set of its
-  // dimension (dims are always the small side here), so the audit costs
-  // one scan per fact table and zero shuffles of fact rows; at 100 TB
-  // the per-edge plan is the same broadcast anti-join, with the largest
-  // dims falling back to a key-only shuffle. Null/missing FK semantics
-  // follow the anti-join (a NULL key counts as an orphan) — the oracle
-  // uses NOT EXISTS, which matches, where NOT IN would not.
+  // as one (fk, n_rows, n_orphans, orphan_rate) row. Edges are grouped
+  // by fact table so each fact is scanned ONCE (FK columns only): every
+  // edge left-joins the BROADCAST distinct key set of its dimension
+  // with a presence marker, and a single aggregate counts rows plus
+  // per-edge missing markers, unpivoted to rows with explode (NOT a
+  // per-edge re-select, which would re-execute the scan). The naive
+  // one-anti-join-per-edge form pays two fact scans per edge — 6×
+  // lineitem here, ruinous at 100 TB; this form pays one scan per fact,
+  // zero shuffles of fact rows, with the largest dims falling back to a
+  // key-only shuffle. Null/missing FK semantics match the anti-join (a
+  // NULL key never equi-matches, so it counts as an orphan) — the
+  // oracle uses NOT EXISTS, which matches, where NOT IN would not.
   def fkIntegrityReport(spark: SparkSession, dir: String): DataFrame = {
     def t(n: String) = Tables.load(spark, dir, n)
-    FkEdges.map { case (name, factT, fk, dimT, pk) =>
-      val fact = t(factT)
-      val orph = fact.select(col(fk))
-        .join(broadcast(t(dimT).select(col(pk).as(fk)).distinct()), Seq(fk), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      fact.agg(count(lit(1)).as("n_rows")).crossJoin(orph)
-        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+    val factsInOrder = FkEdges.map(_._2).distinct
+    factsInOrder.map { factT =>
+      val edges = FkEdges.filter(_._2 == factT)
+      val joined = edges.zipWithIndex.foldLeft(
+        t(factT).select(edges.map(e => col(e._3)): _*)) {
+        case (df, ((_, _, fk, dimT, pk), i)) =>
+          df.join(
+            broadcast(t(dimT).select(col(pk).as(fk)).distinct()
+              .withColumn(s"_hit$i", lit(1))),
+            Seq(fk), "left")
+      }
+      val orphanCounts = edges.zipWithIndex.map { case (_, i) =>
+        count(when(col(s"_hit$i").isNull, 1)).as(s"_orph$i")
+      }
+      val perEdge = array(edges.zipWithIndex.map { case ((name, _, _, _, _), i) =>
+        struct(lit(name).as("fk"), col(s"_orph$i").as("n_orphans"))
+      }: _*)
+      joined
+        .agg(count(lit(1)).as("n_rows"), orphanCounts: _*)
+        .select(explode(perEdge).as("e"), col("n_rows"))
+        .select(col("e.fk"), col("n_rows"), col("e.n_orphans"))
     }.reduce(_.unionAll(_))
       .withColumn("orphan_rate",
         round(col("n_orphans").cast(DoubleType) / col("n_rows"), 6))

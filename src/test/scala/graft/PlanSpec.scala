@@ -135,6 +135,38 @@ class PlanSpec extends SparkSpec {
     assert(docScans == 0, s"$docScans documents scans in the shard-export plan")
   }
 
+  test("dq04 FK audit scans each fact table once, joins broadcast-only") {
+    // the naive form (one anti-join + one count per edge) pays two fact
+    // scans per edge — 6× lineitem; the grouped form must scan each
+    // fact exactly once (facts with several edges: lineitem 3, nothing
+    // else shares a scan budget) and resolve every edge as a broadcast
+    // join of the dim key set
+    val df = Relational.fkIntegrityReport(spark, sfDir)
+    df.collect()
+    val scans = allScans(df.queryExecution.executedPlan)
+    def tableScans(t: String) =
+      scans.count(_.metadata.getOrElse("Location", "").contains(t))
+    assert(tableScans("lineitem") == 1,
+      s"${tableScans("lineitem")} lineitem scans — the 3 lineitem edges must share one pass")
+    assert(tableScans("events") == 1, s"${tableScans("events")} events scans")
+    // orders: once as a fact (o_custkey edge) + once as l_orderkey's dim
+    assert(tableScans("orders") == 2, s"${tableScans("orders")} orders scans")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dq01 quality report folds scalar checks + FK orphans into one lineitem pass") {
+    val df = Relational.qualityReport(spark, sfDir)
+    df.collect()
+    val liScans = allScans(df.queryExecution.executedPlan)
+      .count(_.metadata.getOrElse("Location", "").contains("lineitem"))
+    // one combined scalar/orphan pass + the irreducible dup-key groupBy
+    assert(liScans == 2, s"$liScans lineitem scans — expected the two-pass shape")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("g04 k-core peel round: semi joins only, no cartesian, no window") {
     // one peel round on a tiny in-memory edge list — the shape every
     // round of the bounded peel executes at any scale
