@@ -17,15 +17,18 @@ trait RelationalQuality extends RelationalBase {
   // DQ: expectations-style data-quality report — null rate, domain
   // violations, duplicate keys, and FK orphans, each a (check, count)
   // row. All scalar expectations AND the FK-orphan count fold into ONE
-  // lineitem scan: the FK check is a broadcast left join against the
-  // distinct order-key set with a presence marker, counted alongside
-  // the null/domain checks in a single aggregate, unpivoted to rows
-  // with explode (a per-check re-select of the 1-row aggregate would
+  // lineitem scan: the FK check is a left join against the distinct
+  // order-key set with a presence marker, counted alongside the
+  // null/domain checks in a single aggregate, unpivoted to rows with
+  // explode (a per-check re-select of the 1-row aggregate would
   // re-execute the scan per union branch). The duplicate-key check is
   // the one irreducible second pass (it needs a per-key groupBy). Two
-  // fact scans total, down from six; at 100 TB the orphan marker join
-  // stays broadcast (key-only build side) or falls back to a key-only
-  // shuffle, never a second full fact pass.
+  // fact scans total, down from six. The key-set join carries NO
+  // broadcast hint on purpose: AQE picks broadcast from the ACTUAL
+  // distinct-key size (it does, at every test scale — PlanSpec pins
+  // it), and at 100 TB, where the key set outgrows executor memory, a
+  // forced hint would OOM where the planner's key-only shuffle is the
+  // correct fallback.
   def qualityReport(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     val orders = Tables.load(spark, dir, "orders")
@@ -35,8 +38,8 @@ trait RelationalQuality extends RelationalBase {
     val joined = li
       .select(col("l_quantity"), col("l_discount"), col("l_shipdate"),
         col("l_orderkey"))
-      .join(broadcast(orders.select(col("o_orderkey").as("l_orderkey"))
-        .distinct().withColumn("_hit", lit(1))), Seq("l_orderkey"), "left")
+      .join(orders.select(col("o_orderkey").as("l_orderkey"))
+        .distinct().withColumn("_hit", lit(1)), Seq("l_orderkey"), "left")
     val scalarRows = joined.agg(
         count(when(col("l_quantity").isNull, 1)).as("null_qty"),
         count(when(!col("l_discount").between(0.0, 1.0), 1)).as("bad_discount"),
@@ -62,16 +65,19 @@ trait RelationalQuality extends RelationalBase {
   // DQ: full REFERENTIAL-INTEGRITY audit — every FK edge of the schema
   // as one (fk, n_rows, n_orphans, orphan_rate) row. Edges are grouped
   // by fact table so each fact is scanned ONCE (FK columns only): every
-  // edge left-joins the BROADCAST distinct key set of its dimension
-  // with a presence marker, and a single aggregate counts rows plus
-  // per-edge missing markers, unpivoted to rows with explode (NOT a
-  // per-edge re-select, which would re-execute the scan). The naive
+  // edge left-joins the distinct key set of its dimension with a
+  // presence marker, and a single aggregate counts rows plus per-edge
+  // missing markers, unpivoted to rows with explode (NOT a per-edge
+  // re-select, which would re-execute the scan). The naive
   // one-anti-join-per-edge form pays two fact scans per edge — 6×
-  // lineitem here, ruinous at 100 TB; this form pays one scan per fact,
-  // zero shuffles of fact rows, with the largest dims falling back to a
-  // key-only shuffle. Null/missing FK semantics match the anti-join (a
-  // NULL key never equi-matches, so it counts as an orphan) — the
-  // oracle uses NOT EXISTS, which matches, where NOT IN would not.
+  // lineitem here, ruinous at 100 TB; this form pays one scan per fact.
+  // The dim joins are deliberately un-hinted: AQE broadcasts every dim
+  // key set at the scales it fits (PlanSpec pins broadcast-only plans),
+  // and a dim too big to broadcast degrades to a key-only shuffle of
+  // the fact's FK column instead of a forced-broadcast OOM. Null/
+  // missing FK semantics match the anti-join (a NULL key never
+  // equi-matches, so it counts as an orphan) — the oracle uses NOT
+  // EXISTS, which matches, where NOT IN would not.
   def fkIntegrityReport(spark: SparkSession, dir: String): DataFrame = {
     def t(n: String) = Tables.load(spark, dir, n)
     val factsInOrder = FkEdges.map(_._2).distinct
@@ -81,8 +87,8 @@ trait RelationalQuality extends RelationalBase {
         t(factT).select(edges.map(e => col(e._3)): _*)) {
         case (df, ((_, _, fk, dimT, pk), i)) =>
           df.join(
-            broadcast(t(dimT).select(col(pk).as(fk)).distinct()
-              .withColumn(s"_hit$i", lit(1))),
+            t(dimT).select(col(pk).as(fk)).distinct()
+              .withColumn(s"_hit$i", lit(1)),
             Seq(fk), "left")
       }
       val orphanCounts = edges.zipWithIndex.map { case (_, i) =>
