@@ -1186,14 +1186,19 @@ object TextAnalysis {
   def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
     val keyed = docs(spark, dir).select(col("doc_id"), col("source"),
       md5(col("doc_id").cast(StringType).cast(BinaryType)).as("h"))
-    val counts = keyed.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    // quota table: ONE corpus scan. The totals are global-window sums
+    // over the source-cardinality frame (bounded by |sources|, never
+    // data volume), and the tiny result is localCheckpoint'd because it
+    // feeds two consumers below — un-checkpointed, each reference
+    // re-executed the whole subtree, for 5 corpus scans where 2 suffice.
+    val everything = Window.partitionBy()
+    val quota = keyed.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       .withColumn("q",
         expr("cast(floor(sqrt(cast(n_docs as double)) * 1000000 + 0.5) as bigint)"))
-    val tot = counts.agg(
-      sum(col("n_docs")).cast(LongType).as("n_total"),
-      sum(col("q")).cast(LongType).as("sq"))
-    val quota = counts.crossJoin(broadcast(tot))
+      .withColumn("n_total", sum(col("n_docs")).over(everything).cast(LongType))
+      .withColumn("sq", sum(col("q")).over(everything).cast(LongType))
       .withColumn("quota", expr("((n_total * 200) div 1000) * q div sq"))
+      .localCheckpoint()
     val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
     val sampled = keyed
       .withColumn("rk", row_number().over(w).cast(LongType))
@@ -1552,35 +1557,45 @@ object TextAnalysis {
   // and the new-vocabulary rate (|day-2 words unseen in day-1| /
   // |day-2 vocab| — a cheap distribution-shift alarm). Everything is a
   // ratio/difference of exact integer counts, so the report hash-gates.
-  // Plan: one feature pass split two ways, source-cardinality aggs, a
-  // per-source vocab anti-join (distinct words, posting-list sized —
-  // never document pairs). Sources must appear in both snapshots (inner
-  // join); a source born today is its own alert upstream of this table.
+  // Plan: TWO corpus passes total. Pass 1 tokenizes once and reduces to
+  // per-source conditional aggregates (both sides in one hash-agg; the
+  // per-side totals come from a global window over the source-
+  // cardinality frame, never a corpus re-scan). Pass 2 explodes words
+  // once into a per-(source, word) membership reduction — in-day-1 /
+  // in-day-2 flags replace the old v2-anti-join-v1, so the vocab
+  // comparison is one shuffle of distinct (source, word) pairs instead
+  // of three. The previous per-branch formulation paid 6 corpus scans
+  // (4 of them re-tokenizing) for the same report — ruinous where the
+  // scan is 100 TB. Sources must appear in both snapshots with day-2
+  // vocabulary (same inner-join semantics, now explicit filters); a
+  // source born today is its own alert upstream of this table.
   def driftReport(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(
-      col("doc_id"), col("source"),
-      size(wordsOf(col("text"))).cast(LongType).as("n_tok"),
-      wordsOf(col("text")).as("ws"))
     val isNew = pmod(col("doc_id"), lit(3)) === 2
-    def sideAgg(side: DataFrame, tag: String): DataFrame = {
-      val tot = side.agg(count(lit(1)).as(s"tot_$tag"))
-      side.groupBy(col("source"))
-        .agg(count(lit(1)).as(s"n_docs_$tag"), sum(col("n_tok")).as(s"sum_tok_$tag"))
-        .crossJoin(broadcast(tot))
-    }
-    val a1 = sideAgg(d.filter(!isNew), "1")
-    val a2 = sideAgg(d.filter(isNew), "2")
-    def vocab(side: DataFrame): DataFrame =
-      side.select(col("source"), explode(col("ws")).as("word")).distinct()
-    val v1 = vocab(d.filter(!isNew))
-    val v2 = vocab(d.filter(isNew))
-    val v2Counts = v2.groupBy(col("source")).agg(count(lit(1)).as("n_vocab_2"))
-    val newCounts = v2.join(v1, Seq("source", "word"), "left_anti")
-      .groupBy(col("source")).agg(count(lit(1)).as("n_new_vocab"))
-    a1.join(a2, "source")
-      .join(v2Counts, "source")
-      .join(newCounts, Seq("source"), "left")
-      .withColumn("n_new_vocab", coalesce(col("n_new_vocab"), lit(0L)))
+    val d = docs(spark, dir).select(
+      col("source"), isNew.as("is_new"), wordsOf(col("text")).as("ws"))
+    val everything = Window.partitionBy()
+    val stats = d
+      .select(col("source"), col("is_new"),
+        size(col("ws")).cast(LongType).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(
+        count(when(!col("is_new"), 1)).as("n_docs_1"),
+        count(when(col("is_new"), 1)).as("n_docs_2"),
+        sum(when(!col("is_new"), col("n_tok"))).as("sum_tok_1"),
+        sum(when(col("is_new"), col("n_tok"))).as("sum_tok_2"))
+      .withColumn("tot_1", sum(col("n_docs_1")).over(everything))
+      .withColumn("tot_2", sum(col("n_docs_2")).over(everything))
+    val vocab = d
+      .select(col("source"), col("is_new"), explode(col("ws")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(max(when(!col("is_new"), 1).otherwise(0)).as("in_1"),
+        max(when(col("is_new"), 1).otherwise(0)).as("in_2"))
+      .groupBy(col("source"))
+      .agg(
+        count(when(col("in_2") === 1, 1)).as("n_vocab_2"),
+        count(when(col("in_2") === 1 && col("in_1") === 0, 1)).as("n_new_vocab"))
+    stats.join(vocab, "source")
+      .filter(col("n_docs_1") > 0 && col("n_docs_2") > 0 && col("n_vocab_2") > 0)
       .select(
         col("source"), col("n_docs_1"), col("n_docs_2"),
         (col("n_docs_1").cast(DoubleType) / col("tot_1")).as("share_1"),

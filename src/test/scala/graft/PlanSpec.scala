@@ -167,6 +167,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("dq05 drift report tokenizes the corpus at most twice") {
+    // the per-branch form paid 6 documents scans (4 re-tokenizing);
+    // the two-pass form is one stats scan + one vocab scan
+    val df = graft.operators.TextAnalysis.driftReport(spark, sfDir)
+    df.collect()
+    val docScans = allScans(df.queryExecution.executedPlan)
+      .count(_.metadata.getOrElse("Location", "").contains("documents"))
+    assert(docScans == 2, s"$docScans documents scans — expected the two-pass shape")
+  }
+
+  test("k06 temperature mixture scans the corpus at most twice") {
+    // quota table = one scan (window totals, localCheckpoint'd for its
+    // two consumers); the ranked sample = the second
+    val df = graft.operators.TextAnalysis.temperatureMixture(spark, sfDir)
+    df.collect()
+    val docScans = allScans(df.queryExecution.executedPlan)
+      .count(_.metadata.getOrElse("Location", "").contains("documents"))
+    assert(docScans <= 2, s"$docScans documents scans — quota subtree is re-executing")
+  }
+
   test("g04 k-core peel round: semi joins only, no cartesian, no window") {
     // one peel round on a tiny in-memory edge list — the shape every
     // round of the bounded peel executes at any scale
