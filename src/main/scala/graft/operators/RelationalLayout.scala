@@ -273,20 +273,32 @@ trait RelationalLayout extends RelationalBase {
       .selectExpr("o_totalprice", "ua", "ub",
         "shiftright(zv, 26) AS sz", "shiftright(ua, 10) AS sl",
         "ua BETWEEN 28672 AND 36863 AND ub BETWEEN 28672 AND 36863 AS in_box")
-    def hits(shard: String): DataFrame =
-      tagged.groupBy(col(shard))
-        .agg(min(col("ua")).as("mna"), max(col("ua")).as("mxa"),
-          min(col("ub")).as("mnb"), max(col("ub")).as("mxb"))
-        .agg(count(lit(1)).as(s"n_shards_$shard"),
-          sum((col("mxa") >= 28672 && col("mna") <= 36863 &&
-            col("mxb") >= 28672 && col("mnb") <= 36863).cast(LongType)).as(s"n_hit_$shard"))
-    val box = tagged.filter(col("in_box"))
-      .agg(count(lit(1)).as("rows_in_box"), dsum(col("o_totalprice")).as("total_in_box"))
-    hits("sz").crossJoin(hits("sl")).crossJoin(box)
-      .select(
-        col("n_shards_sz").as("n_shards_z"), col("n_hit_sz").as("n_hit_z"),
-        col("n_shards_sl").as("n_shards_lin"), col("n_hit_sl").as("n_hit_lin"),
-        col("rows_in_box"), col("total_in_box"))
+    // one GROUPING SETS pass computes the per-z-shard extents, the
+    // per-linear-shard extents, AND the global in-box scalars: the
+    // Expand triples rows map-side but partial aggregation collapses
+    // them per partition, so the fact is scanned once here (plus the
+    // irreducible bounds pass above) instead of once per consumer —
+    // the previous three-consumer form re-executed the tagged subtree
+    // (scan + bounds) per reference, 6 fact scans for the same report
+    val grouped = tagged
+      .groupingSets(Seq(Seq(col("sz")), Seq(col("sl")), Seq()),
+        col("sz"), col("sl"))
+      .agg(
+        min(col("ua")).as("mna"), max(col("ua")).as("mxa"),
+        min(col("ub")).as("mnb"), max(col("ub")).as("mxb"),
+        count(when(col("in_box"), 1)).as("rows_in_box_g"),
+        dsum(when(col("in_box"), col("o_totalprice"))).as("total_in_box_g"),
+        grouping_id().as("gid"))
+    // gid: 1 = per-sz rows, 2 = per-sl rows, 3 = the single global row
+    val hit = (col("mxa") >= 28672 && col("mna") <= 36863 &&
+      col("mxb") >= 28672 && col("mnb") <= 36863).cast(LongType)
+    grouped.agg(
+      count(when(col("gid") === 1, 1)).as("n_shards_z"),
+      sum(when(col("gid") === 1, hit)).as("n_hit_z"),
+      count(when(col("gid") === 2, 1)).as("n_shards_lin"),
+      sum(when(col("gid") === 2, hit)).as("n_hit_lin"),
+      max(when(col("gid") === 3, col("rows_in_box_g"))).as("rows_in_box"),
+      max(when(col("gid") === 3, col("total_in_box_g"))).as("total_in_box"))
   }
 
   // JSON-lines round-trip — the remaining text source format: write

@@ -752,13 +752,19 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val b = docs(spark, dir).select(col("doc_id"), col("source"),
       size(wordsOf(col("text"))).as("n_tokens"))
+    // token-length histogram: ONE tokenizing corpus pass, checkpointed —
+    // the cumulative rank AND the corpus totals both derive from this
+    // length-cardinality frame (Σc and Σ n_tokens·c are the exact corpus
+    // counts), so the corpus is tokenized twice total (histogram +
+    // decile tagging), not three times
     val h = b.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val wcum = Window.orderBy(col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = h.withColumn("cum", sum(col("c")).over(wcum))
       .select(col("n_tokens"), col("cum"))
-    val totals = b.agg(count(lit(1)).as("n"),
-      sum(col("n_tokens")).as("tot_tokens"))
+    val totals = h.agg(sum(col("c")).as("n"),
+      sum(col("n_tokens").cast(LongType) * col("c")).as("tot_tokens"))
     val dec = b.join(cum.hint("broadcast"), "n_tokens")
       .crossJoin(broadcast(totals))
       .withColumn("decile",

@@ -187,6 +187,26 @@ class PlanSpec extends SparkSpec {
     assert(docScans <= 2, s"$docScans documents scans — quota subtree is re-executing")
   }
 
+  test("s22 z-order comparison is one grouping-sets pass over the fact") {
+    // bounds pass + ONE Expand pass for z-extents, linear-extents and
+    // the in-box scalars; the three-consumer form re-executed the
+    // tagged subtree per reference (6 fact scans)
+    val df = Relational.zorderClustering(spark, sfDir)
+    df.collect()
+    val ordersScans = allScans(df.queryExecution.executedPlan)
+      .count(_.metadata.getOrElse("Location", "").contains("orders"))
+    assert(ordersScans == 2, s"$ordersScans orders scans — expected bounds + grouping-sets")
+    assert(df.queryExecution.executedPlan.toString().contains("Expand"))
+  }
+
+  test("t18 length mixture tokenizes the corpus at most twice") {
+    val df = graft.operators.TextAnalysis.lengthMixtureReport(spark, sfDir)
+    df.collect()
+    val docScans = allScans(df.queryExecution.executedPlan)
+      .count(_.metadata.getOrElse("Location", "").contains("documents"))
+    assert(docScans <= 2, s"$docScans documents scans — histogram subtree is re-executing")
+  }
+
   test("g04 k-core peel round: semi joins only, no cartesian, no window") {
     // one peel round on a tiny in-memory edge list — the shape every
     // round of the bounded peel executes at any scale
