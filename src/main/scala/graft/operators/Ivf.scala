@@ -79,7 +79,13 @@ object Ivf {
   private[operators] def centroidsOn(train: DataFrame, initPred: Column): DataFrame = {
     val init = train.filter(initPred)
       .select(col("vec_id").cast(IntegerType).as("cid"), col("qv").as("cv"))
-    (1 to KMeansIters).foldLeft(init)((c, _) => update(assign(train, c)))
+    // localCheckpoint per iteration: the centroid table is tiny
+    // (NumCentroids rows) but un-checkpointed each iteration NESTS the
+    // previous one's whole plan under the broadcast, so iteration N
+    // re-scans the train corpus N times (the ccRound lesson) —
+    // checkpointed, every iteration is exactly one corpus pass
+    (1 to KMeansIters).foldLeft(init)((c, _) =>
+      update(assign(train, c)).localCheckpoint())
   }
 
   private[operators] def centroids(emb: DataFrame): DataFrame =
@@ -121,7 +127,9 @@ object Ivf {
   private[operators] def centroidsKeyed(train: DataFrame, initPred: Column): DataFrame = {
     val init = train.filter(initPred)
       .select(col("m"), col("vec_id").cast(IntegerType).as("cid"), col("qv").as("cv"))
-    (1 to KMeansIters).foldLeft(init)((c, _) => updateKeyed(assignKeyed(train, c)))
+    // per-iteration localCheckpoint, same reason as [[centroidsOn]]
+    (1 to KMeansIters).foldLeft(init)((c, _) =>
+      updateKeyed(assignKeyed(train, c)).localCheckpoint())
   }
 
   /** v04: queries (vec_id < 10) probe their [[NumProbes]] nearest cells,
@@ -306,9 +314,11 @@ object Ivf {
     */
   def kmeansElbow(spark: SparkSession, dir: String): DataFrame = {
     val emb = CosineLsh.quantized(spark, dir)
-    val rep = ElbowKs
-      .map(k => emb.select(lit(k).as("m"), col("vec_id"), col("qv")))
-      .reduce(_.unionByName(_))
+    // fan each vector out to the three K runs with ONE generator over
+    // one corpus scan — the unionByName form was three scans per pass
+    val rep = emb.select(
+      explode(array(ElbowKs.map(lit(_)): _*)).as("m"),
+      col("vec_id"), col("qv"))
     val c = centroidsKeyed(rep, col("vec_id") < col("m"))
     val d2 = LongArrayDot.dot(col("qv"), col("qv")) -
       lit(2L) * LongArrayDot.dot(col("qv"), col("cv")) +

@@ -207,6 +207,18 @@ class PlanSpec extends SparkSpec {
     assert(docScans <= 2, s"$docScans documents scans — histogram subtree is re-executing")
   }
 
+  test("ml03 elbow: explode fan-out + checkpointed Lloyd keep the final plan to one corpus scan") {
+    // un-checkpointed, iteration N nested iteration N-1's whole plan
+    // (21 embeddings scans across the sweep); the per-iteration
+    // localCheckpoint + the explode(Ks) fan-out leave the final plan
+    // scanning the corpus once (training scans ran in their own jobs)
+    val df = graft.operators.Ivf.kmeansElbow(spark, sfDir)
+    df.collect()
+    val embScans = allScans(df.queryExecution.executedPlan)
+      .count(_.metadata.getOrElse("Location", "").contains("embeddings"))
+    assert(embScans <= 2, s"$embScans embeddings scans — Lloyd lineage is nesting again")
+  }
+
   test("g04 k-core peel round: semi joins only, no cartesian, no window") {
     // one peel round on a tiny in-memory edge list — the shape every
     // round of the bounded peel executes at any scale
