@@ -83,7 +83,11 @@ object Graph {
   // fixed 8-round loop; everything else is joins and hash-aggs.
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val e = tradeEdges(spark, dir)
-    val n = e.select(col("src")).distinct().count()
+    // max(1, ·): an EMPTY graph (a partition filter that matched no
+    // trade, a tenant with no orders yet) must degrade to zero output
+    // rows, not divide the teleport term by zero — with no nodes every
+    // downstream frame is empty regardless of the scalar's value
+    val n = math.max(1L, e.select(col("src")).distinct().count())
     val tele = Scale * 3 / (20 * n)
     var scores = e.select(col("src").as("node")).distinct()
       .withColumn("score", lit(Scale / n))
@@ -143,8 +147,11 @@ object Graph {
   // min per node — same fixpoint, different algorithm.
   def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
     val e = tradeEdges(spark, dir).select(col("src"), col("dst"))
-    val source = e.agg(min(when(pmod(col("src"), lit(2)) === 0, col("src"))))
-      .head().getLong(0)
+    // the min over an empty edge table is NULL — degrade to a source
+    // no node carries (-1) so the empty graph yields an empty histogram
+    // instead of a driver-side NPE on the primitive getter
+    val srcRow = e.agg(min(when(pmod(col("src"), lit(2)) === 0, col("src")))).head()
+    val source = if (srcRow.isNullAt(0)) -1L else srcRow.getLong(0)
     var dist = e.select(col("src").as("node")).distinct()
       .withColumn("d", when(col("node") === source, lit(0L)).otherwise(lit(Long.MaxValue)))
       .localCheckpoint()

@@ -176,10 +176,12 @@ trait RelationalLayout extends RelationalBase {
   private def statsManifest(spark: SparkSession, dir: String): Array[(String, Double, Double)] =
     SessionCache.memo(spark, s"s21_manifest_$dir") {
       val p = s"${sys.props("java.io.tmpdir")}/graft_stats_prune_${tmpTag(dir)}"
-      Tables.load(spark, dir, "orders")
-        .repartitionByRange(8, col("o_totalprice"), col("o_orderkey"))
+      val orders = Tables.load(spark, dir, "orders")
+      orders.repartitionByRange(8, col("o_totalprice"), col("o_orderkey"))
         .write.mode("overwrite").parquet(p)
-      spark.read.parquet(p)
+      // explicit schema (s11's empty-sink rule): an empty table writes
+      // zero shards and the manifest degrades to zero entries
+      spark.read.schema(orders.schema).parquet(p)
         .groupBy(input_file_name().as("f"))
         .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
         .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
@@ -195,7 +197,16 @@ trait RelationalLayout extends RelationalBase {
   def statsPrunedScan(spark: SparkSession, dir: String): DataFrame = {
     val (survivors, _) = statsSurvivors(spark, dir)
     val (loP, hiP) = s21Box
-    spark.read.parquet(survivors: _*)
+    // a predicate box every file's stats exclude — the best case for a
+    // skipping scan — prunes to ZERO paths; read the empty relation
+    // under the table schema instead of asking inference for one
+    val pruned =
+      if (survivors.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          Tables.load(spark, dir, "orders").schema)
+      else spark.read.parquet(survivors.toIndexedSeq: _*)
+    pruned
       .filter(col("o_totalprice") >= loP && col("o_totalprice") <= hiP)
       .agg(
         count(lit(1)).as("n_orders"),
@@ -349,7 +360,10 @@ trait RelationalLayout extends RelationalBase {
       .withColumn("o_totalprice", col("o_totalprice") * 2)
       .write.partitionBy("o_year").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(tmp)
-    spark.read.parquet(tmp)
+    // explicit schema: a backfill whose patch (and table) matched zero
+    // rows leaves no data files — the reader must not depend on
+    // inference (s11's empty-sink rule)
+    spark.read.schema(orders.schema).parquet(tmp)
       .groupBy(col("o_year"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
       .orderBy(col("o_year"))
@@ -455,10 +469,14 @@ trait RelationalLayout extends RelationalBase {
   // with only the matching directory scanned.
   def partitionedScan(spark: SparkSession, dir: String): DataFrame = {
     val path = s"${sys.props("java.io.tmpdir")}/graft_orders_byyear_${tmpTag(dir)}"
-    Tables.load(spark, dir, "orders")
+    val byYear = Tables.load(spark, dir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
-      .write.mode("overwrite").partitionBy("o_year").parquet(path)
-    spark.read.parquet(path)
+    byYear.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    // explicit schema: a sink written from an EMPTY batch (the zero-
+    // matching-rows backfill) has no data files to infer from, and the
+    // production reader of a partitioned table gets its schema from the
+    // catalog, not from sampling files
+    spark.read.schema(byYear.schema).parquet(path)
       .filter(col("o_year") === 1995)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
@@ -473,9 +491,9 @@ trait RelationalLayout extends RelationalBase {
   // feature: a 100 TB fact never scans partitions the dims exclude.
   def dynamicPruning(spark: SparkSession, dir: String): DataFrame = {
     val path = s"${sys.props("java.io.tmpdir")}/graft_orders_dpp_${tmpTag(dir)}"
-    Tables.load(spark, dir, "orders")
+    val byYear = Tables.load(spark, dir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
-      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    byYear.write.mode("overwrite").partitionBy("o_year").parquet(path)
     // the dim must be a SCANNED relation with a selective filter for the
     // planner to judge pruning worthwhile — a VALUES relation gets
     // constant-folded and its filter disappears before the DPP rule runs
@@ -483,7 +501,9 @@ trait RelationalLayout extends RelationalBase {
     spark.sql("SELECT * FROM VALUES (1995, 'target'), (1996, 'other') AS t(d_year, d_label)")
       .write.mode("overwrite").parquet(dimPath)
     val dim = spark.read.parquet(dimPath).filter(col("d_label") === "target")
-    spark.read.parquet(path)
+    // explicit schema for the same empty-sink reason as s11 (the dim is
+    // a 2-row literal write, never empty)
+    spark.read.schema(byYear.schema).parquet(path)
       .join(dim, col("o_year") === col("d_year"))
       .groupBy(col("d_label"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))

@@ -102,8 +102,12 @@ trait RelationalQuality extends RelationalBase {
         .select(explode(perEdge).as("e"), col("n_rows"))
         .select(col("e.fk"), col("n_rows"), col("e.n_orphans"))
     }.reduce(_.unionAll(_))
+      // nullif guard: an EMPTY fact (zero-row shard, filtered-out day)
+      // has no defined orphan rate — publish NULL, not an ANSI
+      // divide-by-zero abort of the whole audit
       .withColumn("orphan_rate",
-        round(col("n_orphans").cast(DoubleType) / col("n_rows"), 6))
+        round(col("n_orphans").cast(DoubleType) /
+          nullif(col("n_rows"), lit(0L)), 6))
       .orderBy(col("fk"))
   }
 

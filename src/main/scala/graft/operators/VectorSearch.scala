@@ -92,8 +92,11 @@ object VectorSearch {
         .agg(count(lit(1)).as("n_hits"))
       val total = baseline.agg(count(lit(1)).as("n_total"))
       hits.crossJoin(broadcast(total))
+        // nullif guard: an empty ground truth (no vectors indexed yet)
+        // has no defined recall — NULL, not an ANSI divide-by-zero
         .select(lit(name).as("method"), col("n_hits"), col("n_total"),
-          (col("n_hits").cast(DoubleType) / col("n_total")).as("recall"))
+          (col("n_hits").cast(DoubleType) / nullif(col("n_total"), lit(0L)))
+            .as("recall"))
     }
     row("v02_lsh", CosineLsh.annTopK(spark, dir), exact)
       .unionAll(row("v04_ivf", Ivf.annTopKIvf(spark, dir), exact))
