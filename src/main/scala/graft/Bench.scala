@@ -280,6 +280,68 @@ object Bench {
     (0 until threads).map(counts.get).sum / wall / 1e6
   }
 
+  /** Effective memory READ bandwidth in MB/s at `threads` concurrent
+    * streaming readers over a shared 256 MB long array (far beyond any
+    * LLC, so the score is DRAM traffic, not cache hits). Same harness
+    * discipline as [[calibrateThroughput]]: warmup barrier, start gate,
+    * fixed wall window, sink so the sum can't be DCE'd; threads start
+    * at staggered offsets and wrap, so they never stream the same
+    * cache lines in lockstep.
+    *
+    * Why a SECOND calibration axis: the ALU busy-loop is cache-resident
+    * and measures cycles, but Spark's heavy operators are
+    * memory-bandwidth-bound — and this VM's observed contention modes
+    * differ per resource. A round-14 record re-take measured +32% CPU
+    * on the memory-heavy queries (plan shapes identical, changed
+    * queries flat-or-faster) while steal was near zero and the ALU
+    * calibration was the HIGHEST ever recorded — i.e. a co-tenant was
+    * saturating the physical host's memory controllers, invisible to
+    * every existing probe. This field makes that mode a number in the
+    * artifact instead of an inference from per-query deltas.
+    */
+  private[graft] def calibrateBandwidth(threads: Int, millis: Long = 250): Double = {
+    val n = 32 << 20 // 32M longs = 256 MB
+    val a = new Array[Long](n)
+    var ii = 0
+    while (ii < n) { a(ii) = ii * 0x9E3779B97F4A7C15L; ii += 1 }
+    val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ready = new java.util.concurrent.CountDownLatch(threads)
+    val ts = (0 until threads).map { i =>
+      val t = new Thread { override def run(): Unit = {
+        var s = 0L
+        var p = (n.toLong * i / threads).toInt
+        def block(limit: Int): Int = { // sum one contiguous block, return new p
+          val end = math.min(p + (1 << 16), limit)
+          var k = p
+          while (k < end) { s += a(k); k += 1 }
+          if (end == limit) 0 else end
+        }
+        var w = 0
+        while (w < 16) { p = block(n); w += 1 } // warmup ~1M longs
+        calibSink = s
+        ready.countDown()
+        gate.await()
+        val deadline = System.nanoTime() + millis * 1000000L
+        var m = 0L
+        while (System.nanoTime() < deadline) {
+          val before = p
+          p = block(n)
+          m += (if (p == 0) n - before else p - before)
+        }
+        calibSink = s
+        counts.set(i, m)
+      } }
+      t.setDaemon(true); t.start(); t
+    }
+    ready.await()
+    val t0 = System.nanoTime()
+    gate.countDown()
+    ts.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    (0 until threads).map(counts.get).sum * 8.0 / wall / 1e6
+  }
+
   /** JSON string-body escaping for host-record free text: backslash,
     * double-quote, and every ASCII control character (< 0x20 — the
     * round-12 fix covered only the first two, so a newline or tab in a
@@ -429,6 +491,7 @@ object Bench {
     // process-cpu baseline is sampled after it).
     val calibSt0 = calibrateThroughput(1)
     val calibMt0 = calibrateThroughput(ncpus0)
+    val calibBw0 = calibrateBandwidth(ncpus0)
     val sysBusy0 = systemBusySec()
     val sysSteal0 = systemStealSec()
     val throttled0 = cgroupThrottledSec()
@@ -571,6 +634,7 @@ object Bench {
     // (all queries done), so a depressed score means EXTERNAL pressure
     val calibSt1 = calibrateThroughput(1)
     val calibMt1 = calibrateThroughput(ncpus)
+    val calibBw1 = calibrateBandwidth(ncpus)
     val hostClean =
       hostCleanDecision(otherCpuRun, runWallSec, ncpus, throttledRun)
     val hostJson = {
@@ -596,6 +660,8 @@ object Bench {
         s""""calib_mt_mops_start":${fmt(calibMt0)},""" +
         s""""calib_st_mops_end":${fmt(calibSt1)},""" +
         s""""calib_mt_mops_end":${fmt(calibMt1)},""" +
+        s""""calib_bw_mbps_start":${fmt(calibBw0)},""" +
+        s""""calib_bw_mbps_end":${fmt(calibBw1)},""" +
         s""""git_head":${gitHead0.map(h => "\"" + jstr(h) + "\"").getOrElse("null")},""" +
         s""""last_src_commit":${lastSrcCommit0.map(c => "\"" + jstr(c) + "\"").getOrElse("null")},""" +
         s""""src_main_dirty":${srcDirty0.map(_.toString).getOrElse("null")},""" +

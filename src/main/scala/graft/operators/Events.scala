@@ -466,9 +466,14 @@ object Events {
   // stream filters/projects purchases into a fresh directory; the
   // result then re-reads the COMMITTED files and aggregates per user,
   // so the compare pins the sink contents, not just the plan.
-  def streamFileSink(spark: SparkSession, dir: String): DataFrame = {
+  def streamFileSink(spark: SparkSession, dir: String): DataFrame =
+   // memoized + session-tagged sink dir: the rmTree at build start must
+   // never delete files a previous call's returned frame is lazily
+   // pinned to (same re-call contract as e13 — IdempotenceSpec)
+   graft.SessionCache.memo(spark, s"e16:$dir") {
     import org.apache.spark.sql.streaming.Trigger
-    val base = s"${sys.props("java.io.tmpdir")}/graft_e16_${graft.Fs.tmpTag(dir)}"
+    val base = s"${sys.props("java.io.tmpdir")}/graft_e16_${graft.Fs.sessionTag(spark, dir)}"
+    graft.Fs.sweepStaleScratch("graft_e16_")
     graft.Fs.rmTree(new java.io.File(base))
     val s = childSession(spark)
     val q = eventsStream(s, dir)
@@ -489,17 +494,26 @@ object Events {
       .orderBy(col("user_id"))
   }
 
-  def incrementalUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val stateBase =
-      s"${sys.props("java.io.tmpdir")}/graft_e13_state_${graft.Fs.tmpTag(dir)}"
-    val s = childSession(spark)
-    runIncrementalUpsert(eventsStream(s, dir), stateBase)
-      .select(
-        col("user_id"), col("n_events"),
-        col("total_dec").cast(DoubleType).as("total_value"),
-        col("last_ts_us"), col("last_event_id"), col("last_event_type"))
-      .orderBy(col("user_id"))
-  }
+  def incrementalUpsert(spark: SparkSession, dir: String): DataFrame =
+    // memoized + session-tagged state dirs: the returned frame stays
+    // lazily pinned to this run's version files, so a RE-CALL must not
+    // rewrite them in place — the session's stale FileStatusCache would
+    // hand the old listing to the new scan (FILE_NOT_EXIST, caught by
+    // IdempotenceSpec), and an in-place rewrite breaks e13's own
+    // write-new-then-swap reader contract; a second SESSION gets its
+    // own directory tree for the same reason (the c05/v16 pattern)
+    graft.SessionCache.memo(spark, s"e13:$dir") {
+      val stateBase =
+        s"${sys.props("java.io.tmpdir")}/graft_e13_state_${graft.Fs.sessionTag(spark, dir)}"
+      graft.Fs.sweepStaleScratch("graft_e13_state_")
+      val s = childSession(spark)
+      runIncrementalUpsert(eventsStream(s, dir), stateBase)
+        .select(
+          col("user_id"), col("n_events"),
+          col("total_dec").cast(DoubleType).as("total_value"),
+          col("last_ts_us"), col("last_event_id"), col("last_event_type"))
+        .orderBy(col("user_id"))
+    }
 
   // E: weekly cohort retention — users bucketed by first-active week,
   // counted at each week offset they return. Two hash aggregates and

@@ -368,7 +368,8 @@ object Relational extends RelationalBase
         |  WHERE n_name IN ('NATION_7', 'NATION_12')),
         |v AS (
         |  SELECT l_partkey,
-        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * l_quantity) AS value
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * CAST(l_quantity AS DECIMAL(18,2))) AS value
         |  FROM lineitem JOIN nat_supp ON l_suppkey = s_suppkey
         |  GROUP BY 1),
         |tot AS (SELECT SUM(value) AS total FROM v)

@@ -469,7 +469,12 @@ trait RelationalAnalytics extends RelationalBase {
     val v = Tables.load(spark, dir, "lineitem")
       .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
-      .agg(sum(dec(col("l_extendedprice")) * col("l_quantity")).as("value"))
+      // BOTH factors decimal: dec(price) * double coerces the product
+      // back to DOUBLE, making the sum order-dependent — caught by the
+      // layout sweep as the one divergent query under a multi-split
+      // rewrite (the single-split gate masked it: Spark and DuckDB
+      // happened to sum in the same row order)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_quantity"))).as("value"))
     val tot = v.agg(sum(col("value")).as("total"))
     v.crossJoin(broadcast(tot))
       .filter(col("value") * 1000 > col("total"))

@@ -16,10 +16,16 @@ trait RelationalLayout extends RelationalBase {
 
   // S5 (CSV sink) + S2 (CSV scan, explicit schema): round-trip through CSV
   // then aggregate — exercises both sides of the CSV path.
-  def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+  def csvRoundTrip(spark: SparkSession, dir: String): DataFrame =
+   // memoized + session-tagged scratch: a re-call (or second session)
+   // overwriting the written files would break the first call's lazily
+   // pinned frame — the re-call contract IdempotenceSpec pins for the
+   // whole scratch-writing family
+   graft.SessionCache.memo(spark, s"s05:$dir") {
     // per-input-dir unique path under the system temp dir — no repo
     // absolute path, no cross-run collision on a shared machine
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip_${tmpTag(dir)}"
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip_${graft.Fs.sessionTag(spark, dir)}"
+    graft.Fs.sweepStaleScratch("graft_csv_roundtrip_")
     val src = Tables.load(spark, dir, "nation")
     src.write.mode("overwrite").option("header", "true").csv(tmp)
     val schema = StructType(Seq(
@@ -42,8 +48,11 @@ trait RelationalLayout extends RelationalBase {
   // (every 5th key: non-numeric field; every 7th: extra token; every
   // 11th: missing token), so the oracle rebuilds the same lines and
   // replays Spark's documented PERMISSIVE semantics token by token.
-  def csvPermissive(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_permissive_${tmpTag(dir)}"
+  def csvPermissive(spark: SparkSession, dir: String): DataFrame =
+   // memoized + session-tagged scratch (re-call contract, see s05)
+   graft.SessionCache.memo(spark, s"s17:$dir") {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_permissive_${graft.Fs.sessionTag(spark, dir)}"
+    graft.Fs.sweepStaleScratch("graft_csv_permissive_")
     val k = col("n_nationkey")
     Tables.load(spark, dir, "nation")
       .select(
@@ -74,8 +83,11 @@ trait RelationalLayout extends RelationalBase {
   // from their contents: per-file (lo, hi) key ranges must be pairwise
   // disjoint. Range boundaries come from sampling, so per-shard counts
   // are not deterministic — the published row is the invariant, which is.
-  def sortedShards(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_sorted_shards_${tmpTag(dir)}"
+  def sortedShards(spark: SparkSession, dir: String): DataFrame =
+   // memoized + session-tagged scratch (re-call contract, see s05)
+   graft.SessionCache.memo(spark, s"s20:$dir") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_sorted_shards_${graft.Fs.sessionTag(spark, dir)}"
+    graft.Fs.sweepStaleScratch("graft_sorted_shards_")
     val key = Seq(col("o_totalprice"), col("o_orderkey"))
     Tables.load(spark, dir, "orders")
       .repartitionByRange(8, key: _*)
@@ -108,8 +120,11 @@ trait RelationalLayout extends RelationalBase {
   // At 100 TB this is the scheduled job that keeps scan task counts and
   // file-listing overhead bounded; clustering by user_id while
   // compacting also co-locates the per-user access path.
-  def compaction(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${sys.props("java.io.tmpdir")}/graft_compact_${tmpTag(dir)}"
+  def compaction(spark: SparkSession, dir: String): DataFrame =
+   // memoized + session-tagged scratch (re-call contract, see s08)
+   graft.SessionCache.memo(spark, s"s24:$dir") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_compact_${graft.Fs.sessionTag(spark, dir)}"
+    graft.Fs.sweepStaleScratch("graft_compact_")
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     ev.repartition(64, col("event_id"))
@@ -139,8 +154,11 @@ trait RelationalLayout extends RelationalBase {
   // Nation round-trips as TAB-joined lines; the read side re-parses
   // with split + casts. Same digest as s05/s13, so the shared oracle
   // proves the round-trip through the format was lossless.
-  def textRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_text_roundtrip_${tmpTag(dir)}"
+  def textRoundTrip(spark: SparkSession, dir: String): DataFrame =
+   // memoized + session-tagged scratch (re-call contract, see s05)
+   graft.SessionCache.memo(spark, s"s23:$dir") {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_text_roundtrip_${graft.Fs.sessionTag(spark, dir)}"
+    graft.Fs.sweepStaleScratch("graft_text_roundtrip_")
     Tables.load(spark, dir, "nation")
       .select(concat_ws("\t",
         col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
@@ -175,7 +193,11 @@ trait RelationalLayout extends RelationalBase {
     */
   private def statsManifest(spark: SparkSession, dir: String): Array[(String, Double, Double)] =
     SessionCache.memo(spark, s"s21_manifest_$dir") {
-      val p = s"${sys.props("java.io.tmpdir")}/graft_stats_prune_${tmpTag(dir)}"
+      // session-tagged: statsPrunedScan's returned frame reads the
+      // surviving shard FILES lazily — a second session rewriting the
+      // same per-pid path would pull them out from under it
+      val p = s"${sys.props("java.io.tmpdir")}/graft_stats_prune_${graft.Fs.sessionTag(spark, dir)}"
+      graft.Fs.sweepStaleScratch("graft_stats_prune_")
       val orders = Tables.load(spark, dir, "orders")
       orders.repartitionByRange(8, col("o_totalprice"), col("o_orderkey"))
         .write.mode("overwrite").parquet(p)
@@ -316,8 +338,11 @@ trait RelationalLayout extends RelationalBase {
   // nation as JSONL, read back with an explicit schema (inference is
   // non-deterministic at scale), same checksum aggregate as s05 so the
   // oracle proves the format preserved the data.
-  def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip_${tmpTag(dir)}"
+  def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame =
+   // memoized + session-tagged scratch (re-call contract, see s05)
+   graft.SessionCache.memo(spark, s"s13:$dir") {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip_${graft.Fs.sessionTag(spark, dir)}"
+    graft.Fs.sweepStaleScratch("graft_json_roundtrip_")
     Tables.load(spark, dir, "nation").write.mode("overwrite").json(tmp)
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
@@ -332,8 +357,11 @@ trait RelationalLayout extends RelationalBase {
   // ORC round-trip — the second columnar format (parquet is everywhere
   // else): write orders as ORC, read back, aggregate. ORC carries its
   // own schema and supports the same predicate pushdown tier.
-  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc_roundtrip_${tmpTag(dir)}"
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame =
+   // memoized + session-tagged scratch (re-call contract, see s05)
+   graft.SessionCache.memo(spark, s"s14:$dir") {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc_roundtrip_${graft.Fs.sessionTag(spark, dir)}"
+    graft.Fs.sweepStaleScratch("graft_orc_roundtrip_")
     Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .write.mode("overwrite").orc(tmp)
@@ -350,8 +378,11 @@ trait RelationalLayout extends RelationalBase {
   // this is how a bad day/hour is recomputed without touching the other
   // partitions, and the readback aggregate proves the untouched
   // partitions survived byte-for-byte.
-  def dynamicPartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_dyn_overwrite_${tmpTag(dir)}"
+  def dynamicPartitionOverwrite(spark: SparkSession, dir: String): DataFrame =
+   // memoized + session-tagged scratch (re-call contract, see s08)
+   graft.SessionCache.memo(spark, s"s18:$dir") {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_dyn_overwrite_${graft.Fs.sessionTag(spark, dir)}"
+    graft.Fs.sweepStaleScratch("graft_dyn_overwrite_")
     val orders = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"),
         year(col("o_orderdate")).as("o_year"))
@@ -381,8 +412,13 @@ trait RelationalLayout extends RelationalBase {
   // changed-row count vs the pinned v1 (a join the 100 TB version
   // diffs via the same key equi-join). Proves isolation (v1's numbers
   // are bit-identical to the pre-write table) and change accounting.
-  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_time_travel_${tmpTag(dir)}"
+  def timeTravel(spark: SparkSession, dir: String): DataFrame =
+   // memoized + session-tagged scratch (re-call contract, see s08): a
+   // re-call rewriting v=1/v=2 in place is exactly the mutate-a-pinned-
+   // snapshot violation this query exists to demonstrate against
+   graft.SessionCache.memo(spark, s"s25:$dir") {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_time_travel_${graft.Fs.sessionTag(spark, dir)}"
+    graft.Fs.sweepStaleScratch("graft_time_travel_")
     val cust = Tables.load(spark, dir, "customer")
       .select(col("c_custkey"), col("c_acctbal"))
     cust.write.mode("overwrite").parquet(s"$tmp/v=1")
@@ -411,8 +447,11 @@ trait RelationalLayout extends RelationalBase {
   // 100 TB nobody rewrites history for an added column — the READER
   // absorbs the evolution; this pins that old batches stay readable
   // and the new column is null exactly where it predates the schema.
-  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_schema_evo_${tmpTag(dir)}"
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame =
+   // memoized + session-tagged scratch (re-call contract, see s05)
+   graft.SessionCache.memo(spark, s"s19:$dir") {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_schema_evo_${graft.Fs.sessionTag(spark, dir)}"
+    graft.Fs.sweepStaleScratch("graft_schema_evo_")
     val nation = Tables.load(spark, dir, "nation")
     nation.select(col("n_nationkey"), col("n_name"))
       .write.mode("overwrite").parquet(s"$tmp/batch=1")
@@ -441,9 +480,16 @@ trait RelationalLayout extends RelationalBase {
   // sql_queries.py:149-152) — DROP/CREATE TABLE in the session catalog,
   // saveAsTable staging, INSERT INTO … SELECT materialization, then a
   // query over the re-read final table.
-  def catalogRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val db = "graft_wh"
-    val loc = s"${sys.props("java.io.tmpdir")}/graft_wh_${tmpTag(dir)}"
+  def catalogRoundTrip(spark: SparkSession, dir: String): DataFrame =
+   // memoized + per-session names: the DDL round-trip IS the operator,
+   // but a re-call (or a second session) re-running DROP/CREATE would
+   // delete the files under the first call's returned frame — the
+   // re-call contract IdempotenceSpec pins across the whole
+   // scratch-writing family
+   graft.SessionCache.memo(spark, s"s08:$dir") {
+    val db = s"graft_wh_s${graft.Fs.sessionToken(spark)}"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_wh_${graft.Fs.sessionTag(spark, dir)}"
+    graft.Fs.sweepStaleScratch("graft_wh_")
     // the session catalog is in-memory: a fresh session won't know about
     // files a previous process left at the location — wipe them so the
     // managed-table CREATE below is reproducible
@@ -467,8 +513,11 @@ trait RelationalLayout extends RelationalBase {
   // wish, README.md:23,156): orders written partitioned by year, read
   // back with a partition filter — `.explain` shows PartitionFilters
   // with only the matching directory scanned.
-  def partitionedScan(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_orders_byyear_${tmpTag(dir)}"
+  def partitionedScan(spark: SparkSession, dir: String): DataFrame =
+   // memoized + session-tagged scratch (re-call contract, see s08)
+   graft.SessionCache.memo(spark, s"s11:$dir") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_orders_byyear_${graft.Fs.sessionTag(spark, dir)}"
+    graft.Fs.sweepStaleScratch("graft_orders_byyear_")
     val byYear = Tables.load(spark, dir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
     byYear.write.mode("overwrite").partitionBy("o_year").parquet(path)
@@ -489,8 +538,11 @@ trait RelationalLayout extends RelationalBase {
   // the broadcast dim so only the matching o_year directories are read
   // (PlanSpec asserts the dynamicpruning filter). THE star-schema scale
   // feature: a 100 TB fact never scans partitions the dims exclude.
-  def dynamicPruning(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_orders_dpp_${tmpTag(dir)}"
+  def dynamicPruning(spark: SparkSession, dir: String): DataFrame =
+   // memoized + session-tagged scratch (re-call contract, see s08)
+   graft.SessionCache.memo(spark, s"s15:$dir") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_orders_dpp_${graft.Fs.sessionTag(spark, dir)}"
+    graft.Fs.sweepStaleScratch("graft_orders_dpp_")
     val byYear = Tables.load(spark, dir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
     byYear.write.mode("overwrite").partitionBy("o_year").parquet(path)
@@ -536,9 +588,12 @@ trait RelationalLayout extends RelationalBase {
   // (the bucketing satisfies the required hash distribution). This is
   // the co-location story for 100 TB: pay the shuffle once at write
   // time, every keyed agg/join after that is exchange-free.
-  def bucketedAgg(spark: SparkSession, dir: String): DataFrame = {
-    val db = s"graft_whb_${tmpTag(dir)}" // per-dir, same rationale as s26
-    val loc = s"${sys.props("java.io.tmpdir")}/graft_whb_${tmpTag(dir)}"
+  def bucketedAgg(spark: SparkSession, dir: String): DataFrame =
+   // memoized + session-scoped warehouse (re-call contract, see s08)
+   graft.SessionCache.memo(spark, s"s12:$dir") {
+    val db = s"graft_whb_${tmpTag(dir)}_s${graft.Fs.sessionToken(spark)}"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_whb_${graft.Fs.sessionTag(spark, dir)}"
+    graft.Fs.sweepStaleScratch("graft_whb_")
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     graft.Fs.rmTree(new java.io.File(loc))
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
@@ -563,11 +618,15 @@ trait RelationalLayout extends RelationalBase {
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame =
     bucketedJoinInner(spark, dir).orderBy(col("c_custkey"))
 
-  private[graft] def bucketedJoinInner(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def bucketedJoinInner(spark: SparkSession, dir: String): DataFrame =
+   // memoized + session-scoped warehouse (re-call contract, see s08)
+   graft.SessionCache.memo(spark, s"s26:$dir") {
     // per-dir name (vecDb's contract): a second data dir in the same
-    // JVM must not DROP this dir's tables out from under lazy frames
-    val db = s"graft_whbj_${tmpTag(dir)}"
-    val loc = s"${sys.props("java.io.tmpdir")}/graft_whbj_${tmpTag(dir)}"
+    // JVM must not DROP this dir's tables out from under lazy frames;
+    // per-session suffix: nor may a second session or a re-call
+    val db = s"graft_whbj_${tmpTag(dir)}_s${graft.Fs.sessionToken(spark)}"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_whbj_${graft.Fs.sessionTag(spark, dir)}"
+    graft.Fs.sweepStaleScratch("graft_whbj_")
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     graft.Fs.rmTree(new java.io.File(loc))
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")

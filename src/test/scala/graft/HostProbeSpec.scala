@@ -109,6 +109,15 @@ class HostProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("calibrateBandwidth: positive MB/s, sane magnitude") {
+    val bw = Bench.calibrateBandwidth(
+      math.min(4, Runtime.getRuntime.availableProcessors()), millis = 150)
+    // any real machine streams >100 MB/s; the ceiling guards against a
+    // unit slip (a cache-resident loop would report TB/s-scale numbers)
+    assert(bw > 100.0, s"bw=$bw MB/s")
+    assert(bw < 4e6, s"bw=$bw MB/s looks cache-resident, not DRAM")
+  }
+
   test("cgroupCpuQuota parses to a positive core count or None") {
     // live read: unlimited ("max") and absent file are both None; a
     // quota'd container must come back positive
@@ -175,7 +184,8 @@ class HostProbeSpec extends AnyFunSuite {
     val host = root.get("host")
     for (f <- Seq("clean", "ncpus", "max_heap_mb", "other_cpu_sec",
                   "steal_sec", "throttled_sec", "calib_st_mops_start",
-                  "calib_mt_mops_end", "git_head", "last_src_commit",
+                  "calib_mt_mops_end", "calib_bw_mbps_start",
+                  "calib_bw_mbps_end", "git_head", "last_src_commit",
                   "src_main_dirty", "other_jvms_at_start"))
       assert(host.has(f), s"host record missing '$f'")
     assert(host.get("other_jvms_at_start").isArray)

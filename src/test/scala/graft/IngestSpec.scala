@@ -29,7 +29,7 @@ class IngestSpec extends SparkSpec {
     // and that concatenating shards by range yields the full global sort
     Relational.sortedShards(spark, sfDir).collect() // force the write
     val path = s"${sys.props("java.io.tmpdir")}/graft_sorted_shards_" +
-      graft.Fs.tmpTag(sfDir)
+      graft.Fs.sessionTag(spark, sfDir)
     val files = new java.io.File(path).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
     assert(files.length == 8, files.length)
