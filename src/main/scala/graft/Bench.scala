@@ -90,7 +90,12 @@ import org.apache.spark.sql.functions._
   * round-13 record's `started_at` predated three later commits and
   * only prose said that was wrong; now tools/check.py compares the
   * COMMITTED artifact's `started_at` against the last src/main commit
-  * and fails the round on a stale record ([[recordFresh]]).
+  * and fails the round on a stale record ([[recordFresh]]); plus two
+  * more contention axes the ALU loop is blind to —
+  * `calib_bw_mbps_{start,end}` (streaming DRAM bandwidth, see
+  * [[calibrateBandwidth]]) and `calib_lat_ns_{start,end}` (dependent-
+  * load memory latency, see [[calibrateLatency]]) — because this
+  * round's measured inflation modes were memory-side at flat ALU.
   */
 object Bench {
   def forceAll(df: DataFrame): Unit = {
@@ -342,6 +347,59 @@ object Bench {
     (0 until threads).map(counts.get).sum * 8.0 / wall / 1e6
   }
 
+  /** Single-dependent-load memory LATENCY in ns/load: a pointer-chase
+    * over a 128 MB next-pointer array arranged as ONE random cycle
+    * (deterministic Sattolo shuffle), so every load's address depends
+    * on the previous load's value and no prefetcher can hide the trip
+    * to memory. Single-threaded — the score is the round-trip time of
+    * one cache-missing load, not throughput.
+    *
+    * Why a THIRD calibration axis: this round measured a +36% CPU
+    * inflation concentrated on the string/hash-heavy families (t 2.7x,
+    * c 2.0x wall vs the record two hours earlier, warm pass flat, plan
+    * shapes identical, A/B on the record commit equal-to-HEAD) while
+    * steal was ~12 s, the ALU calibration was flat AND the streaming-
+    * bandwidth calibration was the highest ever recorded. Sequential
+    * bandwidth rules out saturated memory controllers, so the
+    * remaining co-tenant contention mode is cache/latency pressure —
+    * hash joins, shingle maps and string dedup are dependent-load
+    * bound, exactly what this probe measures and the other two are
+    * blind to (the ALU loop never leaves registers; the bandwidth loop
+    * is prefetch-friendly). Scored start+end per run so cross-run CPU
+    * comparisons can condition on it.
+    */
+  private[graft] def calibrateLatency(millis: Long = 250): Double = {
+    val n = 32 << 20 // 32M ints = 128 MB of next-pointers, beyond any LLC slice
+    val next = new Array[Int](n)
+    var i = 0
+    while (i < n) { next(i) = i; i += 1 }
+    // Sattolo: for i from n-1 down to 1 swap with j < i — the identity
+    // becomes a single n-cycle; xorshift64 keeps it deterministic
+    var x = 0x9E3779B97F4A7C15L
+    i = n - 1
+    while (i > 0) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      val j = ((x >>> 1) % i).toInt
+      val t = next(i); next(i) = next(j); next(j) = t
+      i -= 1
+    }
+    var p = 0
+    var w = 0
+    while (w < (1 << 20)) { p = next(p); w += 1 } // warmup ~1M loads
+    calibSink = p.toLong
+    val t0 = System.nanoTime()
+    val deadline = t0 + millis * 1000000L
+    var m = 0L
+    while (System.nanoTime() < deadline) {
+      var k = 0
+      while (k < 4096) { p = next(p); k += 1 }
+      m += 4096
+    }
+    val wall = System.nanoTime() - t0
+    calibSink = p.toLong
+    wall.toDouble / m
+  }
+
   /** JSON string-body escaping for host-record free text: backslash,
     * double-quote, and every ASCII control character (< 0x20 — the
     * round-12 fix covered only the first two, so a newline or tab in a
@@ -492,6 +550,7 @@ object Bench {
     val calibSt0 = calibrateThroughput(1)
     val calibMt0 = calibrateThroughput(ncpus0)
     val calibBw0 = calibrateBandwidth(ncpus0)
+    val calibLat0 = calibrateLatency()
     val sysBusy0 = systemBusySec()
     val sysSteal0 = systemStealSec()
     val throttled0 = cgroupThrottledSec()
@@ -635,6 +694,7 @@ object Bench {
     val calibSt1 = calibrateThroughput(1)
     val calibMt1 = calibrateThroughput(ncpus)
     val calibBw1 = calibrateBandwidth(ncpus)
+    val calibLat1 = calibrateLatency()
     val hostClean =
       hostCleanDecision(otherCpuRun, runWallSec, ncpus, throttledRun)
     val hostJson = {
@@ -662,6 +722,8 @@ object Bench {
         s""""calib_mt_mops_end":${fmt(calibMt1)},""" +
         s""""calib_bw_mbps_start":${fmt(calibBw0)},""" +
         s""""calib_bw_mbps_end":${fmt(calibBw1)},""" +
+        s""""calib_lat_ns_start":${fmt(calibLat0)},""" +
+        s""""calib_lat_ns_end":${fmt(calibLat1)},""" +
         s""""git_head":${gitHead0.map(h => "\"" + jstr(h) + "\"").getOrElse("null")},""" +
         s""""last_src_commit":${lastSrcCommit0.map(c => "\"" + jstr(c) + "\"").getOrElse("null")},""" +
         s""""src_main_dirty":${srcDirty0.map(_.toString).getOrElse("null")},""" +

@@ -82,7 +82,9 @@ object LayoutSweep {
         Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString)
     }
 
-  private def rows(df: DataFrame): Seq[String] = {
+  /** Canonical row multiset (columns name-sorted, rows string-sorted) —
+    * shared with [[ExecSweep]] so both rails compare identically. */
+  private[graft] def rows(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toIndexedSeq
     df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq

@@ -118,6 +118,16 @@ class HostProbeSpec extends AnyFunSuite {
     assert(bw < 4e6, s"bw=$bw MB/s looks cache-resident, not DRAM")
   }
 
+  test("calibrateLatency: ns/load in the DRAM range, not cache or a unit slip") {
+    val lat = Bench.calibrateLatency(millis = 150)
+    // a dependent load missing to DRAM costs tens of ns on any real
+    // machine (virtualized hosts under pressure run into the hundreds);
+    // <5 ns would mean the chase stayed cache-resident (array too
+    // small / prefetcher defeated the permutation), >10 µs a unit slip
+    assert(lat > 5.0, s"lat=$lat ns/load looks cache-resident")
+    assert(lat < 10000.0, s"lat=$lat ns/load looks like a unit slip")
+  }
+
   test("cgroupCpuQuota parses to a positive core count or None") {
     // live read: unlimited ("max") and absent file are both None; a
     // quota'd container must come back positive
@@ -185,7 +195,8 @@ class HostProbeSpec extends AnyFunSuite {
     for (f <- Seq("clean", "ncpus", "max_heap_mb", "other_cpu_sec",
                   "steal_sec", "throttled_sec", "calib_st_mops_start",
                   "calib_mt_mops_end", "calib_bw_mbps_start",
-                  "calib_bw_mbps_end", "git_head", "last_src_commit",
+                  "calib_bw_mbps_end", "calib_lat_ns_start",
+                  "calib_lat_ns_end", "git_head", "last_src_commit",
                   "src_main_dirty", "other_jvms_at_start"))
       assert(host.has(f), s"host record missing '$f'")
     assert(host.get("other_jvms_at_start").isArray)
