@@ -375,7 +375,13 @@ object Events {
         s.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         import s.implicits._
+        // a keyed running total can neither attribute a null-user event
+        // nor add a null amount; drop both at ingest, BEFORE the typed
+        // encoder whose primitive fields would otherwise throw
+        // NOT_NULL_ASSERT_VIOLATION (NullSweep finding). No-op on the
+        // gate tables (user_id/value are never null there).
         val ev = eventsStream(s, dir)
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
           .select(col("user_id"),
             (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
           .as[(Long, Long)]
@@ -969,7 +975,8 @@ object Events {
     "e22_stream_running_totals" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // batch LEFT interval join under the same below-watermark cutoff
     // the gated rollup applies (see streamLeftOuterAttribution scaladoc)
     "e21_stream_left_outer" ->

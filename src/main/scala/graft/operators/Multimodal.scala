@@ -32,7 +32,11 @@ object Multimodal {
   def fakeDecodeFeatures(docs: DataFrame): Dataset[MediaFeatures] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    // a media row without an id or payload is un-decodable: production
+    // ingest rejects it upstream of the decoder (NullSweep finding: a
+    // null payload NPE'd the whole decode stage); no-op on gate data
+    docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder init (the real-decoder handle analogue)
@@ -69,7 +73,8 @@ object Multimodal {
   def fakeSampleFrames(docs: DataFrame): Dataset[Frame] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id").isNotNull && col("text").isNotNull) // m02's ingest rule
+      .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -140,7 +145,8 @@ object Multimodal {
   def batchedScore(docs: DataFrame): Dataset[BatchScored] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.filter(col("doc_id").isNotNull && col("text").isNotNull) // m02's ingest rule
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .groupByKey { case (id, _) => id / 32 }
       .flatMapGroups { (batchId: Long, it: Iterator[(Long, String)]) =>
         val items = it.toArray.sortBy(_._1) // ≤32 rows by construction
@@ -167,7 +173,8 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "m06_batched_decode" ->
-      """WITH b AS (SELECT doc_id, text, doc_id // 32 AS batch_id FROM documents),
+      """WITH b AS (SELECT doc_id, text, doc_id // 32 AS batch_id FROM documents
+        |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
         |r AS (SELECT doc_id, batch_id, text,
         |   CAST(COUNT(*) OVER (PARTITION BY batch_id) AS INTEGER) AS batch_size,
         |   CAST(ROW_NUMBER() OVER (PARTITION BY batch_id ORDER BY doc_id) - 1 AS INTEGER) AS slot
@@ -181,10 +188,11 @@ object Multimodal {
         | CAST(16 + (ascii(substr(md5(text), 2, 1)) % 16) * 8 AS INTEGER) AS height,
         | CAST(1 + ascii(substr(md5(text), 3, 1)) % 3 AS INTEGER) AS n_channels,
         | CAST(1 + ascii(substr(md5(text), 4, 1)) % 8 AS INTEGER) AS n_frames
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL""".stripMargin,
     "m03_frame_sample" ->
       """WITH n AS (SELECT doc_id, text,
-        |   1 + ascii(substr(md5(text), 4, 1)) % 8 AS n_frames FROM documents)
+        |   1 + ascii(substr(md5(text), 4, 1)) % 8 AS n_frames FROM documents
+        |   WHERE doc_id IS NOT NULL AND text IS NOT NULL)
         |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
         |  md5(text || '#' || i) AS frame_hash
         |FROM n, unnest(range(n_frames)) AS u(i)""".stripMargin,

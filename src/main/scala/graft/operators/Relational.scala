@@ -35,7 +35,11 @@ object Relational extends RelationalBase
   // consumed via element_at / map_keys / size. Published as scalars:
   // map columns don't hash-compare across engines, scalar lookups do.
   def mapOps(spark: SparkSession, dir: String): DataFrame = {
+    // NULL can never be a map key (SQL 2200E, NullSweep finding):
+    // production map-builders drop the null-keyed entry at the source;
+    // no-op on the gate tables (o_orderstatus is never null there)
     val counts = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus").isNotNull)
       .groupBy(col("o_orderpriority"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"))
     counts.groupBy(col("o_orderpriority"))
@@ -696,7 +700,7 @@ object Relational extends RelationalBase
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN n END) AS BIGINT) AS n_p,
         |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
         |FROM (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
-        |      FROM orders GROUP BY 1, 2)
+        |      FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1, 2)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,

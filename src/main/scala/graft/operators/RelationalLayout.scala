@@ -159,16 +159,24 @@ trait RelationalLayout extends RelationalBase {
    graft.SessionCache.memo(spark, s"s23:$dir") {
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_text_roundtrip_${graft.Fs.sessionTag(spark, dir)}"
     graft.Fs.sweepStaleScratch("graft_text_roundtrip_")
+    // NULL-safe line format (NullSweep finding): concat_ws SKIPS null
+    // fields, so a null column would shift every later field left and
+    // the re-parse would read garbage (or throw INVALID_ARRAY_INDEX
+    // under ANSI on the shortened split). Encode null as the empty
+    // field — the line always carries exactly 3 fields — and decode ''
+    // back to null before the cast. No-op on the gate tables.
+    def enc(c: String) = coalesce(col(c).cast(StringType), lit(""))
     Tables.load(spark, dir, "nation")
       .select(concat_ws("\t",
-        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+        enc("n_nationkey"), enc("n_name"), enc("n_regionkey")).as("value"))
       .write.mode("overwrite").text(tmp)
     val parts = split(col("value"), "\t")
+    def dec(i: Int) = nullif(parts.getItem(i), lit(""))
     spark.read.text(tmp)
       .select(
-        parts.getItem(0).cast(IntegerType).as("n_nationkey"),
-        parts.getItem(1).as("n_name"),
-        parts.getItem(2).cast(IntegerType).as("n_regionkey"))
+        dec(0).cast(IntegerType).as("n_nationkey"),
+        dec(1).as("n_name"),
+        dec(2).cast(IntegerType).as("n_regionkey"))
       .groupBy(col("n_regionkey"))
       .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("max_name"))
       .orderBy(col("n_regionkey"))
@@ -191,7 +199,7 @@ trait RelationalLayout extends RelationalBase {
   /** Range-clustered shard layout + per-file (lo, hi) manifest of the
     * clustering key, built once per (session, dir).
     */
-  private def statsManifest(spark: SparkSession, dir: String): Array[(String, Double, Double)] =
+  private def statsManifest(spark: SparkSession, dir: String): Array[(String, Option[Double], Option[Double])] =
     SessionCache.memo(spark, s"s21_manifest_$dir") {
       // session-tagged: statsPrunedScan's returned frame reads the
       // surviving shard FILES lazily — a second session rewriting the
@@ -206,14 +214,22 @@ trait RelationalLayout extends RelationalBase {
       spark.read.schema(orders.schema).parquet(p)
         .groupBy(input_file_name().as("f"))
         .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
-        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        // a file whose key column is ALL null has no min/max — a real
+        // stats manifest records "no stats" for such a chunk (NullSweep
+        // finding: getDouble threw ROW_VALUE_IS_NULL)
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
     }
 
-  /** Files whose [lo, hi] stats intersect the predicate range. */
+  /** Files whose [lo, hi] stats intersect the predicate range. A file
+    * WITHOUT stats must survive — absent stats cannot prove exclusion
+    * (the row filter still applies; null keys never match the box). */
   def statsSurvivors(spark: SparkSession, dir: String): (Array[String], Int) = {
     val m = statsManifest(spark, dir)
     val (loP, hiP) = s21Box
-    (m.collect { case (f, lo, hi) if hi >= loP && lo <= hiP => f }, m.length)
+    (m.collect { case (f, lo, hi) if hi.forall(_ >= loP) && lo.forall(_ <= hiP) => f },
+      m.length)
   }
 
   def statsPrunedScan(spark: SparkSession, dir: String): DataFrame = {
