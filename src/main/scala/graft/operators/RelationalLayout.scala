@@ -159,19 +159,30 @@ trait RelationalLayout extends RelationalBase {
    graft.SessionCache.memo(spark, s"s23:$dir") {
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_text_roundtrip_${graft.Fs.sessionTag(spark, dir)}"
     graft.Fs.sweepStaleScratch("graft_text_roundtrip_")
-    // NULL-safe line format (NullSweep finding): concat_ws SKIPS null
-    // fields, so a null column would shift every later field left and
-    // the re-parse would read garbage (or throw INVALID_ARRAY_INDEX
-    // under ANSI on the shortened split). Encode null as the empty
-    // field — the line always carries exactly 3 fields — and decode ''
-    // back to null before the cast. No-op on the gate tables.
-    def enc(c: String) = coalesce(col(c).cast(StringType), lit(""))
+    // NULL-safe, DELIMITER-SAFE line format (NullSweep + TextFuzzSweep
+    // findings): concat_ws SKIPS null fields, and a field containing
+    // the format's own structural characters (tab separator, newline
+    // record terminator) would tear the line apart on re-parse — both
+    // shift later fields and throw INVALID_ARRAY_INDEX under ANSI.
+    // Encode null as the empty field and percent-escape the structural
+    // characters (%25/%09/%0A/%0D; decode %25 LAST, which makes the
+    // sequential decode order-safe because '%' appears in encoded text
+    // only as the escape initiator). No-op on the gate tables.
+    def esc(c: Column) =
+      replace(replace(replace(replace(c,
+        lit("%"), lit("%25")), lit("\t"), lit("%09")),
+        lit("\n"), lit("%0A")), lit("\r"), lit("%0D"))
+    def enc(c: String) = esc(coalesce(col(c).cast(StringType), lit("")))
     Tables.load(spark, dir, "nation")
       .select(concat_ws("\t",
         enc("n_nationkey"), enc("n_name"), enc("n_regionkey")).as("value"))
       .write.mode("overwrite").text(tmp)
     val parts = split(col("value"), "\t")
-    def dec(i: Int) = nullif(parts.getItem(i), lit(""))
+    def unesc(c: Column) =
+      replace(replace(replace(replace(c,
+        lit("%09"), lit("\t")), lit("%0A"), lit("\n")),
+        lit("%0D"), lit("\r")), lit("%25"), lit("%"))
+    def dec(i: Int) = unesc(nullif(parts.getItem(i), lit("")))
     spark.read.text(tmp)
       .select(
         dec(0).cast(IntegerType).as("n_nationkey"),
