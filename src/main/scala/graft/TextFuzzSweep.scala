@@ -80,8 +80,15 @@ object TextFuzzSweep {
   /** Mirror of every synthetic table with each STRING column extended
     * by a hash-picked adversarial snippet on a deterministic ~1/`rate`
     * row subset (same row-id x column-name mask construction as
-    * [[NullSweep.mirrorNulled]]; APPEND rather than replace, so keys
-    * stay distinct and joins/filters still select non-trivial rows). */
+    * [[NullSweep.mirrorNulled]]; EXTEND rather than replace, so keys
+    * stay distinct and joins/filters still select non-trivial rows).
+    * A second hash bit picks APPEND vs PREPEND: appending preserves
+    * any structured PREFIX the value carries (a JSON object with
+    * trailing garbage — which Jackson-style parsers accept), while
+    * prepending destroys it (BOM/emoji-prefixed JSON, the truncated/
+    * corrupt document a semi-structured ingest must null out, not die
+    * on — the first sweep could not reach that regime and raw
+    * parse_json passed it silently). */
   def mirrorFuzzed(spark: SparkSession, srcDir: String, outDir: String,
                    rate: Int): Unit = {
     val snips = array(snippets.map(lit): _*)
@@ -91,11 +98,13 @@ object TextFuzzSweep {
       val fuzzed = src.select(src.schema.fields.filterNot(_.name == "__rid").map { f =>
         val c = col(s"`${f.name}`")
         val h = xxhash64(col("__rid"), lit(f.name))
-        if (f.dataType == StringType)
+        if (f.dataType == StringType) {
+          val snip = element_at(snips, (pmod(h, lit(snippets.size)) + 1).cast("int"))
+          val side = pmod(xxhash64(col("__rid"), lit(f.name), lit("side")), lit(3))
           when(pmod(h, lit(rate)) === 0 && c.isNotNull,
-            concat(c, element_at(snips, (pmod(h, lit(snippets.size)) + 1).cast("int"))))
+            when(side === 0, concat(snip, c)).otherwise(concat(c, snip)))
             .otherwise(c).as(f.name)
-        else c.as(f.name)
+        } else c.as(f.name)
       }.toIndexedSeq: _*)
       fuzzed.write.mode("overwrite").parquet(Tables.path(outDir, t))
     }

@@ -604,11 +604,19 @@ object Events {
   // typed path extraction with variant_get — parse cost is paid once
   // per row however many paths are read, extraction is codegen'd, and
   // a missing path is NULL (counted here to pin that contract), not an
-  // error. Distinct stats from e06 so the two JSON paths are
-  // independently verified.
+  // error. try_parse_json, not parse_json: a MALFORMED document must
+  // become a null variant (every variant_get on it → NULL, the same
+  // missing-path contract), not kill the job — raw parse_json threw
+  // MALFORMED_RECORD_IN_PARSING on the first corrupt document
+  // (TextFuzzSweep finding: a prefix-corrupted JSON value, the
+  // truncated/garbled record every web-scale props feed contains; its
+  // trailing-garbage sibling parses fine, which is why the append-only
+  // fuzz missed it). Identical on the gate tables (all props valid).
+  // Distinct stats from e06 so the two JSON paths are independently
+  // verified.
   def variantProps(spark: SparkSession, dir: String): DataFrame =
     eventsBase(spark, dir)
-      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"), try_parse_json(col("props")).as("v"))
       .select(col("event_type"),
         variant_get(col("v"), "$.k", "int").as("k"),
         variant_get(col("v"), "$.missing", "string").as("miss"))
