@@ -31,11 +31,23 @@ object EmptySweep {
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
     val outDir = args.lift(1).getOrElse("target/scratch/sf0")
+    val startedAt = java.time.Instant.now().toString
     val spark = SparkEntry.harnessSession()
     spark.sparkContext.setLogLevel("ERROR")
+    val failed = run(spark, srcDir, outDir)
+    SweepReport.write("empty", srcDir, SparkEntry.queries.size, failed, startedAt)
+    SessionCache.clear(spark)
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** Sweep body (shared with [[SweepAll]]): mirror + run every query,
+    * returning the names that threw. */
+  def run(spark: SparkSession, srcDir: String,
+          outDir: String = "target/scratch/sf0"): Seq[String] = {
     mirrorEmpty(spark, srcDir, outDir)
     val names = SparkEntry.queries.keys.toSeq.sorted
-    var failed = List.empty[(String, Throwable)]
+    var failed = List.empty[String]
     for (n <- names) {
       val t0 = System.nanoTime()
       try {
@@ -43,16 +55,14 @@ object EmptySweep {
         println(f"[empty] $n OK rows=$rows wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
       } catch {
         case e: Throwable =>
-          failed ::= (n, e)
+          failed ::= n
           println(s"[empty] $n FAIL ${e.getClass.getSimpleName}: " +
             s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
       }
     }
     println(s"[empty] swept=${names.size} failed=${failed.size}" +
-      (if (failed.isEmpty) "" else failed.map(_._1).sorted.mkString(" [", ",", "]")))
-    SessionCache.clear(spark)
-    spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+      (if (failed.isEmpty) "" else failed.sorted.mkString(" [", ",", "]")))
+    failed.sorted
   }
 
   /** Zero-row mirror of every synthetic table, schema-identical to the

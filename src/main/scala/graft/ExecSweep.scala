@@ -43,8 +43,19 @@ import org.apache.spark.sql.SparkSession
 object ExecSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    val startedAt = java.time.Instant.now().toString
     val spark = SparkEntry.harnessSession()
     spark.sparkContext.setLogLevel("ERROR")
+    val failed = run(spark, sfDir)
+    SweepReport.write("exec", sfDir, SparkEntry.queries.size, failed, startedAt)
+    SessionCache.clear(spark)
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** Sweep body (shared with [[SweepAll]]): compare every query across
+    * session configs, returning the names that threw/diverged. */
+  def run(spark: SparkSession, sfDir: String): Seq[String] = {
     val alt = clusterLike(spark)
     val names = SparkEntry.queries.keys.toSeq.sorted
     var failed = List.empty[String]
@@ -61,9 +72,7 @@ object ExecSweep {
     println(s"[exec] swept=${names.size} failed=${failed.size}" +
       (if (failed.isEmpty) "" else failed.sorted.mkString(" [", ",", "]")))
     SessionCache.clear(alt)
-    SessionCache.clear(spark)
-    spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    failed.sorted
   }
 
   /** A sibling session configured the way a large cluster plans: many

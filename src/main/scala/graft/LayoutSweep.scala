@@ -34,8 +34,20 @@ object LayoutSweep {
     val srcDir = args(0)
     val outDir = args.lift(1).getOrElse("target/scratch/sf_layout")
     val splits = args.lift(2).map(_.toInt).getOrElse(7)
+    val startedAt = java.time.Instant.now().toString
     val spark = SparkEntry.harnessSession()
     spark.sparkContext.setLogLevel("ERROR")
+    val failed = run(spark, srcDir, outDir, splits)
+    SweepReport.write("layout", srcDir, SparkEntry.queries.size, failed, startedAt)
+    SessionCache.clear(spark)
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** Sweep body (shared with [[SweepAll]]): mirror + compare every
+    * query across layouts, returning the names that threw/diverged. */
+  def run(spark: SparkSession, srcDir: String,
+          outDir: String = "target/scratch/sf_layout", splits: Int = 7): Seq[String] = {
     mirrorSplit(spark, srcDir, outDir, splits)
     val names = SparkEntry.queries.keys.toSeq.sorted
     var failed = List.empty[String]
@@ -51,9 +63,7 @@ object LayoutSweep {
     }
     println(s"[layout] swept=${names.size} failed=${failed.size}" +
       (if (failed.isEmpty) "" else failed.sorted.mkString(" [", ",", "]")))
-    SessionCache.clear(spark)
-    spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    failed.sorted
   }
 
   /** Multi-split mirror of every synthetic table: identical rows,

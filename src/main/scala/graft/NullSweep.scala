@@ -37,8 +37,20 @@ object NullSweep {
     val srcDir = args(0)
     val outDir = args.lift(1).getOrElse("target/scratch/sf_null")
     val rate = args.lift(2).map(_.toInt).getOrElse(7)
+    val startedAt = java.time.Instant.now().toString
     val spark = SparkEntry.harnessSession()
     spark.sparkContext.setLogLevel("ERROR")
+    val failed = run(spark, srcDir, outDir, rate)
+    SweepReport.write("null", srcDir, SparkEntry.queries.size, failed, startedAt)
+    SessionCache.clear(spark)
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** Sweep body (shared with [[SweepAll]]): mirror + run every query,
+    * returning the names that threw. */
+  def run(spark: SparkSession, srcDir: String,
+          outDir: String = "target/scratch/sf_null", rate: Int = 7): Seq[String] = {
     mirrorNulled(spark, srcDir, outDir, rate)
     val names = SparkEntry.queries.keys.toSeq.sorted
     var failed = List.empty[String]
@@ -56,23 +68,37 @@ object NullSweep {
     }
     println(s"[null] swept=${names.size} failed=${failed.size}" +
       (if (failed.isEmpty) "" else failed.sorted.mkString(" [", ",", "]")))
-    SessionCache.clear(spark)
-    spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    failed.sorted
+  }
+
+  /** Source table asserted single-split, the precondition for a
+    * reproducible `monotonically_increasing_id` row key (round-14
+    * advice): the mirror mutations are keyed on that id, so a source
+    * that ever becomes multi-file would silently make the masks
+    * layout-dependent — fail loudly instead. Shared with
+    * [[TextFuzzSweep.mirrorFuzzed]]. */
+  private[graft] def singleSplit(spark: SparkSession, srcDir: String,
+                                 table: String): DataFrame = {
+    val df = spark.read.parquet(Tables.path(srcDir, table))
+    require(df.inputFiles.length == 1,
+      s"$table in $srcDir has ${df.inputFiles.length} files — the mirror's " +
+        "row-id-keyed mutations are only reproducible over a single split; " +
+        "re-point the sweep at single-file gate data")
+    df
   }
 
   /** Mirror of every synthetic table with each column independently
     * nulled on a deterministic ~1/`rate` row subset. The row key is a
-    * per-table sequence id (the source tables are single splits, so
-    * the id — and with it the whole mirror — is reproducible
-    * run-to-run); hashing it with the COLUMN NAME decorrelates the
-    * null masks across columns, so rows with one null keep their
-    * other fields — the partially-populated record a production
-    * optional field actually produces. */
+    * per-table sequence id (the source tables are single splits —
+    * asserted by [[singleSplit]] — so the id, and with it the whole
+    * mirror, is reproducible run-to-run); hashing it with the COLUMN
+    * NAME decorrelates the null masks across columns, so rows with one
+    * null keep their other fields — the partially-populated record a
+    * production optional field actually produces. */
   def mirrorNulled(spark: SparkSession, srcDir: String, outDir: String,
                    rate: Int): Unit =
     for (t <- Tables.all) {
-      val src = spark.read.parquet(Tables.path(srcDir, t))
+      val src = singleSplit(spark, srcDir, t)
         .withColumn("__rid", monotonically_increasing_id())
       val nulled = src.select(src.columns.filterNot(_ == "__rid").map { c =>
         when(pmod(xxhash64(col("__rid"), lit(c)), lit(rate)) === 0,

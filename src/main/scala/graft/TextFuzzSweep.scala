@@ -53,8 +53,20 @@ object TextFuzzSweep {
     val srcDir = args(0)
     val outDir = args.lift(1).getOrElse("target/scratch/sf_fuzz")
     val rate = args.lift(2).map(_.toInt).getOrElse(7)
+    val startedAt = java.time.Instant.now().toString
     val spark = SparkEntry.harnessSession()
     spark.sparkContext.setLogLevel("ERROR")
+    val failed = run(spark, srcDir, outDir, rate)
+    SweepReport.write("fuzz", srcDir, SparkEntry.queries.size, failed, startedAt)
+    SessionCache.clear(spark)
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** Sweep body (shared with [[SweepAll]]): mirror + run every query,
+    * returning the names that threw. */
+  def run(spark: SparkSession, srcDir: String,
+          outDir: String = "target/scratch/sf_fuzz", rate: Int = 7): Seq[String] = {
     mirrorFuzzed(spark, srcDir, outDir, rate)
     val names = SparkEntry.queries.keys.toSeq.sorted
     var failed = List.empty[String]
@@ -72,9 +84,7 @@ object TextFuzzSweep {
     }
     println(s"[fuzz] swept=${names.size} failed=${failed.size}" +
       (if (failed.isEmpty) "" else failed.sorted.mkString(" [", ",", "]")))
-    SessionCache.clear(spark)
-    spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    failed.sorted
   }
 
   /** Mirror of every synthetic table with each STRING column extended
@@ -82,24 +92,31 @@ object TextFuzzSweep {
     * row subset (same row-id x column-name mask construction as
     * [[NullSweep.mirrorNulled]]; EXTEND rather than replace, so keys
     * stay distinct and joins/filters still select non-trivial rows).
-    * A second hash bit picks APPEND vs PREPEND: appending preserves
-    * any structured PREFIX the value carries (a JSON object with
-    * trailing garbage — which Jackson-style parsers accept), while
-    * prepending destroys it (BOM/emoji-prefixed JSON, the truncated/
-    * corrupt document a semi-structured ingest must null out, not die
-    * on — the first sweep could not reach that regime and raw
-    * parse_json passed it silently). */
+    * The snippet-pick hash is SALTED (`"snip"`) so row selection and
+    * snippet class are independent for ANY rate — round-14 advice: with
+    * both derived from the same hash, a rate sharing a factor with
+    * `snippets.size` restricts selected rows to a subset of snippet
+    * classes, silently collapsing adversarial coverage. A separately
+    * salted hash mod 3 weights PREPEND:APPEND 1:2 — intentionally
+    * append-leaning, because appending preserves any structured PREFIX
+    * the value carries (a JSON object with trailing garbage — which
+    * Jackson-style parsers accept), while prepending destroys it
+    * (BOM/emoji-prefixed JSON, the truncated/corrupt document a
+    * semi-structured ingest must null out, not die on — the first sweep
+    * could not reach that regime and raw parse_json passed it
+    * silently). */
   def mirrorFuzzed(spark: SparkSession, srcDir: String, outDir: String,
                    rate: Int): Unit = {
     val snips = array(snippets.map(lit): _*)
     for (t <- Tables.all) {
-      val src = spark.read.parquet(Tables.path(srcDir, t))
+      val src = NullSweep.singleSplit(spark, srcDir, t)
         .withColumn("__rid", monotonically_increasing_id())
       val fuzzed = src.select(src.schema.fields.filterNot(_.name == "__rid").map { f =>
         val c = col(s"`${f.name}`")
         val h = xxhash64(col("__rid"), lit(f.name))
         if (f.dataType == StringType) {
-          val snip = element_at(snips, (pmod(h, lit(snippets.size)) + 1).cast("int"))
+          val snipH = xxhash64(col("__rid"), lit(f.name), lit("snip"))
+          val snip = element_at(snips, (pmod(snipH, lit(snippets.size)) + 1).cast("int"))
           val side = pmod(xxhash64(col("__rid"), lit(f.name), lit("side")), lit(3))
           when(pmod(h, lit(rate)) === 0 && c.isNotNull,
             when(side === 0, concat(snip, c)).otherwise(concat(c, snip)))

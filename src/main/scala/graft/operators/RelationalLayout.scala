@@ -149,6 +149,29 @@ trait RelationalLayout extends RelationalBase {
         col("n_rows"), col("min_event"), col("max_event"), col("total_value"))
   }
 
+  /** Field-level encoder for the s23 line format: percent-escape the
+    * structural characters (escape '%' FIRST, so it appears in encoded
+    * text only as the escape initiator), NULL as the lone '%00' token —
+    * impossible in escaped text, where a literal '%' always becomes
+    * '%25', so '' and NULL stay distinct through the round-trip
+    * (round-14 advice: the earlier empty-field encoding conflated
+    * them). LayoutSpec pins the inverse pair on adversarial values. */
+  private[graft] def textEncodeField(c: Column): Column =
+    coalesce(
+      replace(replace(replace(replace(c.cast(StringType),
+        lit("%"), lit("%25")), lit("\t"), lit("%09")),
+        lit("\n"), lit("%0A")), lit("\r"), lit("%0D")),
+      lit("%00"))
+
+  /** Inverse of [[textEncodeField]]: the sentinel check runs on the RAW
+    * field (a source value of literally "%00" arrives here as "%2500"),
+    * then unescape with %25 LAST — sequential decode is order-safe
+    * because '%' appears in encoded text only as the escape initiator. */
+  private[graft] def textDecodeField(c: Column): Column =
+    replace(replace(replace(replace(nullif(c, lit("%00")),
+      lit("%09"), lit("\t")), lit("%0A"), lit("\n")),
+      lit("%0D"), lit("\r")), lit("%25"), lit("%"))
+
   // S: raw `text` source/sink — the line-oriented format for log and
   // corpus ingestion (one string column per line, no schema at all).
   // Nation round-trips as TAB-joined lines; the read side re-parses
@@ -164,25 +187,15 @@ trait RelationalLayout extends RelationalBase {
     // the format's own structural characters (tab separator, newline
     // record terminator) would tear the line apart on re-parse — both
     // shift later fields and throw INVALID_ARRAY_INDEX under ANSI.
-    // Encode null as the empty field and percent-escape the structural
-    // characters (%25/%09/%0A/%0D; decode %25 LAST, which makes the
-    // sequential decode order-safe because '%' appears in encoded text
-    // only as the escape initiator). No-op on the gate tables.
-    def esc(c: Column) =
-      replace(replace(replace(replace(c,
-        lit("%"), lit("%25")), lit("\t"), lit("%09")),
-        lit("\n"), lit("%0A")), lit("\r"), lit("%0D"))
-    def enc(c: String) = esc(coalesce(col(c).cast(StringType), lit("")))
+    // [[textEncodeField]]/[[textDecodeField]] own the escaping and the
+    // '%00' NULL sentinel; no-op on the gate tables.
+    def enc(c: String) = textEncodeField(col(c))
     Tables.load(spark, dir, "nation")
       .select(concat_ws("\t",
         enc("n_nationkey"), enc("n_name"), enc("n_regionkey")).as("value"))
       .write.mode("overwrite").text(tmp)
     val parts = split(col("value"), "\t")
-    def unesc(c: Column) =
-      replace(replace(replace(replace(c,
-        lit("%09"), lit("\t")), lit("%0A"), lit("\n")),
-        lit("%0D"), lit("\r")), lit("%25"), lit("%"))
-    def dec(i: Int) = unesc(nullif(parts.getItem(i), lit("")))
+    def dec(i: Int) = textDecodeField(parts.getItem(i))
     spark.read.text(tmp)
       .select(
         dec(0).cast(IntegerType).as("n_nationkey"),

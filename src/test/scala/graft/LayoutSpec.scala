@@ -36,4 +36,28 @@ class LayoutSpec extends SparkSpec {
     assert(hz.toDouble / nz <= hl.toDouble / nl,
       s"z-order prunes worse than linear: $hz/$nz vs $hl/$nl")
   }
+
+  test("s23 field codec: '' and NULL stay distinct, structural chars round-trip") {
+    // round-14 advice: the earlier empty-field NULL encoding conflated
+    // '' with NULL — pin the '%00' sentinel codec as an exact inverse
+    // on every adversarial class, including values that LOOK like the
+    // sentinel or the escapes
+    val values = Seq(null, "", "%00", "%2500", "%", "%%", "%09", "%0A",
+      "tab\there", "nl\nthere", "cr\rend", "\t", "\n", "%25",
+      "a%00b", "mixed\t%\n\r%00", "plain")
+    import spark.implicits._
+    val df = values.toDF("v")
+    val back = df.select(
+        operators.Relational.textDecodeField(
+          operators.Relational.textEncodeField(col("v"))).as("rt"),
+        col("v"))
+      .collect()
+    for (r <- back)
+      assert(r.get(0) == r.get(1), s"round-trip broke: ${r.get(1)} -> ${r.get(0)}")
+    // the encoded field never contains a structural character, so the
+    // TAB-joined line can never tear
+    val enc = df.select(operators.Relational.textEncodeField(col("v")).as("e")).collect()
+    for (r <- enc; bad <- Seq("\t", "\n", "\r"))
+      assert(!r.getString(0).contains(bad), s"structural char survived encode: ${r.getString(0)}")
+  }
 }
