@@ -17,6 +17,31 @@ class GraphMlSpec extends SparkSpec {
       .select(col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
 
+  test("g01 pagerank cuts lineage every SECOND round (measured round-15 cadence)") {
+    // pins the measured round-15 win: lineage is cut every second round
+    // (4 eager materializations for 8 rounds), isolated-measured 13%
+    // faster at flat CPU than the per-round cadence. Counted through a
+    // thread-local seam — the loop runs on this thread, so concurrent
+    // suites on the shared SparkContext cannot pollute the count (a
+    // global job listener can and did).
+    val before = Graph.loopCuts.get.longValue
+    Graph.pagerank(spark, sfDir).collect()
+    val cuts = Graph.loopCuts.get.longValue - before
+    assert(cuts === 4L, s"pagerank performed $cuts lineage cuts — " +
+      "checkpoint cadence regressed (expected 4 = 8 rounds / 2)")
+  }
+
+  test("g04 shrink target: collapses a tiny surviving set, keeps cluster parallelism") {
+    // pins the round-15 peel rewrite's policy function: ~50k rows per
+    // partition, floor 1, never above the current partition count
+    assert(Graph.shrinkTarget(32, 815L) === 1)      // the measured sf0.1 graph
+    assert(Graph.shrinkTarget(32, 0L) === 1)        // empty survivor set
+    assert(Graph.shrinkTarget(32, 49999L) === 1)
+    assert(Graph.shrinkTarget(32, 50000L) === 2)
+    assert(Graph.shrinkTarget(32, 10000000L) === 32)  // capped at current
+    assert(Graph.shrinkTarget(2048, 1000000000L) === 2048) // 10⁹ edges: full parallelism
+  }
+
   test("g01 pagerank equals a plain-Scala integer power iteration") {
     val out = Graph.pagerank(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
