@@ -29,7 +29,8 @@ object SweepAll {
       "null" -> (() => NullSweep.run(spark, srcDir)),
       "fuzz" -> (() => TextFuzzSweep.run(spark, srcDir)),
       "layout" -> (() => LayoutSweep.run(spark, srcDir)),
-      "exec" -> (() => ExecSweep.run(spark, srcDir)))
+      "exec" -> (() => ExecSweep.run(spark, srcDir)),
+      "dup" -> (() => DupSweep.run(spark, srcDir)))
     require(sweeps.map(_._1) == SweepReport.railNames,
       "SweepAll's sweep list must match SweepReport.railNames (the gate's set)")
     var anyFailed = false

@@ -21,9 +21,11 @@ package graft
   */
 object SweepReport {
 
-  /** The five rail names, in run order. check.py gates on exactly this
+  /** The rail names, in run order (round 15 added `dup` — the
+    * at-least-once row-replay regime). check.py gates on exactly this
     * set; a missing artifact is a rail failure, not a skip. */
-  val railNames: Seq[String] = Seq("empty", "null", "fuzz", "layout", "exec")
+  val railNames: Seq[String] =
+    Seq("empty", "null", "fuzz", "layout", "exec", "dup")
 
   /** Pure sweep-artifact validity: None when the artifact is a valid,
     * fresh rail pass; Some(reason) otherwise. Mirrors

@@ -64,7 +64,8 @@ class SweepGateSpec extends AnyFunSuite {
     } finally { f.delete(); () }
   }
 
-  test("railNames is the five-sweep set check.py gates on") {
-    assert(SweepReport.railNames === Seq("empty", "null", "fuzz", "layout", "exec"))
+  test("railNames is the six-sweep set check.py gates on") {
+    assert(SweepReport.railNames ===
+      Seq("empty", "null", "fuzz", "layout", "exec", "dup"))
   }
 }

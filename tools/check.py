@@ -60,13 +60,14 @@ def record_freshness():
                 "uncommitted src/main changes (host.src_main_dirty=true)")
     return ""
 
-# The five robustness rails (round-14 judge item 2): empty-input,
-# null-injection, adversarial-text, layout-invariance, exec-config
-# invariance. Each run writes sweeps/<name>.json with the same
-# provenance block as the bench record; the gate below re-evaluates the
-# COMMITTED copies against current git — the breach mode is commits
-# landing after the run, same as the bench rail.
-SWEEP_NAMES = ["empty", "null", "fuzz", "layout", "exec"]
+# The six robustness rails (round-14 judge item 2; round 15 added
+# `dup`): empty-input, null-injection, adversarial-text,
+# layout-invariance, exec-config invariance, duplicate-row replay.
+# Each run writes sweeps/<name>.json with the same provenance block as
+# the bench record; the gate below re-evaluates the COMMITTED copies
+# against current git — the breach mode is commits landing after the
+# run, same as the bench rail. Must equal graft.SweepReport.railNames.
+SWEEP_NAMES = ["empty", "null", "fuzz", "layout", "exec", "dup"]
 
 def sweep_problem(meta, expected, last_commit_iso):
     """Python mirror of graft.SweepReport.sweepValid (SweepGateSpec is
