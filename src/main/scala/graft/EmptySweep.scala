@@ -31,11 +31,11 @@ object EmptySweep {
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
     val outDir = args.lift(1).getOrElse("target/scratch/sf0")
-    val startedAt = java.time.Instant.now().toString
+    val prov = SweepReport.capture()
     val spark = SparkEntry.harnessSession()
     spark.sparkContext.setLogLevel("ERROR")
     val failed = run(spark, srcDir, outDir)
-    SweepReport.write("empty", srcDir, SparkEntry.queries.size, failed, startedAt)
+    SweepReport.write("empty", srcDir, SparkEntry.queries.size, failed, prov)
     SessionCache.clear(spark)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

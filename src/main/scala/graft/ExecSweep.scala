@@ -43,11 +43,11 @@ import org.apache.spark.sql.SparkSession
 object ExecSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val startedAt = java.time.Instant.now().toString
+    val prov = SweepReport.capture()
     val spark = SparkEntry.harnessSession()
     spark.sparkContext.setLogLevel("ERROR")
     val failed = run(spark, sfDir)
-    SweepReport.write("exec", sfDir, SparkEntry.queries.size, failed, startedAt)
+    SweepReport.write("exec", sfDir, SparkEntry.queries.size, failed, prov)
     SessionCache.clear(spark)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -35,9 +35,11 @@ object SweepAll {
       "SweepAll's sweep list must match SweepReport.railNames (the gate's set)")
     var anyFailed = false
     for ((name, body) <- sweeps) {
-      val startedAt = java.time.Instant.now().toString
+      // provenance per sweep, sampled BEFORE the body runs (a commit
+      // landing mid-run stales only the sweeps that started before it)
+      val prov = SweepReport.capture()
       val failed = body()
-      SweepReport.write(name, srcDir, SparkEntry.queries.size, failed, startedAt)
+      SweepReport.write(name, srcDir, SparkEntry.queries.size, failed, prov)
       anyFailed ||= failed.nonEmpty
       SessionCache.clear(spark)
     }

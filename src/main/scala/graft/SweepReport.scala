@@ -58,13 +58,27 @@ object SweepReport {
         "code commit")
     else None
 
+  /** Code provenance sampled at sweep START (same discipline as the
+    * bench record, which samples before any Spark work): the code a run
+    * executes is fixed at compile/launch time, so a tree that was dirty
+    * at start but reverted mid-run must still record dirty — sampling
+    * at artifact-write time (the first implementation) would miss it.
+    */
+  final case class Provenance(startedAtIso: String, gitHead: Option[String],
+                              srcMainDirty: Option[Boolean])
+
+  /** Capture provenance NOW — call before building the Spark session. */
+  def capture(): Provenance =
+    Provenance(java.time.Instant.now().toString,
+      Bench.gitHeadSha(), Bench.srcMainDirty())
+
   /** Write `sweeps/<sweep>.json` with the verdict + the same provenance
     * block the bench record carries. Failures are recorded verbatim —
     * a failing sweep still writes its artifact (and then exits 1), so
     * the committed history shows WHAT failed, not just that a run was
     * skipped. */
   def write(sweep: String, sfDir: String, swept: Int, failed: Seq[String],
-            startedAtIso: String): Unit = {
+            prov: Provenance): Unit = {
     val dir = new java.io.File("sweeps")
     dir.mkdirs()
     def jstr(s: String): String = "\"" + Bench.jsonEscape(s) + "\""
@@ -72,11 +86,11 @@ object SweepReport {
       s"""{"sweep":${jstr(sweep)},"sf_dir":${jstr(sfDir)},""" +
         s""""swept":$swept,""" +
         s""""failed":${failed.sorted.map(jstr).mkString("[", ",", "]")},""" +
-        s""""started_at":${jstr(startedAtIso)},""" +
+        s""""started_at":${jstr(prov.startedAtIso)},""" +
         s""""ended_at":${jstr(java.time.Instant.now().toString)},""" +
-        s""""git_head":${Bench.gitHeadSha().map(jstr).getOrElse("null")},""" +
+        s""""git_head":${prov.gitHead.map(jstr).getOrElse("null")},""" +
         s""""last_src_commit":${Bench.lastSrcMainCommitIso().map(jstr).getOrElse("null")},""" +
-        s""""src_main_dirty":${Bench.srcMainDirty().map(_.toString).getOrElse("null")}}"""
+        s""""src_main_dirty":${prov.srcMainDirty.map(_.toString).getOrElse("null")}}"""
     val p = new java.io.PrintWriter(new java.io.File(dir, s"$sweep.json"), "UTF-8")
     try p.println(json) finally p.close()
   }

@@ -53,11 +53,11 @@ object TextFuzzSweep {
     val srcDir = args(0)
     val outDir = args.lift(1).getOrElse("target/scratch/sf_fuzz")
     val rate = args.lift(2).map(_.toInt).getOrElse(7)
-    val startedAt = java.time.Instant.now().toString
+    val prov = SweepReport.capture()
     val spark = SparkEntry.harnessSession()
     spark.sparkContext.setLogLevel("ERROR")
     val failed = run(spark, srcDir, outDir, rate)
-    SweepReport.write("fuzz", srcDir, SparkEntry.queries.size, failed, startedAt)
+    SweepReport.write("fuzz", srcDir, SparkEntry.queries.size, failed, prov)
     SessionCache.clear(spark)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

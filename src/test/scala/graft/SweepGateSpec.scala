@@ -50,7 +50,8 @@ class SweepGateSpec extends AnyFunSuite {
     val f = new java.io.File(dir, "selftest.json")
     try {
       SweepReport.write("selftest", "/tmp/sf", 2,
-        Seq("b\"quote", "a\\slash"), "2026-08-16T09:00:00Z")
+        Seq("b\"quote", "a\\slash"),
+        SweepReport.Provenance("2026-08-16T09:00:00Z", Some("deadbeef"), Some(false)))
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(f.toPath)) // throws on invalid JSON
       for (k <- Seq("sweep", "sf_dir", "swept", "failed", "started_at",
