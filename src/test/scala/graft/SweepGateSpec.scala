@@ -46,12 +46,16 @@ class SweepGateSpec extends AnyFunSuite {
   }
 
   test("the artifact writer emits strict JSON carrying the gate's fields") {
-    val dir = new java.io.File("sweeps")
+    // a TEMP dir, not the committed sweeps/ rail directory: a crash
+    // between write and cleanup must never strand a stray artifact next
+    // to the gated ones (round-15 advice — write is dir-parameterized)
+    val dir = java.nio.file.Files.createTempDirectory("sweepgate").toFile
     val f = new java.io.File(dir, "selftest.json")
     try {
       SweepReport.write("selftest", "/tmp/sf", 2,
         Seq("b\"quote", "a\\slash"),
-        SweepReport.Provenance("2026-08-16T09:00:00Z", Some("deadbeef"), Some(false)))
+        SweepReport.Provenance("2026-08-16T09:00:00Z", Some("deadbeef"), Some(false)),
+        outDir = dir.getPath)
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(f.toPath)) // throws on invalid JSON
       for (k <- Seq("sweep", "sf_dir", "swept", "failed", "started_at",
@@ -62,7 +66,7 @@ class SweepGateSpec extends AnyFunSuite {
       assert(root.get("failed").size === 2)
       assert(root.get("failed").get(0).asText === "a\\slash")
       assert(root.get("failed").get(1).asText === "b\"quote")
-    } finally { f.delete(); () }
+    } finally { f.delete(); dir.delete(); () }
   }
 
   test("railNames is the six-sweep set check.py gates on") {

@@ -75,6 +75,13 @@ def sweep_problem(meta, expected, last_commit_iso):
     pass, an error string otherwise. Order matters: a failing sweep is
     reported as failing even when it is ALSO stale."""
     failed = meta["failed"]
+    # typed reads: "failed": null must NOT pass as falsy, and a string
+    # swept-count must not masquerade as a count mismatch — corrupt
+    # structure raises and sweep_problem_safe reports it (r15 advice)
+    if not isinstance(failed, list):
+        raise TypeError(f"'failed' must be a list, got {type(failed).__name__}")
+    if not isinstance(meta["swept"], int):
+        raise TypeError(f"'swept' must be an int, got {type(meta['swept']).__name__}")
     if failed:
         return f"{len(failed)} queries failed: {','.join(sorted(failed)[:5])}"
     if meta["swept"] != expected:
@@ -87,6 +94,16 @@ def sweep_problem(meta, expected, last_commit_iso):
                 '`sbt "runMain graft.SweepAll <sfDir>"` after the final code '
                 "commit and commit the artifacts")
     return None
+
+def sweep_problem_safe(meta, expected, last_commit_iso):
+    """sweep_problem with the artifact's structural failure modes caught:
+    a malformed committed artifact ("failed": null, "swept": "244",
+    truncated JSON upstream) must fail ITS rail with a message, never
+    crash the whole gate (round-15 advice). Returns ""|error."""
+    try:
+        return sweep_problem(meta, expected, last_commit_iso) or ""
+    except (ValueError, KeyError, TypeError) as e:
+        return f"unparseable artifact: {type(e).__name__}: {e}"
 
 def sweeps_freshness(expected):
     """Gate over the committed sweep artifacts. Returns a dict
@@ -104,9 +121,11 @@ def sweeps_freshness(expected):
                          "sweeps/*.json")
             continue
         try:
-            out[name] = sweep_problem(json.loads(rec), expected, last) or ""
-        except (ValueError, KeyError) as e:
+            meta = json.loads(rec)
+        except ValueError as e:
             out[name] = f"unparseable artifact: {e}"
+            continue
+        out[name] = sweep_problem_safe(meta, expected, last)
     return out
 
 def selftest_sweeps():
@@ -126,9 +145,15 @@ def selftest_sweeps():
         ("failing sweep refused", dict(ok, failed=["d04_minhash_lsh"]), "failed"),
         ("short-count sweep refused", dict(ok, swept=230), "230"),
         ("dirty-tree sweep refused", dict(ok, src_main_dirty=True), "dirty"),
+        # structural corruption: must be REPORTED against the rail, not
+        # crash the gate (round-15 advice — TypeError path)
+        ("null failed-list refused", dict(ok, failed=None), "unparseable"),
+        ("string swept-count refused", dict(ok, swept="244"), "unparseable"),
+        ("missing started_at refused",
+         {k: v for k, v in ok.items() if k != "started_at"}, "unparseable"),
     ]
     for label, meta, want in cases:
-        got = sweep_problem(meta, 244, commit)
+        got = sweep_problem_safe(meta, 244, commit) or None
         if want is None:
             assert got is None, f"{label}: expected pass, got {got!r}"
         else:
@@ -219,9 +244,14 @@ def main():
         print("  ~ record freshness: unverifiable (no git or no committed record)")
     else:
         print("  ✓ bench_full.json: committed record postdates last src/main commit")
-    # robustness-sweep gate (see sweeps_freshness): the five committed
-    # sweeps/<name>.json must each be a fresh, clean, full-count pass
-    expected = len(set(oracles) | set(out_dirs))
+    # robustness-sweep gate (see sweeps_freshness): the six committed
+    # sweeps/<name>.json must each be a fresh, clean, full-count pass.
+    # `expected` derives from the oracle set ALONE — a stray scratch
+    # subdirectory in out_dir must not shift the gate's query count and
+    # spuriously fail committed sweep artifacts (round-15 advice); any
+    # output dir without an oracle is already surfaced above as "~ no
+    # oracle".
+    expected = len(set(oracles))
     sweeps = sweeps_freshness(expected)
     if sweeps is None:
         print("  ~ sweeps freshness: unverifiable (no git)")
