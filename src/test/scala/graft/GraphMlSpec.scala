@@ -346,4 +346,29 @@ class GraphMlSpec extends SparkSpec {
     assert(joined.filter(col("sim") > col("sim_full") + 1e-12).count() == 0)
     v13.unpersist()
   }
+
+  test("g03 co-supply degree cap: a part owned by 10% of suppliers stays linear") {
+    // synthetic catalog: 6000 suppliers; part 0 is supplied by 600 of
+    // them (10%, > MaxPartDegree = 512) — the ubiquitous-part shape that
+    // makes the co-supply self-join quadratic; parts 1..2000 carry 3
+    // suppliers each (the real signal)
+    val hot = spark.range(600).select(lit(0L).as("p"), col("id").as("s"))
+    val normal = spark.range(2000).select((col("id") + 1).as("p"))
+      .select(col("p"), explode(array(
+        (col("p") * 7 % 6000).as("s0"), (col("p") * 7 + 1) % 6000,
+        (col("p") * 7 + 2) % 6000)).as("s"))
+    val sp = hot.unionByName(normal)
+    // the cap drops the hot part BEFORE the self-join, so the result is
+    // exactly the graph of the normal parts — the hot part carries no
+    // partner-selection signal (every pair would gain 1 equally)
+    assertSameRows(Graph.coSupplyMutualTopK(sp),
+      Graph.coSupplyMutualTopK(normal))
+    // and below the cap nothing is dropped: a 52-supplier part (the
+    // sf0.1 maximum, probed round 16) still contributes its pairs
+    val mid = spark.range(52).select(lit(9999L).as("p"), (col("id") + 7000).as("s"))
+    val withMid = Graph.coSupplyMutualTopK(normal.unionByName(mid))
+    // the 52 suppliers of part 9999 co-supply only each other → mutual
+    // top-K edges exist among them in the capped result
+    assert(withMid.filter(col("s1") >= 7000L && col("s2") >= 7000L).count() > 0)
+  }
 }
