@@ -898,7 +898,11 @@ object Bench {
     // the files keep full detail and survive any log truncation.
     // Best-effort: a non-writable cwd must not fail a bench whose
     // queries all passed.
-    for (p <- Seq("bench_full.json", "target/bench.json")) {
+    // SPARK_GRAFT_BENCH_OUT redirects the full artifact (e.g. the sf1
+    // whole-surface scale record, bench_sf1.json) so a scale run can
+    // never clobber the committed sf0.1 bench of record
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    for (p <- Seq(outPath, "target/bench.json")) {
       try {
         Option(java.nio.file.Paths.get(p).getParent)
           .foreach(java.nio.file.Files.createDirectories(_))

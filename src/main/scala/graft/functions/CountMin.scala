@@ -100,9 +100,15 @@ object CountMin {
   def a(j: Int): Long = 2654435761L + j.toLong * 40503L
   def b(j: Int): Long = 104729L + j.toLong * 7919L
 
-  /** Row-j column index for key x — mirrored verbatim by the oracle. */
+  /** Row-j column index for key x — mirrored verbatim by the oracle.
+    * The key is pre-reduced mod P before the multiply (round-16 d06
+    * lesson): a(j)·x raw wraps silently in JVM arithmetic and
+    * ANSI-errors in the SQL mirror once keys exceed ~3.5·10⁹;
+    * a(j)·(x mod P) < 2⁶³ for any non-negative int64 key and is
+    * congruent mod P, so cells are unchanged wherever the raw form
+    * didn't overflow. */
   def cell(j: Int, x: Long): Int = {
-    val h = (a(j) * x + b(j)) % P
+    val h = (a(j) * (x % P) + b(j)) % P
     (((h % Width) + Width) % Width).toInt
   }
 

@@ -17,6 +17,17 @@ import graft.functions.LongArrayDot
   * anywhere), and exact cosine runs only on bucket-mates. At 100 TB the
   * candidate set scales with Σ bucket², tunable via bits-per-band.
   *
+  * Why this join deliberately does NOT take [[MinHash.MaxBandCell]]'s
+  * hot-cell star cap (round 16): with 4-bit keys every cell holds
+  * ~n/16 of the corpus BY DESIGN — large cells are the resolution
+  * trade of coarse hyperplane bucketing, not a pathology signal the
+  * way a MinHash band collision is, and a min-id star would collapse
+  * recall for ordinary (non-duplicate) neighbors. The scale control
+  * here is the RESOLUTION knob: bits-per-band grows with corpus size
+  * (16 bits → 65k cells at n=10⁹ keeps Σ bucket² ~n²/65k; production
+  * pairs it with the IVF path for true ANN), which shrinks every cell
+  * uniformly instead of truncating the skewed ones.
+  *
   * Determinism contract: the planes are ±1 vectors derived from
   * md5("plane_<p>_<i>") first-hex-char parity — a pure function both
   * engines can agree on — and the DuckDB oracle replicates the ENTIRE

@@ -107,7 +107,7 @@ object MinHash {
     * the hot branch is a FILTER off the tagged frame — no join, so a
     * hot cell's cost is linear by construction. */
   private[graft] def selfJoinCandidates(banded: DataFrame): DataFrame = {
-    // lineage-cut the tagged frame (lazy localCheckpoint): its three
+    // lineage-cut the tagged frame (localCheckpoint): its three
     // consumers — both cold join sides and the star branch — otherwise
     // each rebuild the full signature subtree, because column pruning
     // drops `rep` from the cold branches' Window and the subtrees stop
@@ -115,8 +115,11 @@ object MinHash {
     // reuse can fire (probed round 16: three separate 36-min aggregates
     // in the executed plan, c01 +69% CPU). Same pattern as nearDupPairs;
     // on a cluster the durable equivalent is checkpoint() to the job's
-    // checkpoint dir.
-    val tagged = cellTagged(banded).localCheckpoint(false)
+    // checkpoint dir. EAGER, like every other cut in this module: the
+    // lazy variant materializes after the originating execution's SQL
+    // metric accumulators are GC'd and every late task spams
+    // 'Failed to update accumulator' at ERROR (observed on d09 at sf1).
+    val tagged = cellTagged(banded).localCheckpoint()
     val cold = tagged.filter(col("m") <= MaxBandCell)
     val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))

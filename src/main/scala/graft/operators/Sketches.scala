@@ -22,7 +22,12 @@ object Sketches {
     */
   def kmvDistinctCustomers(spark: SparkSession, dir: String): DataFrame = {
     KmvDistinct.register(spark)
-    val h = pmod(lit(A) * col("o_custkey") + lit(B), lit(P))
+    // key pre-reduced mod P BEFORE the multiply: A·x raw overflows
+    // int64 once keys exceed ~3.5·10⁹ (the sf1 scale sweep's 2⁴⁰ key
+    // shift ANSI-errored here, round 16) — A·(x mod P) stays < 2⁶³ for
+    // ANY int64 key and is congruent mod P, so every hash value (and
+    // the gate's hashes) is unchanged where the raw form didn't overflow
+    val h = pmod(lit(A) * pmod(col("o_custkey"), lit(P)) + lit(B), lit(P))
     Tables.load(spark, dir, "orders")
       .select(col("o_orderstatus"), h.as("hv"), col("o_custkey"))
       // single-split guard: the interpreted KMV partial agg must run on
@@ -77,7 +82,7 @@ object Sketches {
                        sk: DataFrame): DataFrame = {
     val probes = spark.range(1, 11).select(col("id").as("user_id"))
     val est = (0 until CountMin.Depth).map { j =>
-      val h = pmod(lit(CountMin.a(j)) * col("user_id") + lit(CountMin.b(j)),
+      val h = pmod(lit(CountMin.a(j)) * pmod(col("user_id"), lit(CountMin.P)) + lit(CountMin.b(j)),
         lit(CountMin.P))
       element_at(col("sk"),
         (pmod(h, lit(CountMin.Width.toLong)) + lit(j * CountMin.Width) + 1)
@@ -180,7 +185,7 @@ object Sketches {
         |FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "d06_kmv_distinct" ->
       s"""WITH h AS (SELECT o_orderstatus, o_custkey,
-         |        ($A * o_custkey + $B) % $P AS hv FROM orders),
+         |        ($A * (o_custkey % $P) + $B) % $P AS hv FROM orders),
          |d AS (SELECT DISTINCT o_orderstatus, hv FROM h),
          |r AS (SELECT o_orderstatus, hv,
          |        ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY hv) AS rn,
@@ -200,11 +205,11 @@ object Sketches {
       s"""WITH par AS (SELECT j, 2654435761 + j*40503 AS a, 104729 + j*7919 AS b
          |             FROM (SELECT unnest(range(0, $Depth)) AS j)),
          |c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
-         |cells AS (SELECT par.j, ((par.a * c.user_id + par.b) % $CP) % $Width AS cell,
+         |cells AS (SELECT par.j, ((par.a * (c.user_id % $CP) + par.b) % $CP) % $Width AS cell,
          |                 CAST(SUM(c.cnt) AS BIGINT) AS cellsum
          |          FROM c CROSS JOIN par GROUP BY 1, 2),
          |pr AS (SELECT pb.user_id, par.j,
-         |              ((par.a * pb.user_id + par.b) % $CP) % $Width AS cell
+         |              ((par.a * (pb.user_id % $CP) + par.b) % $CP) % $Width AS cell
          |       FROM (SELECT unnest(range(1, 11)) AS user_id) pb CROSS JOIN par),
          |est AS (SELECT pr.user_id,
          |               MIN(COALESCE(cells.cellsum, 0)) AS cms_estimate

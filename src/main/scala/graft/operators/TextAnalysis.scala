@@ -512,20 +512,26 @@ object TextAnalysis {
     val counts = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val sig = (0 until SimHashBits).map(b =>
       when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    val sigs = counts.select(col("doc_id"), sig.as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    // lineage-cut: the signature frame feeds the banded self-join AND
+    // both sides of the verify join-back; uncut, each consumer re-runs
+    // the corpus-wide word hash-agg (the MinHash round-16 lesson; eager
+    // — see the accumulator-spam note in MinHash.selfJoinCandidates)
+    val sigs = counts.select(col("doc_id"), sig.as("sig")).localCheckpoint()
+    // capped band self-join (MinHash.MaxBandCell): an identical-sig
+    // cluster puts its whole cell into every band — the same hot-cell
+    // quadratic MinHash caps, served by the same min-id star (star
+    // edges of an identical-sig cluster have hamming 0, so the verify
+    // keeps them all and downstream clustering still sees one group)
+    val banded = sigs.select(col("doc_id"),
       explode(array((0 until SimHashBands).map(c =>
         struct(lit(c).as("bi"),
           shiftright(col("sig"), c * SimHashBandBits)
             .bitwiseAND(lit((1L << SimHashBandBits) - 1)).as("k"))): _*)).as("band"))
-      .select(col("doc_id"), col("sig"), col("band.bi").as("bi"), col("band.k").as("k"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.bi") === col("b.bi") && col("a.k") === col("b.k") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sa"), col("b.sig").as("sb"))
-      .distinct()
-    cand.select(col("id_a"), col("id_b"),
+    val cand = MinHash.selfJoinCandidates(banded)
+    val sa = sigs.select(col("doc_id").as("id_a"), col("sig").as("sa"))
+    val sb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sb"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
       .filter(col("hamming") <= SimHashMaxHamming)
   }
@@ -1505,11 +1511,18 @@ object TextAnalysis {
         col("doc_id"), col("i").as("seg_idx"),
         concat_ws(" ", slice(col("toks"), (col("i") * SegW + 1).cast(IntegerType), lit(SegW))).as("seg"),
         least(lit(SegW.toLong), col("n") - col("i") * SegW).as("seg_tokens"))
+    // keep-first as a packed-argmin, packed in DECIMAL(38,0): the int64
+    // pack (doc_id·10⁹ + seg_idx) ANSI-overflows once doc ids pass
+    // ~9·10⁹ (the sf1 scale sweep's 2⁴⁰ key shift hit this, round 16);
+    // a 38-digit decimal holds any int64 id ·10⁹ exactly, min() stays a
+    // partial-agg (skew-safe — no per-seg window), and the packed value
+    // never leaves the query so the output is engine-neutral
+    val packed = col("doc_id").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+      lit(1000000000L) + col("seg_idx")
     val first = segs.groupBy(col("seg"))
-      .agg(min(col("doc_id") * 1000000000L + col("seg_idx")).as("first_packed"))
+      .agg(min(packed).as("first_packed"))
     segs.join(first, "seg")
-      .withColumn("kept",
-        col("doc_id") * 1000000000L + col("seg_idx") === col("first_packed"))
+      .withColumn("kept", packed === col("first_packed"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast(IntegerType).as("n_segments"),
@@ -1709,9 +1722,9 @@ object TextAnalysis {
          |   array_to_string(words[(i*$SegW+1):((i+1)*$SegW)], ' ') AS seg,
          |   least($SegW, len(words) - i*$SegW) AS seg_tokens
          | FROM w, unnest(range(0, (len(words) + ${SegW - 1}) // $SegW)) AS u(i)),
-         |f AS (SELECT seg, MIN(doc_id*1000000000 + seg_idx) AS first_packed
+         |f AS (SELECT seg, MIN(doc_id::HUGEINT*1000000000 + seg_idx) AS first_packed
          |      FROM s GROUP BY 1),
-         |j AS (SELECT s.*, s.doc_id*1000000000 + s.seg_idx = f.first_packed AS kept
+         |j AS (SELECT s.*, s.doc_id::HUGEINT*1000000000 + s.seg_idx = f.first_packed AS kept
          |      FROM s JOIN f USING (seg))
          |SELECT doc_id,
          | CAST(COUNT(*) AS INTEGER) AS n_segments,
