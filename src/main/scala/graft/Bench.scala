@@ -731,11 +731,18 @@ object Bench {
         yield math.max(0.0, s1 - s0)
       memStats += ((fam, peakHeap, storageMb, gcSec() - gc0, otherCpuFam, stealFam))
       // per-family regime sample: a 100 ms latency probe (executor
-      // threads are idle between families) + the run-cumulative steal
+      // threads are idle between families) + the run-cumulative steal.
+      // The thresholds were calibrated on 250 ms probes, so a breach
+      // seen by the noisier 100 ms window is CONFIRMED with the full
+      // 250 ms probe before it is recorded or aborts anything — a
+      // single marginal sample 1 ns over the line must not kill a
+      // ~5-minute record run (the sf1 run showed 150.8/150.9 ns
+      // per-family marginals on an otherwise-consistent host).
       val latFam = calibrateLatency(100)
       val cumSteal = for (s0 <- sysSteal0; s1 <- systemStealSec())
         yield math.max(0.0, s1 - s0)
-      regimeBreach(latFam, cumSteal).foreach { why =>
+      for (_ <- regimeBreach(latFam, cumSteal);
+           why <- regimeBreach(calibrateLatency(), cumSteal)) {
         regimeBreaches += ((fam, why))
         System.err.println(s"[bench] REGIME breach after family '$fam': $why")
         if (regimeAbort) {
@@ -771,6 +778,14 @@ object Bench {
     val calibMt1 = calibrateThroughput(ncpus)
     val calibBw1 = calibrateBandwidth(ncpus)
     val calibLat1 = calibrateLatency()
+    // README's table reads "either sample" — the END calibration goes
+    // through the same gate so a burst arriving after the last family's
+    // probe still lands in regime_breaches (annotation only: the timed
+    // work is already done, aborting here would only discard evidence)
+    regimeStartBreach(calibLat1, calibMt1).foreach { why =>
+      regimeBreaches += (("end", why))
+      System.err.println(s"[bench] REGIME degraded at end: $why")
+    }
     val hostClean =
       hostCleanDecision(otherCpuRun, runWallSec, ncpus, throttledRun)
     val hostJson = {

@@ -293,17 +293,6 @@ object Curation {
     decontaminated(spark, dir).count(); ()
   }
 
-  /** The stage memos in dependency order, exposed as forcing thunks so
-    * the per-stage cost of the curated-corpus build can be timed and
-    * attributed (COVERAGE's c01 adjudication — each thunk's marginal
-    * cost on a fresh session is that stage's own work). */
-  private[graft] def stageThunks(spark: SparkSession, dir: String): Seq[(String, () => Long)] =
-    Seq(
-      "base_features" -> (() => base(spark, dir).count()),
-      "quality_gate" -> (() => qualitySurvivors(spark, dir).count()),
-      "neardup_reps" -> (() => dedupSurvivors(spark, dir).count()),
-      "decontaminated" -> (() => decontaminated(spark, dir).count()))
-
   /** t05's gate with a FROZEN (deployed) median scalar. */
   private def frozenGate(med1: DataFrame)(df: DataFrame): DataFrame =
     df.crossJoin(broadcast(med1))

@@ -82,6 +82,11 @@ def sweep_problem(meta, expected, last_commit_iso):
         raise TypeError(f"'failed' must be a list, got {type(failed).__name__}")
     if not isinstance(meta["swept"], int):
         raise TypeError(f"'swept' must be an int, got {type(meta['swept']).__name__}")
+    dirty = meta.get("src_main_dirty")
+    if dirty is not None and not isinstance(dirty, bool):
+        # "true" (string) would otherwise fail `is True` and pass as clean
+        raise TypeError(f"'src_main_dirty' must be a bool or null, "
+                        f"got {type(dirty).__name__}")
     if failed:
         return f"{len(failed)} queries failed: {','.join(sorted(failed)[:5])}"
     if meta["swept"] != expected:
@@ -151,6 +156,8 @@ def selftest_sweeps():
         ("string swept-count refused", dict(ok, swept="244"), "unparseable"),
         ("missing started_at refused",
          {k: v for k, v in ok.items() if k != "started_at"}, "unparseable"),
+        ("string dirty-flag refused (would pass `is True` as clean)",
+         dict(ok, src_main_dirty="true"), "unparseable"),
     ]
     for label, meta, want in cases:
         got = sweep_problem_safe(meta, 244, commit) or None
