@@ -106,10 +106,15 @@ object CountMin {
     * ANSI-errors in the SQL mirror once keys exceed ~3.5·10⁹;
     * a(j)·(x mod P) < 2⁶³ for any non-negative int64 key and is
     * congruent mod P, so cells are unchanged wherever the raw form
-    * didn't overflow. */
+    * didn't overflow. Both reductions use floorMod so NEGATIVE keys
+    * pick the same residue representative as the SQL mirror's pmod
+    * (round-16 advice: signed % differs from pmod by P for x < 0, and
+    * P % Width ≠ 0 means the representatives land in different Width
+    * cells — a sketch built via one path and probed via the other
+    * would disagree). Positive keys are unchanged. */
   def cell(j: Int, x: Long): Int = {
-    val h = (a(j) * (x % P) + b(j)) % P
-    (((h % Width) + Width) % Width).toInt
+    val h = Math.floorMod(a(j) * Math.floorMod(x, P) + b(j), P)
+    (h % Width).toInt
   }
 
   /** Fallback registration for sessions built without

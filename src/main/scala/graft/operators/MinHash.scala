@@ -120,6 +120,17 @@ object MinHash {
     // metric accumulators are GC'd and every late task spams
     // 'Failed to update accumulator' at ERROR (observed on d09 at sf1).
     val tagged = cellTagged(banded).localCheckpoint()
+    // Observability (round-16 advice): a hot cell silently switches its
+    // pairs from all-pairs to the min-id star — the standard LSH recall
+    // trade — so a capped run must be VISIBLE, not inferred. The count
+    // is one cheap scan over the already-materialized checkpoint blocks
+    // (the eager cut above paid the real cost); printed unconditionally
+    // so an uncapped run is provably uncapped in the same log line.
+    val hotCells = tagged.filter(col("m") > MaxBandCell)
+      .select(col("band")).distinct().count()
+    println(s"[graft] minhash band cells over cap=$MaxBandCell: " +
+      s"hot_band_cells=$hotCells" +
+      (if (hotCells > 0) " (star-served; non-rep in-cell pairs dropped)" else ""))
     val cold = tagged.filter(col("m") <= MaxBandCell)
     val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -148,12 +159,24 @@ object MinHash {
   /** Distinct candidate (id_a < id_b) pairs sharing at least one LSH
     * band: explode per-doc band keys, capped equi-join on the banded
     * signature (see [[MaxBandCell]]).
+    *
+    * EAGER — NOT lazy (round-16 advice: contract made explicit): the
+    * capped join lineage-cuts its tagged frame with an eager
+    * `localCheckpoint()`, so CALLING this method runs the full
+    * signature/banding subtree as a Spark job at DataFrame-construction
+    * time. Plan-only consumers (`.explain`, tests that never collect)
+    * still pay that materialization, and the checkpointed blocks are
+    * freed by ContextCleaner/GC, not scope exit. Same contract as
+    * [[nearDupPairs]].
     */
   def candidatePairs(docs: DataFrame): DataFrame =
     selfJoinCandidates(bandedKeys(docs))
 
   /** Near-dup pairs at Jaccard ≥ 0.5: LSH candidates, then exact Jaccard
     * on candidates only. Output shape matches the d02 baseline.
+    *
+    * EAGER — see [[candidatePairs]]: building this frame executes the
+    * detection (memoized per (session, dir), so the cost is paid once).
     */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     // memoized + lineage-cut: d04's pair detection is also the input of

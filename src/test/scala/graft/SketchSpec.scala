@@ -69,6 +69,24 @@ class SketchSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("CountMin.cell matches the pmod mirror for negative keys") {
+    // round-16 advice: signed `x % P` and pmod(x, P) pick residue
+    // representatives differing by P for x < 0, and P % Width != 0 maps
+    // them to DIFFERENT Width cells — cell() now floorMods both
+    // reductions so a JVM-built sketch and the Spark/SQL pmod mirror
+    // agree over the full int64 key domain, not just positive keys
+    import graft.functions.CountMin.{Depth, P, Width, a, b, cell}
+    def pmodCell(j: Int, x: Long): Int = {
+      val xr = ((x % P) + P) % P
+      val h = (((a(j) * xr + b(j)) % P) + P) % P
+      (h % Width).toInt
+    }
+    val keys = Seq(-1L, -7L, -P, -P - 1, Long.MinValue, Long.MinValue + 1,
+      0L, 1L, P - 1, P, Long.MaxValue, -4026531839L)
+    for (j <- 0 until Depth; x <- keys)
+      assert(cell(j, x) == pmodCell(j, x), s"j=$j x=$x")
+  }
+
   test("a15 typed Aggregator runs with map-side partial aggregation") {
     val df = graft.operators.Sketches.typedStatsAgg(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString()

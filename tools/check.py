@@ -209,8 +209,13 @@ def main():
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         got = pq.read_table([os.path.join(d, f) for f in files])
         if name not in oracles:
+            # HARD FAIL (round-16 advice): a warn here let a query gain an
+            # output dir while silently shrinking outside the sweep gate's
+            # oracle-derived `expected` count — every shipped query needs
+            # an oracleSql entry (or must not write an output dir at all)
             n_noora += 1
-            print(f"  ~ {name}: no oracle (rows={got.num_rows})")
+            print(f"  ✗ {name}: NO ORACLE (rows={got.num_rows}) — add an "
+                  f"oracleSql entry or remove the query from Verify")
             continue
         try:
             exp = con.sql(oracles[name]).arrow()
@@ -256,8 +261,8 @@ def main():
     # `expected` derives from the oracle set ALONE — a stray scratch
     # subdirectory in out_dir must not shift the gate's query count and
     # spuriously fail committed sweep artifacts (round-15 advice); any
-    # output dir without an oracle is already surfaced above as "~ no
-    # oracle".
+    # output dir without an oracle already HARD-FAILS above (round-16
+    # advice), so the oracle set and the swept set cannot drift apart.
     expected = len(set(oracles))
     sweeps = sweeps_freshness(expected)
     if sweeps is None:
@@ -274,7 +279,8 @@ def main():
           f"PLANS_MISSING={len(plans_missing)} "
           f"RECORD_FRESH={'unknown' if fresh_err is None else not fresh_err} "
           f"SWEEPS_FRESH={'unknown' if sweeps is None else not sweep_bad}")
-    sys.exit(1 if (n_fail or plans_missing or fresh_err or sweep_bad) else 0)
+    sys.exit(1 if (n_fail or n_noora or plans_missing or fresh_err or sweep_bad)
+             else 0)
 
 if __name__ == "__main__":
     if "--selftest-sweeps" in sys.argv:
