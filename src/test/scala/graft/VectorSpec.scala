@@ -48,6 +48,33 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall below floor")
   }
 
+  test("d34 resolution rule: exact thresholds, bucket bound, pairs brute-subset") {
+    import CosineLsh.{bitsFor, BitsPerBand, MaxScaledBits, ScaledBucketTarget}
+    // integer-exact threshold boundaries (the oracle CASE mirrors these)
+    assert(bitsFor(0L) == 4 && bitsFor(512L) == 4)
+    assert(bitsFor(513L) == 5 && bitsFor(1024L) == 5)
+    assert(bitsFor(5000L) == 8)      // sf0.1
+    assert(bitsFor(50000L) == 11)    // scratch/sf1
+    assert(bitsFor(65536L) == 11 && bitsFor(65537L) == 12)
+    assert(bitsFor(Long.MaxValue / 2) == MaxScaledBits) // saturates
+    // the rule's invariant below saturation: mean cell n/2^bits <= target
+    for (n <- Seq(1L, 500L, 513L, 5000L, 50000L, 65536L))
+      assert(n.toDouble / (1L << bitsFor(n)) <= ScaledBucketTarget, s"n=$n")
+    // monotone non-decreasing, floored at the d05 baseline resolution
+    assert(bitsFor(1L) == BitsPerBand)
+    val pts = Seq(1L, 100L, 512L, 513L, 4096L, 50000L, 1000000L)
+    assert(pts.map(bitsFor).sliding(2).forall(p => p.head <= p.last))
+    // end-to-end: scaled pairs are (like d05) a brute-force subset with
+    // identical quantized sims
+    val scaled = CosineLsh.nearDupPairsScaled(spark, sfDir)
+    val brute = VectorSearch.dedupEmbedding(spark, sfDir)
+    val missing = scaled.as("l").join(brute.as("b"),
+      col("l.id_a") === col("b.id_a") && col("l.id_b") === col("b.id_b") &&
+        col("l.sim") === col("b.sim"), "left_anti")
+    assert(missing.count() == 0)
+    assert(scaled.count() > 0)
+  }
+
   test("v03 multi-probe recall beats v02 single-probe and clears 0.85") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
