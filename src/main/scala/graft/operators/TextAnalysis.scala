@@ -271,12 +271,25 @@ object TextAnalysis {
     * `size(sh) > 0`: Catalyst pushes the predicate below the exchange,
     * where a shingle-based filter would re-run the whole shingling
     * single-threaded on the unrepartitioned scan.
-    */
+    *
+    * doc_id-DEDUPED at the source (round-17, found by the sf1 dup-replay
+    * rail): every inverted-index consumer counts co-occurring POSTINGS
+    * per pair, so an at-least-once replayed row double-counts n_inter
+    * and `n_union = na + nb − n_inter` reaches ZERO for a replayed
+    * exact-dup pair — d02/d25/d29 threw DIVIDE_BY_ZERO at sf1 under the
+    * dup rail (sf0.001's sampled replays never landed on an exact-dup
+    * member). The dedup restores the doc_id-uniqueness invariant the
+    * whole d-tier is built on, is an identity on clean data (gate
+    * hashes unchanged), and rides the existing doc_id exchange — the
+    * aggregate AND the replay rows are co-partitioned, no extra
+    * shuffle; replayed rows are bit-identical, so keep-any is
+    * value-deterministic. */
   private[graft] def shingledDocs(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.memo(spark, s"shingledDocs:$dir") {
       graft.functions.WordShingles.register(spark)
       Tables.load(spark, dir, "documents")
         .repartition(col("doc_id"))
+        .dropDuplicates("doc_id")
         .filter(size(wordsOf(col("text"))) >= 3)
         .select(col("doc_id"), col("lang"),
           graft.functions.WordShingles.shingles(col("text")).as("sh"))

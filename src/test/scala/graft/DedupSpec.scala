@@ -588,4 +588,29 @@ class DedupSpec extends SparkSpec {
     assert(labels.count() === 300L)
     assert(labels.filter(col("label") =!= 0L).count() === 0L)
   }
+
+  test("at-least-once replayed rows don't break the inverted-index pair math") {
+    // round-17, found by the sf1 dup-replay rail: a replayed document row
+    // double-counts its postings in the co-occurrence join, so a replayed
+    // EXACT-dup pair gets n_inter = 2s and n_union = s + s − 2s = 0 —
+    // d02/d25/d29 threw DIVIDE_BY_ZERO. shingledDocs now dedupes by
+    // doc_id at the source; this is the minimal trigger corpus: docs 1/2
+    // are exact text dups and doc 1 is replayed (bit-identical), doc 3
+    // is unrelated filler.
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "web", 30L),
+      (1L, "alpha beta gamma delta epsilon", "en", "web", 30L), // replay
+      (2L, "alpha beta gamma delta epsilon", "en", "web", 30L),
+      (3L, "one two three four five six", "en", "web", 27L))
+    val dir = "target/dedup-dup-replay-sf"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(Tables.path(dir, "documents"))
+    val j = graft.operators.TextAnalysis.ngramJaccard(spark, dir)
+      .filter(col("id_a") === 1L && col("id_b") === 2L).collect()
+    assert(j.length == 1 && j.head.getAs[Double]("jaccard") == 1.0, j.toSeq)
+    val c = graft.operators.TextAnalysis.containmentNearDup(spark, dir)
+      .filter(col("id_a") === 1L && col("id_b") === 2L).collect()
+    assert(c.length == 1 && c.head.getAs[Double]("containment") == 1.0, c.toSeq)
+  }
 }
