@@ -540,7 +540,10 @@ object Bench {
     */
   private val familyRelease: Map[String, Seq[String]] = Map(
     "c" -> Seq("c01", "c03", "c05"),
-    "d" -> Seq("minhashPairs", "minhashSigs", "d07prefixes", "d17batch", "d19", "d22", "d10", "ivfCentroidsScaled"),
+    "d" -> Seq("minhashPairs", "minhashSigs", "d07prefixes", "d17batch", "d19", "d22", "d10", "ivfCentroidsScaled",
+      // round-17 shared pair-stats tier ("pairStats" prefix also covers
+      // "pairStatsCapped"): d29 is the last consumer of all three
+      "pairStats", "d09pairs"),
     "e" -> Seq("e26"),
     "g" -> Seq("g01edges", "g03mutual"),
     "q" -> Seq("pipeline", "p14paths"),

@@ -27,52 +27,33 @@ object Probe {
     spark.range(2000000).selectExpr("sum(id * 2)").head()
 
     import org.apache.spark.sql.functions._
-    val docs = time("load documents") {
-      val d = graft.Tables.load(spark, sfDir, "documents")
-      d.count(); d
-    }
-    val sh = time("shingledDocs count") {
+    // Cardinalities that size the shared-pair-stats design for the
+    // d02/d25/d29 inverted-index family and the d08/d28 df-cap family.
+    val sh = time("shingledDocs build+count") {
       graft.operators.TextAnalysis.shingledDocs(spark, sfDir).count()
     }
-    println(s"[probe] shingled rows: $sh")
-    time("signatures") {
-      graft.operators.MinHash.signatures(
-        graft.operators.TextAnalysis.shingledDocs(spark, sfDir)
-          .select(col("doc_id"), col("sh"))).count()
-    }
-    time("candidatePairs") {
-      graft.operators.MinHash.candidatePairs(
-        graft.operators.TextAnalysis.shingledDocs(spark, sfDir)
-          .select(col("doc_id"), col("sh"))).count()
-    }
-    val np = time("nearDupPairs (memoized build)") {
-      graft.operators.MinHash.nearDupPairs(spark, sfDir).count()
-    }
-    println(s"[probe] pairs: $np")
-    time("d10 full (warm pairs)") {
-      Bench.forceAll(graft.operators.MinHash.nearDupClusters(spark, sfDir))
-    }
-    time("d10 again (warm labels)") {
-      Bench.forceAll(graft.operators.MinHash.nearDupClusters(spark, sfDir))
-    }
-    time("d07 editDistanceVerify (cold prefixes)") {
-      Bench.forceAll(graft.operators.MinHash.editDistanceVerify(spark, sfDir))
-    }
-    time("d07 again (warm)") {
-      Bench.forceAll(graft.operators.MinHash.editDistanceVerify(spark, sfDir))
-    }
-    time("v09 pq rerank (cold)") {
-      Bench.forceAll(graft.operators.VectorSearch.annRerankPq(spark, sfDir))
-    }
-    time("v09 again (warm)") {
-      Bench.forceAll(graft.operators.VectorSearch.annRerankPq(spark, sfDir))
-    }
-    time("d09 simhash") {
-      Bench.forceAll(graft.operators.TextAnalysis.simhashNearDup(spark, sfDir))
-    }
-    time("t03 langId") {
-      Bench.forceAll(graft.operators.TextAnalysis.langId(spark, sfDir))
-    }
+    println(s"[probe] shingled docs: $sh")
+    val shingled = graft.operators.TextAnalysis.shingledDocs(spark, sfDir)
+    val all = shingled
+      .withColumn("n_sh", size(col("sh")))
+      .select(col("lang"), col("doc_id"), col("n_sh"),
+        explode(col("sh")).as("shingle"))
+    val nPosts = time("postings count") { all.count() }
+    println(s"[probe] postings: $nPosts")
+    val df = all.groupBy(col("lang"), col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    val nShingles = time("distinct (lang,shingle)") { df.count() }
+    println(s"[probe] distinct shingles: $nShingles")
+    val hot3 = time("df>3 count") { df.filter(col("df") > 3).count() }
+    val hot4 = time("df>4 count") { df.filter(col("df") > 4).count() }
+    println(s"[probe] hot shingles df>3: $hot3  df>4: $hot4")
+    val pairStats = all.as("a").join(all.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id"), col("b.doc_id"), col("a.n_sh"), col("b.n_sh"))
+      .agg(count(lit(1)).as("n_inter"))
+    val nPairs = time("uncapped pair-stats rows") { pairStats.count() }
+    println(s"[probe] uncapped co-occurring pairs: $nPairs")
     SessionCache.clear(spark)
     spark.stop()
   }

@@ -297,7 +297,7 @@ object TextAnalysis {
     }
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardFromShingled(shingledDocs(spark, dir), dfCap = None)
+    jaccardFinish(sharedPairStats(spark, dir))
 
   /** Shared inverted-index Jaccard core over a (doc_id, lang, sh) frame.
     *
@@ -335,7 +335,15 @@ object TextAnalysis {
         all.join(broadcast(hot), Seq("lang", "shingle"), "left_anti")
     }
 
-  private[graft] def jaccardFromShingled(
+  /** The (id_a, id_b, na, nb, n_inter) pair-stats aggregate every
+    * inverted-index similarity measure in the d-tier derives from:
+    * exploded postings (df-capped when asked), equi-self-join on
+    * (lang, shingle), one hash-agg per co-occurring pair. Extracted as
+    * the SHARED subtree (round-17 optimization): d02/d25/d29 previously
+    * each ran an identical copy of this join+agg — four copies per
+    * bench materialization — differing only in the final projection.
+    */
+  private[graft] def pairStatsFrom(
       shingled: DataFrame, dfCap: Option[Int]): DataFrame = {
     val docs = shingled.withColumn("n_sh", size(col("sh")))
     val all = docs.select(col("lang"), col("doc_id"), col("n_sh"),
@@ -348,11 +356,33 @@ object TextAnalysis {
         col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).cast(IntegerType).as("n_inter"))
-      .select(col("id_a"), col("id_b"), col("n_inter"),
+  }
+
+  /** Jaccard projection over a pair-stats frame (id_a, id_b, na, nb,
+    * n_inter) — the d02/d08 output contract. */
+  private def jaccardFinish(ps: DataFrame): DataFrame =
+    ps.select(col("id_a"), col("id_b"), col("n_inter"),
         (col("na") + col("nb") - col("n_inter")).as("n_union"))
       .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union"))
       .filter(col("jaccard") >= 0.05)
-  }
+
+  private[graft] def jaccardFromShingled(
+      shingled: DataFrame, dfCap: Option[Int]): DataFrame =
+    jaccardFinish(pairStatsFrom(shingled, dfCap))
+
+  /** Memoized uncapped pair-stats over the session corpus — built once
+    * per (session, dir) and persisted, like [[shingledDocs]] one tier
+    * up: a production dedup pipeline materializes its pair-stats table
+    * once and every report (Jaccard d02, containment d25, the d29
+    * method-overlap matrix) reads it. 290k rows / ~5 int columns at
+    * sf0.1 — persist cost is trivial next to one Σdf² self-join pass.
+    * Released with the d-family (Bench.familyRelease): d29 is the last
+    * consumer.
+    */
+  private def sharedPairStats(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"pairStats:$dir") {
+      pairStatsFrom(shingledDocs(spark, dir), dfCap = None).persist()
+    }
 
   /** d08: the df-capped production variant of d02 (cap = [[JaccardDfCap]],
     * which drops real postings at both gate scales — the oracle
@@ -362,7 +392,9 @@ object TextAnalysis {
   val JaccardDfCap = 4
 
   def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
-    jaccardFromShingled(shingledDocs(spark, dir), dfCap = Some(JaccardDfCap))
+    jaccardFinish(sharedCappedPairStats(spark, dir)
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        col("n_loose").as("n_inter")))
 
   // T: text NORMALIZATION — the pre-tokenization cleanup pass every
   // corpus pipeline runs: strip C0/C1 control characters, remove
@@ -428,7 +460,7 @@ object TextAnalysis {
   // keeps the full set size — so a flagged pair is still a real
   // containment hit at a possibly higher true score).
   def containmentNearDup(spark: SparkSession, dir: String): DataFrame =
-    containmentFromShingled(shingledDocs(spark, dir), dfCap = None)
+    containmentFinish(sharedPairStats(spark, dir))
 
   /** d28's hot-shingle document-frequency cap — deliberately TIGHTER
     * than [[JaccardDfCap]]: containment-surviving pairs (≥ 0.5) share
@@ -441,7 +473,58 @@ object TextAnalysis {
   val ContainmentDfCap = 3
 
   def containmentNearDupCapped(spark: SparkSession, dir: String): DataFrame =
-    containmentFromShingled(shingledDocs(spark, dir), dfCap = Some(ContainmentDfCap))
+    containmentFinish(sharedCappedPairStats(spark, dir)
+      .filter(col("n_tight") > 0)
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        col("n_tight").as("n_inter")))
+
+  /** ONE df-capped self-join serving BOTH capped variants (round-17
+    * optimization): d08 (cap = [[JaccardDfCap]] = 4) and d28 (cap =
+    * [[ContainmentDfCap]] = 3) previously each ran their own full
+    * postings-df aggregate + anti-join + Σdf² self-join, differing only
+    * in the cap constant. Since the tight posting set is a subset of
+    * the loose one, one self-join over loose-capped postings with each
+    * posting tagged `lowdf` (shingle df ≤ tight cap) yields both pair
+    * counts: `n_loose` counts every shared loose shingle (d08's
+    * n_inter) and `n_tight` counts only shared tight shingles (d28's —
+    * the shingle is the join key, so the tag is identical on both
+    * sides and counted once from side a). Pairs whose shared shingles
+    * are all in the (tight, loose] band have n_tight = 0 and are
+    * filtered from d28's view — exactly the pairs d28's own join never
+    * materialized. Equivalence is oracle-gated: both queries' DuckDB
+    * oracles still replay their separate capped joins.
+    */
+  private def sharedCappedPairStats(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"pairStatsCapped:$dir") {
+      val loose = math.max(JaccardDfCap, ContainmentDfCap)
+      val tight = math.min(JaccardDfCap, ContainmentDfCap)
+      val docs = shingledDocs(spark, dir).withColumn("n_sh", size(col("sh")))
+      val all = docs.select(col("lang"), col("doc_id"), col("n_sh"),
+        explode(col("sh")).as("shingle"))
+      // one df aggregate (map-side combine) feeds BOTH caps: shingles
+      // over the loose cap are anti-joined away, the (tight, loose]
+      // band is broadcast-tagged. Both broadcast sides are bounded by
+      // |posts|/tight (21k rows at sf0.1).
+      val dfAgg = all.groupBy(col("lang"), col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > tight)
+      val kept = all.join(
+        broadcast(dfAgg.filter(col("df") > loose).select(col("lang"), col("shingle"))),
+        Seq("lang", "shingle"), "left_anti")
+      val mid = dfAgg.filter(col("df") <= loose)
+        .select(col("lang"), col("shingle"), lit(false).as("lowdf"))
+      val posts = kept.join(broadcast(mid), Seq("lang", "shingle"), "left")
+        .withColumn("lowdf", coalesce(col("lowdf"), lit(true)))
+      posts.as("a").join(posts.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(
+          col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+        .agg(count(lit(1)).cast(IntegerType).as("n_loose"),
+          count(when(col("a.lowdf"), 1)).cast(IntegerType).as("n_tight"))
+        .persist()
+    }
 
   /** Shared containment core — the capped-postings pattern of
     * [[jaccardFromShingled]] applied to the asymmetric measure: with
@@ -450,27 +533,20 @@ object TextAnalysis {
     * combining hash agg, never a window), bounding the join at c·|posts|
     * rows while n_small/n_union keep the FULL set sizes.
     */
-  private def containmentFromShingled(
-      shingled: DataFrame, dfCap: Option[Int]): DataFrame = {
-    val d = shingled.withColumn("n_sh", size(col("sh")))
-    val all = d.select(col("lang"), col("doc_id"), col("n_sh"),
-      explode(col("sh")).as("shingle"))
-    val posts = cappedPosts(all, dfCap)
-    posts.as("a").join(posts.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).cast(IntegerType).as("n_inter"))
-      .withColumn("n_small", least(col("na"), col("nb")))
+  private[graft] def containmentFromShingled(
+      shingled: DataFrame, dfCap: Option[Int]): DataFrame =
+    containmentFinish(pairStatsFrom(shingled, dfCap))
+
+  /** Containment projection over a pair-stats frame (id_a, id_b, na,
+    * nb, n_inter) — the d25/d28 output contract. */
+  private def containmentFinish(ps: DataFrame): DataFrame =
+    ps.withColumn("n_small", least(col("na"), col("nb")))
       .withColumn("containment", col("n_inter").cast(DoubleType) / col("n_small"))
       .filter(col("containment") >= ContainmentMin)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_small"),
         col("containment"),
         (col("n_inter").cast(DoubleType) /
           (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
-  }
 
   // D: dedup-method OVERLAP matrix — which near-dup detector finds
   // what: the pair sets of the three text detectors (exact n-gram
@@ -520,7 +596,17 @@ object TextAnalysis {
   val SimHashBandBits = 15
   val SimHashMaxHamming = 3
 
-  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized + persisted per (session, dir) — round-17 optimization:
+    * d29 consumes exactly this pair set, and each call previously
+    * re-ran the corpus-wide word hash-agg, the eager localCheckpoint,
+    * the banded self-join, and the verify join-back. The result is
+    * near-dup pairs only (tiny); released with the d-family. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"d09pairs:$dir") {
+      simhashNearDupBuild(spark, dir).persist()
+    }
+
+  private def simhashNearDupBuild(spark: SparkSession, dir: String): DataFrame = {
     val words = docs(spark, dir)
       .select(col("doc_id"), explode(array_distinct(wordsOf(col("text")))).as("word"))
     val hashed = words.select(col("doc_id"),

@@ -203,6 +203,23 @@ class DedupSpec extends SparkSpec {
     assert(pair.head.getAs[Int]("n_inter") == 3) // 4-gram windows shared by 101/102
   }
 
+  test("d08/d28 fused capped pair-stats equal the direct per-cap joins") {
+    // Round-17 optimization seam: d08 and d28 now derive from ONE
+    // self-join over loose-capped postings with a lowdf tag
+    // (sharedCappedPairStats) instead of two separate capped joins.
+    // Pin bit-equality of both query outputs against the original
+    // per-cap formulation on the real fixture corpus.
+    val shingled = TextAnalysis.shingledDocs(spark, sfDir)
+    assertSameRows(
+      TextAnalysis.ngramJaccardCapped(spark, sfDir),
+      TextAnalysis.jaccardFromShingled(
+        shingled, dfCap = Some(TextAnalysis.JaccardDfCap)))
+    assertSameRows(
+      TextAnalysis.containmentNearDupCapped(spark, sfDir),
+      TextAnalysis.containmentFromShingled(
+        shingled, dfCap = Some(TextAnalysis.ContainmentDfCap)))
+  }
+
   test("d10 fixed-round label propagation equals true connected components here") {
     val pairs = MinHash.nearDupPairs(spark, sfDir)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
