@@ -14,46 +14,75 @@ object Probe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = SparkEntry.harnessSession()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(2000000).selectExpr("sum(id * 2)").head()
 
     import org.apache.spark.sql.functions._
-    // Cardinalities that size the shared-pair-stats design for the
-    // d02/d25/d29 inverted-index family and the d08/d28 df-cap family.
-    val sh = time("shingledDocs build+count") {
-      graft.operators.TextAnalysis.shingledDocs(spark, sfDir).count()
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuTime[T](label: String)(f: => T): T = {
+      val c0 = osBean.getProcessCpuTime / 1e9; val t0 = System.nanoTime()
+      val r = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = osBean.getProcessCpuTime / 1e9 - c0
+      println(f"[probe] $label: wall=$wall%.2fs cpu=$cpu%.1fs"); r
     }
-    println(s"[probe] shingled docs: $sh")
-    val shingled = graft.operators.TextAnalysis.shingledDocs(spark, sfDir)
-    val all = shingled
-      .withColumn("n_sh", size(col("sh")))
-      .select(col("lang"), col("doc_id"), col("n_sh"),
-        explode(col("sh")).as("shingle"))
-    val nPosts = time("postings count") { all.count() }
-    println(s"[probe] postings: $nPosts")
-    val df = all.groupBy(col("lang"), col("shingle"))
-      .agg(count(lit(1)).as("df"))
-    val nShingles = time("distinct (lang,shingle)") { df.count() }
-    println(s"[probe] distinct shingles: $nShingles")
-    val hot3 = time("df>3 count") { df.filter(col("df") > 3).count() }
-    val hot4 = time("df>4 count") { df.filter(col("df") > 4).count() }
-    println(s"[probe] hot shingles df>3: $hot3  df>4: $hot4")
-    val pairStats = all.as("a").join(all.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id"), col("b.doc_id"), col("a.n_sh"), col("b.n_sh"))
-      .agg(count(lit(1)).as("n_inter"))
-    val nPairs = time("uncapped pair-stats rows") { pairStats.count() }
-    println(s"[probe] uncapped co-occurring pairs: $nPairs")
+
+    val e = graft.operators.Graph.edgesFor(spark, sfDir)
+    val nE = cpuTime("edges build+count") { e.count() }
+    println(s"[probe] edges: $nE, partitions: ${e.rdd.getNumPartitions}")
+    for (r <- 1 to 3) {
+      cpuTime(s"scan-only agg rep$r") {
+        Bench.forceAll(e.agg(sum(col("w")), sum(col("wout")), sum(col("src")), sum(col("dst"))))
+      }
+      cpuTime(s"groupBy(src) agg rep$r (no exchange)") {
+        Bench.forceAll(e.groupBy(col("src")).agg(sum(col("w"))))
+      }
+      cpuTime(s"groupBy(dst) agg rep$r") {
+        Bench.forceAll(e.groupBy(col("dst")).agg(sum(col("w"))))
+      }
+      cpuTime(s"groupBy(dst) agg coalesce8 rep$r") {
+        Bench.forceAll(e.coalesce(8).groupBy(col("dst")).agg(sum(col("w"))))
+      }
+    }
+    // 8-partition edge variant: same loop, fewer partial-agg maps
+    val e8 = {
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try { val x = e.repartition(8, col("src")).persist(); x.count(); x }
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    val nodes8 = e8.select(col("src").as("node")).distinct().localCheckpoint()
+    val n8 = nodes8.count()
+    val tele8 = 1000000000000L * 3 / (20 * n8)
+    var sc8 = nodes8.withColumn("score", lit(1000000000000L / n8))
+    for (i <- 1 to 8) {
+      val next = graft.operators.Graph.round(e8, sc8, tele8)
+      cpuTime(s"e8 round $i") { Bench.forceAll(next) }
+      if (i == 1) {
+        val p = next.queryExecution.executedPlan.toString()
+        println("[probe] e8 round-1: edge-side exchange above cache: " +
+          p.split("InMemoryTableScan")(0).contains("Exchange hashpartitioning(src"))
+        println(p.take(2500))
+      }
+      sc8 = if (i % 2 == 0) cpuTime(s"e8 ckpt $i") { next.localCheckpoint() } else next
+    }
+    val nodes2 = e.select(col("src").as("node")).distinct().localCheckpoint()
+    val n = nodes2.count()
+    println(s"[probe] nodes: $n")
+    val tele = 1000000000000L * 3 / (20 * n)
+    var scores = nodes2.withColumn("score", lit(1000000000000L / n))
+    // time each round separately, print the first round's executed plan
+    for (i <- 1 to 8) {
+      val next = graft.operators.Graph.round(e, scores, tele)
+      cpuTime(s"round $i (forceAll)") { Bench.forceAll(next) }
+      if (i == 1) {
+        println("[probe] round-1 executed plan:")
+        println(next.queryExecution.executedPlan.toString().take(4000))
+      }
+      scores = if (i % 2 == 0) cpuTime(s"ckpt $i") { next.localCheckpoint() } else next
+    }
     SessionCache.clear(spark)
     spark.stop()
   }

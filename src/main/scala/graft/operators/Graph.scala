@@ -82,11 +82,42 @@ object Graph {
         val e = b.select(col("cnode").as("src"), col("snode").as("dst"), col("w"))
           .unionByName(b.select(col("snode").as("src"), col("cnode").as("dst"), col("w")))
         val out = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-        val edges = e.join(out, "src").repartition(col("src")).persist()
+        // Row-density partitioning (round-17, measured): every
+        // pagerank/BFS round shuffles the partial dst-aggregate, which
+        // is M×K rows for M edge partitions and K distinct dst values
+        // per partition — at bench scale, 32 partitions each seeing all
+        // ~16k dst nodes shuffled 512k rows per round (44% of |E|,
+        // defeating the partial agg). Sizing M by edge rows
+        // ([[edgePartitions]]: ~150k rows/partition) keeps per-round
+        // shuffle volume proportional to min(M×K, |E|) with dense
+        // partitions: isolated fresh-JVM A/B at sf0.1 (32 → 8
+        // partitions), per-round CPU 8-19 s → 1.6-9 s, whole g01 warm
+        // 70-80 → ~25-30 cpu-s, g02 warm 49 → ~20. The rule is
+        // scale-ADAPTIVE, not local-tuned: at 10¹⁰ edges it yields 67k
+        // partitions, and K saturates near the per-partition row count
+        // so the density target stays the right policy (same class as
+        // kCore's shrinkTarget). Two-stage persist: the build is
+        // materialized once at natural partitioning to learn |E|, then
+        // re-laid-out by src — one cached-scan + one |E|-row shuffle,
+        // repaid every round.
+        val built = e.join(out, "src").persist()
+        val nE = built.count()
+        val edges = built.repartition(edgePartitions(nE), col("src")).persist()
         edges.count() // materialize while the fixed (non-AQE) plan is pinned
+        built.unpersist()
         edges
       } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
+
+  /** ~Rows per edge partition for the persisted graph (see build note —
+    * the per-round shuffle is M×K partial-agg rows, so M tracks |E|). */
+  private[graft] val EdgeRowsPerPart = 150000L
+
+  /** Scale-adaptive edge partition count: |E|-proportional with a floor
+    * of 1 — 8 at the sf0.1 bench (1.17M edges), 67k at 10¹⁰ edges.
+    * Pure so GraphMlSpec pins both regimes. */
+  private[graft] def edgePartitions(nEdges: Long): Int =
+    math.max(1L, nEdges / EdgeRowsPerPart + 1).toInt
 
   // G: weighted PageRank, top-20 central nodes. One driver-side scalar
   // (the node count — needed as a literal in the teleport term) and a

@@ -31,6 +31,19 @@ class GraphMlSpec extends SparkSpec {
       "checkpoint cadence regressed (expected 4 = 8 rounds / 2)")
   }
 
+  test("edge partition rule: |E|-proportional with floor 1") {
+    // pins the round-17 row-density policy for the persisted trade
+    // graph: ~150k edge rows per partition so the per-round M×K
+    // partial-agg shuffle stays proportional to |E|
+    assert(Graph.edgePartitions(0L) === 1)
+    assert(Graph.edgePartitions(149999L) === 1)
+    assert(Graph.edgePartitions(1173742L) === 8)      // the measured sf0.1 graph
+    assert(Graph.edgePartitions(10000000000L) === 66667) // 10¹⁰ edges: cluster-scale fan-out
+    // monotone in |E|
+    val samples = Seq(0L, 1L, 150000L, 1173742L, 123456789L, 10000000000L)
+    assert(samples.map(Graph.edgePartitions) === samples.map(Graph.edgePartitions).sorted)
+  }
+
   test("g04 shrink target: collapses a tiny surviving set, keeps cluster parallelism") {
     // pins the round-15 peel rewrite's policy function: ~50k rows per
     // partition, floor 1, never above the current partition count
