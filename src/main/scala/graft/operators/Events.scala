@@ -756,8 +756,16 @@ object Events {
       .agg((sum(col("value").cast(DecimalType(18, 2)) * 100))
         .cast(LongType).as("cents"))
     // global row_number over the ~5-row aggregate, not the events
+    // localCheckpoint BEFORE the view (round-17, measured): the
+    // recursion's per-level join re-reads `graft_ema_series`, and an
+    // uncut view re-ran the corpus-wide weekly aggregate once per
+    // UnionLoop level — 5 full event scans per materialization
+    // (isolated warm at sf0.1: 21-29 cpu-s → 7.7-10.9, one corpus
+    // aggregate instead of five). The checkpointed frame is the
+    // ≤|weeks|-row series itself.
     weekly.withColumn("seq",
         row_number().over(Window.orderBy(col("week_start"))))
+      .localCheckpoint()
       .createOrReplaceTempView("graft_ema_series")
     spark.sql(
       """WITH RECURSIVE r AS (

@@ -348,7 +348,7 @@ object TextAnalysis {
     val docs = shingled.withColumn("n_sh", size(col("sh")))
     val all = docs.select(col("lang"), col("doc_id"), col("n_sh"),
       explode(col("sh")).as("shingle"))
-    val posts = cappedPosts(all, dfCap)
+    val posts = materializedPosts(cappedPosts(all, dfCap))
     posts.as("a").join(posts.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -357,6 +357,22 @@ object TextAnalysis {
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).cast(IntegerType).as("n_inter"))
   }
+
+  /** Materialize a postings frame pre-partitioned by the self-join key
+    * (round-17, measured): the two sides of a postings self-join have
+    * NEVER canonicalized to a shared exchange (true of every pre-17
+    * variant too — zero ReusedExchange in the committed plans), so the
+    * explode + df-cap subtree ran twice per build and each side paid
+    * its own (shingle, lang) exchange. An eager localCheckpoint after
+    * one explicit repartition runs the subtree once and the
+    * checkpointed partitioning serves BOTH sides of the join with no
+    * further exchange (LogicalRDD preserves it — the Graph edges
+    * pattern). Eager-materialization contract: callers building plans
+    * only (explain) trigger one postings job — same contract as
+    * MinHash.candidatePairs.
+    */
+  private def materializedPosts(posts: DataFrame): DataFrame =
+    posts.repartition(col("shingle"), col("lang")).localCheckpoint()
 
   /** Jaccard projection over a pair-stats frame (id_a, id_b, na, nb,
     * n_inter) — the d02/d08 output contract. */
@@ -505,22 +521,35 @@ object TextAnalysis {
       // over the loose cap are anti-joined away, the (tight, loose]
       // band is broadcast-tagged. Both broadcast sides are bounded by
       // |posts|/tight (21k rows at sf0.1).
+      // eager lineage cut: the df frame feeds TWO broadcast sides
+      // (anti-join hot list + lowdf band tag), and each
+      // BroadcastExchange materializes its own subtree — uncut, the
+      // corpus-wide df aggregate ran twice per build (measured: the
+      // first fused build cost ~3× one capped join; with the cut it is
+      // ~1× — the MinHash.selfJoinCandidates lesson). 21k rows at
+      // sf0.1, bounded by |posts|/tight at any scale.
       val dfAgg = all.groupBy(col("lang"), col("shingle"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > tight)
+        .localCheckpoint()
       val kept = all.join(
         broadcast(dfAgg.filter(col("df") > loose).select(col("lang"), col("shingle"))),
         Seq("lang", "shingle"), "left_anti")
       val mid = dfAgg.filter(col("df") <= loose)
         .select(col("lang"), col("shingle"), lit(false).as("lowdf"))
-      val posts = kept.join(broadcast(mid), Seq("lang", "shingle"), "left")
-        .withColumn("lowdf", coalesce(col("lowdf"), lit(true)))
+      val posts = materializedPosts(
+        kept.join(broadcast(mid), Seq("lang", "shingle"), "left")
+          .withColumn("lowdf", coalesce(col("lowdf"), lit(true))))
       posts.as("a").join(posts.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(
           col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+        // the lowdf tag is a pure function of the join key
+        // (lang, shingle), so counting it from side a alone is exact —
+        // and with the postings checkpointed, the one-sided reference
+        // just prunes a column from side b's scan (no recompute risk)
         .agg(count(lit(1)).cast(IntegerType).as("n_loose"),
           count(when(col("a.lowdf"), 1)).cast(IntegerType).as("n_tight"))
         .persist()
