@@ -44,6 +44,22 @@ object SparkEntry {
       // our partition sizes, and executors with large heaps no longer
       // pay page-zeroing proportional to heap.
       .config("spark.buffer.pageSize", "4m")
+      // Bypass-merge shuffle writer OFF (round-17, measured): with
+      // reduce counts ≤ spark.shuffle.sort.bypassMergeThreshold
+      // (default 200) every map task writes one file PER REDUCE
+      // PARTITION — at local[32]×32 that is 1024 stream
+      // opens/inits/closes + a concat pass per exchange, a fixed
+      // ~8-10 cpu-s tax on EVERY shuffle regardless of rows (probed:
+      // a 7200-record window exchange cost 10.2 cpu-s in the map
+      // stage, 3.0 s of it in shuffle write; with bypass off the same
+      // stage is 0.21 cpu-s — 50×). Threshold 1 routes all exchanges
+      // through the serialized UnsafeShuffleWriter (one file per map
+      // task), which is ALSO the only path a production cluster takes
+      // — reduce counts in the thousands never bypass — so the local
+      // bench now exercises the cluster's writer instead of a
+      // small-fanout special case (same class as the pinned
+      // spark.buffer.pageSize above).
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .getOrCreate()
   }
 
