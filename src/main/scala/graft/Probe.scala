@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Throwaway perf probe (not part of the shipped API): times the stages
   * of a slow query separately so the bottleneck is measured, not
@@ -12,9 +12,8 @@ object Probe {
     val spark = SparkEntry.harnessSession()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(2000000).selectExpr("sum(id * 2)").head()
-
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.DoubleType
+
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def cpuTime[T](label: String)(f: => T): T = {
@@ -24,133 +23,28 @@ object Probe {
       val cpu = osBean.getProcessCpuTime / 1e9 - c0
       println(f"[probe] $label: wall=$wall%.2fs cpu=$cpu%.1fs"); r
     }
-
-    // what Bench prewarms untimed
-    cpuTime("prewarmDeployment") {
-      graft.operators.Curation.prewarmDeployment(spark, sfDir)
-    }
-    cpuTime("prewarmCuratedCorpus") {
-      graft.operators.Curation.prewarmCuratedCorpus(spark, sfDir)
-    }
-
-    // replicate c03's day-2 stages over the prewarmed memos
-    val base = graft.operators.Curation.base(spark, sfDir)
-    val med1 = SessionCache.memo[org.apache.spark.sql.DataFrame](spark, s"c03med1:$sfDir") {
-      sys.error("miss: med1 not prewarmed")
-    }
-    val sigs1 = SessionCache.memo[org.apache.spark.sql.DataFrame](spark, s"c05sigs:$sfDir") {
-      sys.error("miss: sigs1 not prewarmed")
-    }
-    val reps1 = SessionCache.memo[org.apache.spark.sql.DataFrame](spark, s"c03reps1:$sfDir") {
-      sys.error("miss: reps1 not prewarmed")
-    }
-
-    val batch = base.filter(pmod(col("doc_id"), lit(3)) === lit(2))
-    val q2 = cpuTime("A q2 gate (ckpt)") {
-      batch.crossJoin(broadcast(med1))
-        .filter(col("n_tokens") >= col("median_tokens") && col("has_stop"))
-        .drop("median_tokens")
-        .localCheckpoint()
-    }
-    println(s"[probe] q2 rows=${q2.count()}")
-
-    val cand = cpuTime("B bandCandidates (ckpt)") {
-      graft.operators.MinHash.bandCandidates(
-        sigs1, q2.select(col("doc_id"), col("sh"))).localCheckpoint()
-    }
-    println(s"[probe] cand rows=${cand.count()}")
-
-    val novel2 = cpuTime("C verify+anti novel2 (ckpt)") {
-      val bsh = q2.select(col("doc_id").as("batch_id"), col("sh").as("sh_b"),
-        size(col("sh")).as("nb"))
-      val csh = reps1.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"),
-        size(col("sh")).as("nc"))
-      val inter = size(array_intersect(col("sh_b"), col("sh_c")))
-      val matched = cand.join(bsh, "batch_id").join(csh, "corpus_id")
-        .select(col("batch_id"), inter.as("ni"), (col("nb") + col("nc") - inter).as("nu"))
-        .filter(col("ni").cast(DoubleType) / col("nu") >= 0.5)
-        .select(col("batch_id")).distinct()
-      q2.join(matched, q2("doc_id") === matched("batch_id"), "left_anti")
-        .localCheckpoint()
-    }
-    println(s"[probe] novel2 rows=${novel2.count()}")
-
-    val pairs = cpuTime("D candidatePairs+jaccard (ckpt)") {
-      val c = graft.operators.MinHash.candidatePairs(
-        novel2.select(col("doc_id"), col("sh")))
-      val a = novel2.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
-        size(col("sh")).as("na"))
-      val b = novel2.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
-        size(col("sh")).as("nb"))
-      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      c.join(a, "id_a").join(b, "id_b")
-        .select(col("id_a"), col("id_b"), inter.as("n_inter"),
-          (col("na") + col("nb") - inter).as("n_union"))
-        .filter(col("n_inter").cast(DoubleType) / col("n_union") >= 0.5)
-        .select(col("id_a"), col("id_b"))
-        .localCheckpoint()
-    }
-    println(s"[probe] pairs rows=${pairs.count()}")
-
-    cpuTime("E connectedComponents") {
-      val edges = pairs.unionByName(
-        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      Bench.forceAll(graft.operators.MinHash.connectedComponents(edges))
-    }
-
-    // seed the query's memo keys with the checkpointed replicas: the
-    // following run then times ONLY the non-memo tail (5 aggs + dec2)
-    SessionCache.memo(spark, s"c03novel:$sfDir") { novel2 }
-    val reps2seed = cpuTime("reps2 replica (ckpt)") {
-      val edges = pairs.unionByName(
-        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      val labels = graft.operators.MinHash.connectedComponents(edges)
-      novel2.join(labels, novel2("doc_id") === labels("v"), "left")
-        .withColumn("rep", coalesce(col("label"), col("doc_id")))
-        .filter(col("doc_id") === col("rep"))
-        .select(novel2.columns.map(col): _*)
-        .localCheckpoint()
-    }
-    SessionCache.memo(spark, s"c03reps2:$sfDir") { reps2seed }
-    val fn = SparkEntry.queries("c03_incremental_funnel")
-    cpuTime("F1 c03 tail (memos seeded)") { Bench.forceAll(fn(spark, sfDir)) }
-    cpuTime("F2 c03 tail again") { Bench.forceAll(fn(spark, sfDir)) }
-    // now drop the seeds and measure the true cold pass, with a
-    // stage-metrics listener attributing executor CPU per stage
-    SessionCache.release(spark, k => k.startsWith("c03novel") || k.startsWith("c03reps2"))
-    val totCpu = new java.util.concurrent.atomic.AtomicLong(0)
-    val totStages = new java.util.concurrent.atomic.AtomicLong(0)
-    val totTasks = new java.util.concurrent.atomic.AtomicLong(0)
-    val totJobs = new java.util.concurrent.atomic.AtomicLong(0)
-    val totDeser = new java.util.concurrent.atomic.AtomicLong(0)
-    val totGc = new java.util.concurrent.atomic.AtomicLong(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo; val m = i.taskMetrics
-        totCpu.addAndGet(m.executorCpuTime / 1000000)
-        totDeser.addAndGet(m.executorDeserializeCpuTime / 1000000)
-        totGc.addAndGet(m.jvmGCTime)
-        totStages.incrementAndGet(); totTasks.addAndGet(i.numTasks)
-        if (m.executorCpuTime / 1e9 > 0.3)
+        if (m.executorCpuTime / 1e9 > 0.2)
           println(f"[stage] id=${i.stageId} tasks=${i.numTasks} " +
-            f"execCpu=${m.executorCpuTime / 1e9}%.2fs " +
-            f"name=${i.name.take(60)}")
-      }
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        totJobs.incrementAndGet(); ()
+            f"execCpu=${m.executorCpuTime / 1e9}%.2fs gc=${m.jvmGCTime / 1e3}%.2fs " +
+            f"name=${i.name.take(70)}")
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    cpuTime("F c03 full cold") { Bench.forceAll(fn(spark, sfDir)) }
-    Thread.sleep(500)
-    spark.sparkContext.removeSparkListener(listener)
-    println(f"[stage] TOTAL jobs=${totJobs.get} stages=${totStages.get} " +
-      f"tasks=${totTasks.get} execCpu=${totCpu.get / 1e3}%.2fs " +
-      f"deserCpu=${totDeser.get / 1e3}%.2fs gcWall=${totGc.get / 1e3}%.2fs")
-    cpuTime("G c03 full warm") { Bench.forceAll(fn(spark, sfDir)) }
-    cpuTime("H c03 full warm2") { Bench.forceAll(fn(spark, sfDir)) }
+
+    // force the memo build through the REAL code path, stage-attributed
+    val fn = SparkEntry.queries("g01_pagerank")
+    cpuTime("g01 cold (memo build + query)") { Bench.forceAll(fn(spark, sfDir)) }
+    cpuTime("g01 warm1") { Bench.forceAll(fn(spark, sfDir)) }
+    cpuTime("g01 warm2") { Bench.forceAll(fn(spark, sfDir)) }
+
+    println("[probe] storage after warm:")
+    spark.sparkContext.getRDDStorageInfo.foreach { i =>
+      println(s"[probe] rdd=${i.id} cached=${i.numCachedPartitions}/${i.numPartitions} mem=${i.memSize} name=${i.name.replace('\n', ' ').take(80)}")
+    }
 
     SessionCache.clear(spark)
     spark.stop()
