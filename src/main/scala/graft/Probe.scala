@@ -41,6 +41,14 @@ object Probe {
     cpuTime("g01 warm1") { Bench.forceAll(fn(spark, sfDir)) }
     cpuTime("g01 warm2") { Bench.forceAll(fn(spark, sfDir)) }
 
+    // build-plan artifact for plans/r17: the memoized edges frame's
+    // pre-cache executed plan IS the build (memo returns the existing
+    // entry; the builder below never runs after the cold pass above)
+    val edges = SessionCache.memo[DataFrame](spark, s"g01edges:$sfDir")(
+      sys.error("expected g01edges to be memoized by the cold pass"))
+    println("[probe] edges build executed plan:")
+    println(edges.queryExecution.executedPlan.toString)
+
     println("[probe] storage after warm:")
     spark.sparkContext.getRDDStorageInfo.foreach { i =>
       println(s"[probe] rdd=${i.id} cached=${i.numCachedPartitions}/${i.numPartitions} mem=${i.memSize} name=${i.name.replace('\n', ' ').take(80)}")

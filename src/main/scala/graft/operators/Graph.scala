@@ -73,15 +73,27 @@ object Graph {
       val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
-        val b = Tables.load(spark, dir, "lineitem")
+        // Single-shuffle build (round-17 rewrite, measured): the old
+        // shape aggregated per UNION BRANCH (the branches' differing
+        // isnotnull pushdowns stop their subtrees canonicalizing equal,
+        // so the lineitem ⋈ orders join executed once per direction),
+        // then shuffled again to re-lay the rows out by src — two
+        // |E|-row exchanges and two persists. Emitting BOTH directions
+        // from one pass (explode of a 2-struct array) and hash-laying
+        // the exploded rows out by src BEFORE the aggregate makes every
+        // downstream step exchange-free: HashPartitioning(src) satisfies
+        // ClusteredDistribution(src,dst) for the weight aggregate, the
+        // out-degree re-aggregate, and the final join — one shuffle,
+        // one persist, join executed once.
+        val pairs = Tables.load(spark, dir, "lineitem")
           .join(Tables.load(spark, dir, "orders"),
             col("l_orderkey") === col("o_orderkey"))
-          .groupBy((col("o_custkey") * 2).as("cnode"),
+          .select((col("o_custkey") * 2).as("cnode"),
             (col("l_suppkey") * 2 + 1).as("snode"))
-          .agg(count(lit(1)).as("w"))
-        val e = b.select(col("cnode").as("src"), col("snode").as("dst"), col("w"))
-          .unionByName(b.select(col("snode").as("src"), col("cnode").as("dst"), col("w")))
-        val out = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+        val directed = pairs.select(explode(array(
+            struct(col("cnode").as("src"), col("snode").as("dst")),
+            struct(col("snode").as("src"), col("cnode").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         // Row-density partitioning (round-17, measured): every
         // pagerank/BFS round shuffles the partial dst-aggregate, which
         // is M×K rows for M edge partitions and K distinct dst values
@@ -96,15 +108,20 @@ object Graph {
         // scale-ADAPTIVE, not local-tuned: at 10¹⁰ edges it yields 67k
         // partitions, and K saturates near the per-partition row count
         // so the density target stays the right policy (same class as
-        // kCore's shrinkTarget). Two-stage persist: the build is
-        // materialized once at natural partitioning to learn |E|, then
-        // re-laid-out by src — one cached-scan + one |E|-row shuffle,
-        // repaid every round.
-        val built = e.join(out, "src").persist()
-        val nE = built.count()
-        val edges = built.repartition(edgePartitions(nE), col("src")).persist()
+        // kCore's shrinkTarget). M is sized from the metadata-only
+        // lineitem row count (2 directed rows per matched lineitem —
+        // an upper bound on |E| that skips the extra materialize-count
+        // pass the old two-stage persist paid; over-estimating M only
+        // splits the graph finer, same density class).
+        val m = edgePartitions(2L * Tables.load(spark, dir, "lineitem").count())
+        val e = directed.repartition(m, col("src"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        val out = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+        // shuffle_hash: `out` is ≤ nodes-per-partition rows on each of
+        // the co-partitioned sides — a per-partition hash build skips
+        // the SMJ's |E|-row sort (broadcast stays banned: |V| rows).
+        val edges = e.join(out.hint("shuffle_hash"), "src").persist()
         edges.count() // materialize while the fixed (non-AQE) plan is pinned
-        built.unpersist()
         edges
       } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
