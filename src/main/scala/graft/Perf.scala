@@ -19,9 +19,21 @@ object Perf {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     spark.range(2000000).selectExpr("sum(id * 2)").head()
+    val doExecuted = args.contains("--executed")
     for (n <- names) {
       val fn = SparkEntry.queries(n)
       if (doExplain) fn(spark, sfDir).explain("formatted")
+      if (doExecuted) {
+        // the POST-AQE executed plan (runtime stage reuse, final join
+        // strategies) — explain("formatted") only shows the initial plan
+        val df = fn(spark, sfDir)
+        // collect() drives df's OWN QueryExecution (forceAll and
+        // df.write both derive a new one), so the printed plan is the
+        // post-AQE final one; declared queries are oracle-gated and
+        // small, so the driver-side result is bounded
+        df.collect()
+        println(s"[perf] $n executed plan:\n" + df.queryExecution.executedPlan.toString)
+      }
       for (r <- 1 to reps) {
         // contamination evidence per rep (round-13: isolated breakdowns
         // adjudicate the bench's warm_outliers, so the breakdown itself

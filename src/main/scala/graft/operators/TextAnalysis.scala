@@ -1580,8 +1580,22 @@ object TextAnalysis {
     * (positional occurrences, unlike [[shingles3]]'s distinct set).
     * Same zip_with formulation — O(words), no per-element re-split.
     */
-  private def spansOf(c: Column): Column = {
-    val w = wordsOf(c)
+  private def spansOf(c: Column): Column = spansOf0(wordsOf(c))
+
+  /** One positional-span row per word-3-gram occurrence, split paid
+    * ONCE per row: [[spansOf]] inlined over a raw text column evaluates
+    * `split(trim(text))` five times per row (once per slice/size
+    * reference — Generate is interpreted, no subexpression
+    * elimination), so the words array is materialized in a codegen'd
+    * Project below the explode (round 17; the shingles3 lesson applied
+    * at the ROW level). */
+  private def spanRows(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), wordsOf(col("text")).as("w"))
+      .select(col("doc_id"), explode(spansOf0(col("w"))).as("span"))
+
+  /** [[spansOf]] over an already-materialized words-array column. */
+  private def spansOf0(w: Column): Column = {
     val n = size(w)
     val grams = zip_with(
       zip_with(slice(w, lit(1), n - 2), slice(w, lit(2), n - 2),
@@ -1606,8 +1620,14 @@ object TextAnalysis {
   // becomes xxhash64(span) (8-byte shuffle instead of the span text);
   // kept as text here so the oracle shares the key verbatim.
   def spanDupReport(spark: SparkSession, dir: String): DataFrame = {
-    val g = docs(spark, dir)
-      .select(col("doc_id"), explode(spansOf(col("text"))).as("span"))
+    // ONE explode pass shared by both consumers (round 17): the span
+    // occurrences are laid out by span in a single exchange that the df
+    // aggregate reads in-partition (no further shuffle) and the
+    // join-back reads as a ReusedExchange — the pre-change plan inlined
+    // the whole scan→explode subtree TWICE (split×5 per row, per copy).
+    // The trade: the final per-doc aggregate pays one extra exchange of
+    // per-doc partials (tiny) instead of riding the docs partitioning.
+    val g = spanRows(spark, dir).repartition(col("span"))
     val df = g.groupBy(col("span"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val isDup = (col("df") >= 2).cast(IntegerType)
@@ -1627,8 +1647,7 @@ object TextAnalysis {
   // (df, n_occ, span) — no global sort; ties broken lexically so the
   // cut is deterministic.
   def topDupSpans(spark: SparkSession, dir: String): DataFrame = {
-    docs(spark, dir)
-      .select(col("doc_id"), explode(spansOf(col("text"))).as("span"))
+    spanRows(spark, dir)
       .groupBy(col("span"))
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("n_occ"))
       .filter(col("df") >= 2)
