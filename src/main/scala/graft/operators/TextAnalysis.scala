@@ -1504,7 +1504,17 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("ch"))
 
   def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = cdcChunks(docs(spark, dir))
+    // ONE chunk-assembly pass shared by both consumers (round 17): the
+    // whole posexplode→window→collect_list→md5 subtree was inlined
+    // twice (frequency aggregate + join-back). A shared-exchange layout
+    // (the d23 pattern) does NOT work here — the freq branch prunes to
+    // just `ch` below the exchange, so the two exchanges no longer
+    // canonicalize equal and AQE re-runs the assembly anyway (measured).
+    // The eager localCheckpoint materializes the narrow
+    // (doc_id, chunk_id, ch) rows once per execution and keeps the
+    // skew-safe shape downstream (freq broadcasts back; no ch
+    // co-location of a hot boilerplate chunk).
+    val chunks = cdcChunks(docs(spark, dir)).localCheckpoint()
     val freq = chunks.groupBy(col("ch")).agg(count(lit(1)).as("n_inst"))
     chunks.join(freq, "ch")
       .groupBy(col("doc_id"))
