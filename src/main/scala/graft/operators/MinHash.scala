@@ -772,9 +772,10 @@ object MinHash {
     var rounds = 0
     while (!converged && rounds < bound) {
       val next = ccRound(sym, labels).localCheckpoint()
-      val changed = next.join(labels.select(col("v"), col("label").as("prev")), "v")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+      // the round carries prev, so convergence is a filter-count over
+      // the just-materialized RDD — no join back to the old labels
+      val changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select(col("v"), col("label"))
       converged = changed == 0
       rounds += 1
     }
@@ -798,8 +799,13 @@ object MinHash {
     val nbr = sym
       .join(labels.select(col("v").as("id_b"), col("label").as("nl")), "id_b")
       .groupBy(col("id_a").as("v")).agg(min(col("nl")).as("nl"))
+    // `prev` (the incoming label) rides the round so the caller's
+    // convergence check is a FILTER over the checkpointed result
+    // instead of a per-round |V| ⋈ |V| join back to the previous
+    // labels (round 17; labels only ever decrease, so
+    // label ≠ prev ⟺ this round changed the vertex)
     val prop = labels.join(nbr, Seq("v"), "left")
-      .select(col("v"),
+      .select(col("v"), col("label").as("prev"),
         least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       .localCheckpoint()
     // Pointer jump: every label IS a vertex id present in `labels`
@@ -808,7 +814,7 @@ object MinHash {
     prop.alias("a")
       .join(prop.select(col("v").as("jp"), col("label").as("jl")),
         col("a.label") === col("jp"), "left")
-      .select(col("a.v").as("v"),
+      .select(col("a.v").as("v"), col("a.prev").as("prev"),
         least(col("a.label"), coalesce(col("jl"), col("a.label"))).as("label"))
   }
 
