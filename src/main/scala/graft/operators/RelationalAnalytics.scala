@@ -349,8 +349,14 @@ trait RelationalAnalytics extends RelationalBase {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (datediff(col("l_shipdate"), col("o_orderdate")) > 90).as("late"))
+    // perSupp feeds BOTH the per-order rollup and the late-supplier join
+    // side; left lazy the whole lineitem ⋈ orders + aggregate subtree
+    // executed twice (the q20/g01 canonicalization class — the join
+    // branch's pushed filters differ). Eager cut: ~(orderkey, suppkey)
+    // rows, 3 narrow columns, materialized once.
     val perSupp = lines.groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("late")).as("supp_late"))
+      .localCheckpoint()
     val perOrder = perSupp.groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_supps"),
         count(when(col("supp_late"), 1)).as("n_late_supps"))
@@ -373,9 +379,18 @@ trait RelationalAnalytics extends RelationalBase {
   // (EXISTS over a correlated aggregate) becomes two hash aggregates +
   // one join — the Spark-first rewrite of a correlated quantifier.
   def dominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    // byPs feeds BOTH the per-part total and the dominance join; left
+    // lazy, the lineitem scan + (partkey,suppkey) aggregate executed
+    // TWICE — the join branch gets isnotnull(partkey)/isnotnull(suppkey)
+    // pushed below its exchange, the total branch does not, so the
+    // subtrees stop canonicalizing equal and AQE cannot reuse the stage
+    // (the g01 union class; measured: 3 lineitem FileScans,
+    // 0 ReusedExchange). The eager cut materializes the ~|parts·suppliers
+    // per part| aggregate once; both consumers read the RDD.
     val byPs = Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(dec(col("l_quantity"))).as("qty_ps"))
+      .localCheckpoint()
     val byP = byPs.groupBy(col("l_partkey"))
       .agg(sum(col("qty_ps")).as("qty_p"))
     val dominant = byPs.join(byP, "l_partkey")
