@@ -1130,15 +1130,27 @@ object TextAnalysis {
   // ln(c12) − ln(c1) term is integer-quantized (t13's technique) so
   // the per-doc Σ is order-free and the mean engine-identical.
   def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
-    val w = wordsOf(lower(col("text")))
-    val n = size(w)
-    val bigrams = zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
+    // ONE bigram fan-out pass (round 17): before, the corpus was
+    // exploded THREE times — once per occ consumer (bg + join-back;
+    // the d23/q20 canonicalization class) and once more for the
+    // prefix counts — and every pass re-evaluated split(lower(text))
+    // ~5× per row inside the interpreted Generate (the spanRows
+    // lesson). Words are projected once, occ is eagerly cut, and the
+    // prefix counts derive from occ itself: slice(w,1,n-1) IS the
+    // multiset of bigram first words, which the join-back already
+    // recovers with split(bigram)[0].
+    val base = docs(spark, dir)
+      .select(col("doc_id"), wordsOf(lower(col("text"))).as("w"))
+      .filter(size(col("w")) >= 2)
+    val n = size(col("w"))
+    val bigrams = zip_with(
+      slice(col("w"), lit(1), n - 1), slice(col("w"), lit(2), n - 1),
       (a, b) => concat_ws(" ", a, b))
-    val base = docs(spark, dir).filter(n >= 2)
     val occ = base.select(col("doc_id"), explode(bigrams).as("bigram"))
+      .localCheckpoint()
     val bg = occ.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
-    val pref = base
-      .select(explode(slice(w, lit(1), n - 1)).as("w1"))
+    val pref = occ
+      .select(split(col("bigram"), " ").getItem(0).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val qTerm = floor(
       (log(col("c12").cast(DoubleType)) - log(col("c1").cast(DoubleType)))
