@@ -566,9 +566,13 @@ object Events {
   // only shuffle over real data is the pre-aggregated counts join.
   def gapFill(spark: SparkSession, dir: String): DataFrame = {
     val HourUs = 3600L * 1000 * 1000
+    // sparse is consumed by counts, bounds and the type grid — three
+    // filter passes over the events base; the eager cut pays one
+    // (1/97-selective, so the checkpointed frame is tiny).
     val sparse = eventsUs(spark, dir)
       .filter(col("event_id") % 97 === 0)
       .withColumn("hour_us", expr(s"ts_us div $HourUs") * HourUs)
+      .localCheckpoint()
     val counts = sparse.groupBy(col("hour_us"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
     val bounds = sparse.agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))

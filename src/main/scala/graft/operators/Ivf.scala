@@ -841,8 +841,12 @@ object Ivf {
     val c = graft.SessionCache.memo(spark, s"ivfCentroids:$dir") {
       centroids(emb).persist()
     }
+    // keyed feeds the quota counts AND the windowed sample; left lazy
+    // the per-vector centroid argmin (16 dot products each) executed
+    // twice (the q20 class). Eager cut: 3 narrow columns, one pass.
     val keyed = assign(emb, c).select(col("vec_id"), col("cid"),
       md5(col("vec_id").cast(StringType).cast(BinaryType)).as("h"))
+      .localCheckpoint()
     val counts = keyed.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
     val tot = counts.agg(count(lit(1)).cast(LongType).as("n_cells"),
       sum(col("n_members")).cast(LongType).as("n_total"))
