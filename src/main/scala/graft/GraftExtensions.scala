@@ -15,5 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(functions.KmvDistinct.functionDescriptor)
     ext.injectFunction(functions.CountMin.functionDescriptor)
     ext.injectFunction(functions.WordShingles.functionDescriptor)
+    ext.injectFunction(functions.Int8Quantize.functionDescriptor)
   }
 }
